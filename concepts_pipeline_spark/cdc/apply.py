@@ -1,0 +1,255 @@
+"""The per-batch apply pipeline: validate → quarantine → LWW → fenced MERGE → lineage.
+
+This is the engine's equivalent of the reference aggregator's stream
+(ref: aggregator/.../ConceptsAggregator.scala:50-75 — extract → dedup → anti-join →
+scripted bulk upsert → publish ids) collapsed into one declarative batch function,
+driven either by a bulk replay loop or by Structured Streaming ``foreachBatch``.
+
+Steps:
+ 1. validate events (vectorized — column expressions by default, an Arrow pandas UDF
+    path for parity with the input_hint); malformed rows are appended to a quarantine
+    table (ref analogue: ConceptExtractor warn+drop, ConceptExtractor.scala:81-118 —
+    we keep the rejects queryable instead of just logging)
+ 2. LWW per key over LSN (operators.lww, two-phase salted against hot keys)
+ 3. fenced MERGE INTO the target LakeTable (lake.merge)
+ 4. per-bucket lineage/metrics rows appended to a lineage table
+    (ref analogue: BulkUpdateFlow result classification + running totals,
+    common/.../BulkUpdateFlow.scala:107-166)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..lake import LakeTable, merge_into, MergeStats
+from ..operators.lww import lww_latest
+from .generator import VOCAB_SIZE
+
+LINEAGE_SCHEMA = StructType(
+    [
+        StructField("fence_token", StringType(), False),
+        StructField("commit_version", LongType(), True),
+        StructField("bucket", IntegerType(), True),
+        StructField("inserted", LongType(), True),
+        StructField("updated", LongType(), True),
+        StructField("deleted", LongType(), True),
+        StructField("noop", LongType(), True),
+        StructField("carried", LongType(), True),
+        StructField("delete_missing", LongType(), True),
+        StructField("rows_in", LongType(), True),
+        StructField("quarantined", LongType(), True),
+        StructField("wall_ms", LongType(), True),
+    ]
+)
+
+QUARANTINE_EXTRA = [StructField("reject_reason", StringType(), True)]
+
+
+def valid_event_expr(
+    op_col: str = "op",
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    delete_op: str = "D",
+    vocab_size: int = VOCAB_SIZE,
+) -> F.Column:
+    """Reject reason per event, NULL when valid. Pure column expressions (JVM-side,
+    whole-stage-codegen'd) — the fast path."""
+    op, toks, n = F.col(op_col), F.col(tokens_col), F.col(n_tok_col)
+    return (
+        F.when(~op.isin("I", "U", delete_op), F.lit("unknown_op"))
+        .when(op == delete_op, F.lit(None).cast("string"))  # deletes carry no payload
+        .when(toks.isNull(), F.lit("null_tokens"))
+        .when(F.size(toks) == 0, F.lit("empty_tokens"))
+        .when(n.isNull() | (n != F.size(toks)), F.lit("n_tok_mismatch"))
+        .when(
+            F.exists(toks, lambda t: t.isNull() | (t < 0) | (t >= vocab_size)),
+            F.lit("token_out_of_vocab"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def make_validate_tokens_udf(vocab_size: int = VOCAB_SIZE):
+    """Arrow-vectorized pandas UDF token validation (input_hint parity path).
+
+    Batched columnar transfer; numpy per batch. The expression path above is faster
+    (stays in the JVM) — this exists for the UDF-mandated variant and as the template
+    for validations that outgrow SQL expressions.
+    """
+    import numpy as np
+
+    @F.pandas_udf(BooleanType())
+    def tokens_valid(tokens: pd.Series, n_tok: pd.Series) -> pd.Series:
+        out = np.zeros(len(tokens), dtype=bool)
+        for i, (arr, n) in enumerate(zip(tokens.values, n_tok.values)):
+            if arr is None or n is None or len(arr) == 0 or len(arr) != n:
+                continue
+            a = np.asarray(arr)
+            out[i] = bool(((a >= 0) & (a < vocab_size)).all())
+        return pd.Series(out)
+
+    return tokens_valid
+
+
+def validate_events(
+    batch: DataFrame, vocab_size: int = VOCAB_SIZE
+) -> tuple[DataFrame, DataFrame]:
+    """Split a batch into (valid, quarantined-with-reason)."""
+    tagged = batch.withColumn("reject_reason", valid_event_expr(vocab_size=vocab_size))
+    valid = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    rejects = tagged.filter(F.col("reject_reason").isNotNull())
+    return valid, rejects
+
+
+@dataclass
+class ApplyResult:
+    stats: MergeStats
+    rows_in: int
+    quarantined: int
+
+
+class CdcPipeline:
+    """Owns the three tables (target, quarantine, lineage) and applies batches.
+
+    ``target_path`` etc. are directories; tables are created idempotently
+    (ref analogue: Indices.create / Scripts.create, common/.../Indices.scala:17-37).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        target_path: str,
+        target_schema: StructType,
+        key_cols: list[str],
+        quarantine_path: str | None = None,
+        lineage_path: str | None = None,
+        num_buckets: int = 16,
+        salt_buckets: int = 8,
+        update_mode: str = "replace",
+        array_union_cols: list[str] | None = None,
+        vocab_size: int = VOCAB_SIZE,
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+    ):
+        self.spark = spark
+        self.key_cols = key_cols
+        self.salt_buckets = salt_buckets
+        self.update_mode = update_mode
+        self.array_union_cols = array_union_cols
+        self.vocab_size = vocab_size
+        self.lsn_col = lsn_col
+        self.op_col = op_col
+        self.target = LakeTable.create(
+            target_path, target_schema, key_cols, num_buckets, if_not_exists=True
+        )
+        self.quarantine: LakeTable | None = None
+        self.lineage: LakeTable | None = None
+        if quarantine_path:
+            # quarantine keeps the raw event + reason, keyed by lsn (append-only)
+            q_schema = StructType(
+                [f for f in CHANGE_BATCH_FIELDS_HINT(target_schema, lsn_col, op_col)]
+                + QUARANTINE_EXTRA
+            )
+            self.quarantine = LakeTable.create(
+                quarantine_path, q_schema, [lsn_col], num_buckets=4, if_not_exists=True
+            )
+        if lineage_path:
+            self.lineage = LakeTable.create(
+                lineage_path, LINEAGE_SCHEMA, ["fence_token"], num_buckets=1,
+                if_not_exists=True,
+            )
+
+    # ------------------------------------------------------------------
+
+    def apply_batch(self, batch: DataFrame, fence_token: str) -> ApplyResult:
+        """Validate + LWW + fenced merge + lineage for one change batch."""
+        if self.target.has_fence_token(fence_token):
+            # replayed batch (foreachBatch retry / restart): already applied
+            return ApplyResult(
+                stats=MergeStats(skipped=True, version=self.target.current_version()),
+                rows_in=0,
+                quarantined=0,
+            )
+        work_cols = [c for c in batch.columns if c != "batch_id"]
+        batch = batch.select(*work_cols)
+        batch.persist()
+        try:
+            valid, rejects = validate_events(batch, self.vocab_size)
+            n_rejects = 0
+            if self.quarantine is not None:
+                rejects_conf = rejects
+                self.quarantine.append(rejects_conf, fence_token=f"{fence_token}:q")
+                n_rejects = rejects.count()
+
+            deduped = lww_latest(
+                valid,
+                self.key_cols,
+                lsn_col=self.lsn_col,
+                op_col=self.op_col,
+                salt_buckets=self.salt_buckets,
+            )
+            source = deduped.drop(self.lsn_col, "event_ts")
+            stats = merge_into(
+                self.spark,
+                self.target,
+                source,
+                op_col=self.op_col,
+                update_mode=self.update_mode,
+                array_union_cols=self.array_union_cols,
+                fence_token=fence_token,
+            )
+            rows_in = batch.count()
+        finally:
+            batch.unpersist()
+
+        if self.lineage is not None and not stats.skipped:
+            rows = [
+                {
+                    "fence_token": fence_token,
+                    "commit_version": stats.version,
+                    "bucket": pb["bucket"],
+                    "inserted": pb["inserted"],
+                    "updated": pb["updated"],
+                    "deleted": pb["deleted"],
+                    "noop": pb["noop"],
+                    "carried": pb["carried"],
+                    "delete_missing": pb["delete_missing"],
+                    "rows_in": rows_in,
+                    "quarantined": n_rejects,
+                    "wall_ms": stats.wall_ms,
+                }
+                for pb in (stats.by_bucket or [{"bucket": -1, "inserted": 0,
+                                                "updated": 0, "deleted": 0, "noop": 0,
+                                                "carried": 0, "delete_missing": 0}])
+            ]
+            ldf = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+            self.lineage.append(ldf, fence_token=f"{fence_token}:l")
+        return ApplyResult(stats=stats, rows_in=rows_in, quarantined=n_rejects)
+
+    def final_state(self) -> DataFrame:
+        return self.target.read(self.spark)
+
+
+def CHANGE_BATCH_FIELDS_HINT(
+    target_schema: StructType, lsn_col: str, op_col: str
+) -> list[StructField]:
+    """Quarantine schema: lsn + op + the target payload columns + event_ts."""
+    from pyspark.sql.types import TimestampType
+
+    return (
+        [StructField(lsn_col, LongType(), False), StructField(op_col, StringType(), True)]
+        + list(target_schema.fields)
+        + [StructField("event_ts", TimestampType(), True)]
+    )

@@ -1,0 +1,237 @@
+"""MERGE INTO for LakeTable: bucketed copy-on-write upsert with fencing and lineage.
+
+Semantics (the reference's whole sink stack, declaratively):
+
+    MERGE INTO target t USING source s ON t.<keys> = s.<keys>
+      WHEN MATCHED AND s.op = 'D'          THEN DELETE       -- ref skips deletes
+                                                             -- (WorkIdSource.scala:47-53);
+                                                             -- we handle them (north_rule)
+      WHEN MATCHED AND <row changed>       THEN UPDATE       -- noop short-circuit =
+                                                             -- append-fields.json:5-13
+      WHEN NOT MATCHED AND s.op <> 'D'     THEN INSERT       -- doc_as_upsert
+                                                             -- (BulkUpdateFlow.scala:45-47)
+
+Two update modes:
+- ``replace``      — whole-row replace (ref: BulkUpdateFlow doc upsert, K3 in SURVEY §2.5)
+- ``array_union``  — configured array columns become set-union(old, new); everything
+  else replaced (ref: ScriptedBulkUpdateFlow + painless append-fields script, K4/A5)
+
+Physical strategy: source keys hash to a set of buckets; only data files in those
+buckets are read and rewritten (file-pruned copy-on-write). Untouched files carry over
+by reference in the new manifest. At 1000-executor scale the rewrite cost is bounded by
+the touched-bucket fraction, not table size, and the bucket count bounds merge-join
+shuffle width.
+
+Exactly-once: a ``fence_token`` already present in the manifest short-circuits the whole
+merge (idempotent replay after foreachBatch retry); the token is recorded in the same
+atomic manifest commit as the data — the fence IS transactional with the merge.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .schema import conform, evolve_schema
+from .table import DataFileEntry, LakeTable, Manifest, bucket_expr
+
+ACTION_COL = "__action"
+BUCKET_COL = "__bucket"
+
+
+@dataclass
+class MergeStats:
+    inserted: int = 0
+    updated: int = 0
+    deleted: int = 0
+    noop: int = 0
+    carried: int = 0  # rows rewritten unchanged from touched files
+    delete_missing: int = 0  # delete events whose key was absent
+    skipped: bool = False  # fence token already applied
+    version: int | None = None
+    wall_ms: int = 0
+    touched_buckets: int = 0
+    touched_files: int = 0
+    by_bucket: list[dict] = field(default_factory=list)  # per-bucket lineage rows
+
+    @property
+    def applied(self) -> int:
+        return self.inserted + self.updated + self.deleted
+
+
+def merge_into(
+    spark: SparkSession,
+    table: LakeTable,
+    source: DataFrame,
+    op_col: str = "op",
+    delete_op: str = "D",
+    update_mode: str = "replace",
+    array_union_cols: list[str] | None = None,
+    evolve: bool = True,
+    fence_token: str | None = None,
+) -> MergeStats:
+    """Apply a deduplicated change batch (≤1 row per key, see operators.lww) to table.
+
+    ``source`` columns: table key columns + ``op_col`` + payload columns. Payload may be
+    a superset of the table schema (new columns) or widened — handled when evolve=True.
+    """
+    t0 = time.time()
+    m = table.manifest()
+    if fence_token and fence_token in m.fence_tokens:
+        return MergeStats(skipped=True, version=m.version)
+
+    key_cols = m.key_cols
+    payload_schema = StructType(
+        [f for f in source.schema.fields if f.name != op_col]
+    )
+    if evolve:
+        new_schema = evolve_schema(m.schema, payload_schema)
+    else:
+        new_schema = m.schema
+    schema_json = new_schema.json()
+    schemas = dict(m.schemas)
+    if schema_json not in schemas.values():
+        schemas[str(max(int(s) for s in schemas) + 1)] = schema_json
+    schema_id = next(int(sid) for sid, sj in schemas.items() if sj == schema_json)
+
+    # conform source payload to the (possibly evolved) table schema, keep op
+    schema_with_op = StructType(
+        list(new_schema.fields) + [source.schema[op_col]]
+    )
+    src = conform(source, schema_with_op)
+
+    # ---- plan: which buckets / files does this batch touch? ----
+    src = src.withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets))
+    touched_buckets = sorted(
+        r[0] for r in src.select(BUCKET_COL).distinct().collect()
+    )
+    tb = set(touched_buckets)
+    touched_files = [f for f in m.files if f.bucket in tb]
+    passthrough_files = [f for f in m.files if f.bucket not in tb]
+
+    target_sub = table._read_files(spark, m, touched_files)
+    # manifest carries the old schema during this read; conform to the new one
+    target_sub = conform(target_sub, new_schema)
+
+    data_cols = [f.name for f in new_schema.fields]
+    val_cols = [c for c in data_cols if c not in key_cols]
+
+    t = target_sub.withColumn("__t", F.lit(True)).alias("t")
+    s = src.withColumn("__s", F.lit(True)).alias("s")
+    joined = t.join(
+        s,
+        on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
+        how="full_outer",
+    )
+
+    is_matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+    is_delete = F.col(f"s.{op_col}") == F.lit(delete_op)
+
+    if update_mode == "array_union":
+        union_cols = set(array_union_cols or [])
+        field_type = {f.name: f.dataType for f in new_schema.fields}
+        new_val = {
+            c: (
+                F.when(
+                    is_matched,
+                    F.array_sort(
+                        F.array_union(
+                            F.coalesce(F.col(f"t.{c}"), F.array().cast(field_type[c])),
+                            F.coalesce(F.col(f"s.{c}"), F.array().cast(field_type[c])),
+                        )
+                    ),
+                ).otherwise(F.col(f"s.{c}"))
+                if c in union_cols
+                else F.col(f"s.{c}")
+            )
+            for c in val_cols
+        }
+    elif update_mode == "replace":
+        new_val = {c: F.col(f"s.{c}") for c in val_cols}
+    else:
+        raise ValueError(f"unknown update_mode {update_mode!r}")
+
+    old_struct = F.struct(*[F.col(f"t.{c}").alias(c) for c in val_cols])
+    new_struct = F.struct(*[new_val[c].alias(c) for c in val_cols])
+    changed = ~old_struct.eqNullSafe(new_struct)
+
+    action = (
+        F.when(is_matched & is_delete, F.lit("deleted"))
+        .when(is_matched & changed, F.lit("updated"))
+        .when(is_matched, F.lit("noop"))
+        .when(F.col("__s").isNotNull() & ~is_delete, F.lit("inserted"))
+        .when(F.col("__s").isNotNull(), F.lit("delete_missing"))
+        .otherwise(F.lit("carried"))
+    )
+
+    out_key = [
+        F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in key_cols
+    ]
+    out_val = [
+        F.when(
+            F.col(ACTION_COL).isin("updated", "inserted"), new_val[c]
+        ).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in val_cols
+    ]
+
+    result = (
+        joined.withColumn(ACTION_COL, action)
+        .select(*out_key, *out_val, F.col(ACTION_COL))
+        .withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets))
+    )
+    result.persist()
+    try:
+        # per-bucket lineage counts in one aggregation pass
+        counts = (
+            result.groupBy(BUCKET_COL, ACTION_COL).count().collect()
+        )
+        stats = MergeStats(version=m.version + 1)
+        per_bucket: dict[int, dict] = {}
+        for row in counts:
+            b, a, n = row[BUCKET_COL], row[ACTION_COL], row["count"]
+            setattr(stats, a, getattr(stats, a) + n)
+            pb = per_bucket.setdefault(
+                b,
+                {"bucket": b, "inserted": 0, "updated": 0, "deleted": 0,
+                 "noop": 0, "carried": 0, "delete_missing": 0},
+            )
+            pb[a] += n
+        stats.by_bucket = [per_bucket[b] for b in sorted(per_bucket)]
+        stats.touched_buckets = len(touched_buckets)
+        stats.touched_files = len(touched_files)
+
+        keep = result.filter(
+            ~F.col(ACTION_COL).isin("deleted", "delete_missing")
+        ).select(*data_cols)
+
+        new_files = table.write_data_files(keep, _with_schemas(m, schemas), schema_id)
+        table.commit(
+            m,
+            passthrough_files + new_files,
+            schema_json=schema_json,
+            schemas=schemas,
+            fence_token=fence_token,
+            summary={
+                "operation": "merge",
+                "inserted": stats.inserted,
+                "updated": stats.updated,
+                "deleted": stats.deleted,
+                "noop": stats.noop,
+                "carried": stats.carried,
+                "touched_buckets": stats.touched_buckets,
+            },
+        )
+    finally:
+        result.unpersist()
+    stats.wall_ms = int((time.time() - t0) * 1000)
+    return stats
+
+
+def _with_schemas(m: Manifest, schemas: dict[str, str]) -> Manifest:
+    out = Manifest.from_json(m.to_json())
+    out.schemas = schemas
+    return out

@@ -1,0 +1,360 @@
+"""LakeTable: snapshot-isolated, hash-bucketed parquet tables with atomic commits.
+
+Storage layout::
+
+    <table>/
+      _manifests/v000000000001.json     # one immutable manifest per snapshot
+      data/<uuid>-b00003-....parquet    # immutable data files, bucket in the name
+
+A manifest is the full table state: schema, bucket count, data-file list (with per-file
+row counts, key min/max stats, and the physical-schema id each file was written with),
+the set of fence tokens applied so far, and a summary of the commit that produced it.
+
+Commit protocol: write the new manifest to a temp file, then ``os.link`` it to
+``v{N+1}.json``. ``link(2)`` fails with EEXIST if another writer got there first —
+a lock-free optimistic commit, the same shape as Iceberg's atomic swap. The current
+snapshot is simply the highest-numbered manifest; partially written temp files are
+invisible because readers only ever list ``v*.json``.
+
+This replaces the reference's Elasticsearch indices: PIT snapshot reads
+(ref: recorder/src/main/scala/weco/concepts/recorder/IndexSource.scala:41-56),
+idempotent upserts (ref: common/.../BulkUpdateFlow.scala:38-50), and idempotent DDL
+(ref: common/.../elasticsearch/Indices.scala:17-37 — here ``create(if_not_exists=True)``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from functools import reduce
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .schema import conform
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version first (optimistic concurrency)."""
+
+
+@dataclass
+class DataFileEntry:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+    schema_id: int
+    min_key: str | None = None
+    max_key: str | None = None
+
+    def to_json(self) -> dict:
+        return self.__dict__.copy()
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFileEntry":
+        return DataFileEntry(**d)
+
+
+@dataclass
+class Manifest:
+    version: int
+    schema_json: str  # current table schema (Spark StructType json)
+    key_cols: list[str]
+    num_buckets: int
+    files: list[DataFileEntry] = field(default_factory=list)
+    # physical schema of every file generation, keyed by schema_id (as str for JSON)
+    schemas: dict[str, str] = field(default_factory=dict)
+    fence_tokens: list[str] = field(default_factory=list)
+    summary: dict = field(default_factory=dict)
+    properties: dict = field(default_factory=dict)
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.schema_json))
+
+    def schema_for(self, schema_id: int) -> StructType:
+        return StructType.fromJson(json.loads(self.schemas[str(schema_id)]))
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "schema_json": self.schema_json,
+            "key_cols": self.key_cols,
+            "num_buckets": self.num_buckets,
+            "files": [f.to_json() for f in self.files],
+            "schemas": self.schemas,
+            "fence_tokens": self.fence_tokens,
+            "summary": self.summary,
+            "properties": self.properties,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Manifest":
+        return Manifest(
+            version=d["version"],
+            schema_json=d["schema_json"],
+            key_cols=d["key_cols"],
+            num_buckets=d["num_buckets"],
+            files=[DataFileEntry.from_json(f) for f in d["files"]],
+            schemas=d.get("schemas", {}),
+            fence_tokens=d.get("fence_tokens", []),
+            summary=d.get("summary", {}),
+            properties=d.get("properties", {}),
+        )
+
+
+def bucket_expr(key_cols: list[str], num_buckets: int):
+    """Deterministic bucket id for a row: pmod(xxhash64(keys), B).
+
+    xxhash64 is stable across sessions/executors, so the physical layout is
+    reproducible and merge-time bucket pruning is sound.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+
+
+class LakeTable:
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+
+    # ---------- DDL ----------
+
+    @staticmethod
+    def create(
+        path: str,
+        schema: StructType,
+        key_cols: list[str],
+        num_buckets: int = 16,
+        properties: dict | None = None,
+        if_not_exists: bool = False,
+    ) -> "LakeTable":
+        t = LakeTable(path)
+        if t.exists():
+            if if_not_exists:
+                return t
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(os.path.join(t.path, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
+        m = Manifest(
+            version=0,
+            schema_json=schema.json(),
+            key_cols=list(key_cols),
+            num_buckets=num_buckets,
+            schemas={"0": schema.json()},
+            properties=properties or {},
+            summary={"operation": "create"},
+        )
+        t._write_manifest(m)
+        return t
+
+    def exists(self) -> bool:
+        return os.path.isdir(os.path.join(self.path, MANIFEST_DIR)) and bool(
+            self._manifest_versions()
+        )
+
+    # ---------- snapshots ----------
+
+    def _manifest_versions(self) -> list[int]:
+        d = os.path.join(self.path, MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def current_version(self) -> int:
+        versions = self._manifest_versions()
+        if not versions:
+            raise FileNotFoundError(f"no manifests under {self.path}")
+        return versions[-1]
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        v = self.current_version() if version is None else version
+        p = os.path.join(self.path, MANIFEST_DIR, f"v{v:012d}.json")
+        with open(p) as fh:
+            return Manifest.from_json(json.load(fh))
+
+    def _write_manifest(self, m: Manifest) -> None:
+        """Atomic exclusive commit: tmp write + link(2)."""
+        d = os.path.join(self.path, MANIFEST_DIR)
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, f"v{m.version:012d}.json")
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(m.to_json(), fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {m.version} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    def commit(
+        self,
+        base: Manifest,
+        files: list[DataFileEntry],
+        schema_json: str | None = None,
+        schemas: dict[str, str] | None = None,
+        fence_token: str | None = None,
+        summary: dict | None = None,
+    ) -> Manifest:
+        m = Manifest(
+            version=base.version + 1,
+            schema_json=schema_json or base.schema_json,
+            key_cols=base.key_cols,
+            num_buckets=base.num_buckets,
+            files=files,
+            schemas=schemas or dict(base.schemas),
+            fence_tokens=(
+                base.fence_tokens + [fence_token] if fence_token else list(base.fence_tokens)
+            ),
+            summary=summary or {},
+            properties=base.properties,
+        )
+        m.summary.setdefault("committed_at_ms", int(time.time() * 1000))
+        self._write_manifest(m)
+        return m
+
+    # ---------- read ----------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        m = self.manifest(version)
+        return self._read_files(spark, m, m.files)
+
+    def _read_files(
+        self, spark: SparkSession, m: Manifest, files: list[DataFileEntry]
+    ) -> DataFrame:
+        """Read a file subset, conforming every physical-schema generation to the
+        current table schema (schema evolution resolution happens here)."""
+        table_schema = m.schema
+        if not files:
+            return spark.createDataFrame([], table_schema)
+        by_sid: dict[int, list[str]] = {}
+        for f in files:
+            by_sid.setdefault(f.schema_id, []).append(os.path.join(self.path, f.path))
+        parts = []
+        for sid, paths in sorted(by_sid.items()):
+            df = spark.read.schema(m.schema_for(sid)).parquet(*paths)
+            parts.append(conform(df, table_schema))
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    # ---------- write ----------
+
+    def write_data_files(
+        self,
+        df: DataFrame,
+        m: Manifest,
+        schema_id: int,
+        repartition: bool = True,
+    ) -> list[DataFileEntry]:
+        """Write df as bucketed immutable parquet files under data/; return entries.
+
+        One shuffle by bucket id so each output file holds exactly one bucket; the
+        bucket id is carried in the file *name* (metadata), not stored in the rows.
+        """
+        physical = m.schema_for(schema_id)
+        commit_id = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.path, DATA_DIR, f".stage-{commit_id}")
+        out = conform(df, physical).withColumn(
+            "__bucket", bucket_expr(m.key_cols, m.num_buckets)
+        )
+        if repartition:
+            out = out.repartition(m.num_buckets, "__bucket")
+        out.write.partitionBy("__bucket").mode("overwrite").parquet(f"file://{tmp}")
+
+        entries: list[DataFileEntry] = []
+        key0 = m.key_cols[0]
+        for dirname in sorted(os.listdir(tmp)):
+            if not dirname.startswith("__bucket="):
+                continue
+            bucket = int(dirname.split("=", 1)[1])
+            bdir = os.path.join(tmp, dirname)
+            seq = 0
+            for fname in sorted(os.listdir(bdir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                src = os.path.join(bdir, fname)
+                rel = os.path.join(DATA_DIR, f"{commit_id}-b{bucket:05d}-{seq:04d}.parquet")
+                os.rename(src, os.path.join(self.path, rel))
+                rows, kmin, kmax = _parquet_stats(os.path.join(self.path, rel), key0)
+                if rows == 0:
+                    os.unlink(os.path.join(self.path, rel))
+                    continue
+                entries.append(
+                    DataFileEntry(
+                        path=rel, bucket=bucket, rows=rows, schema_id=schema_id,
+                        min_key=kmin, max_key=kmax,
+                    )
+                )
+                seq += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        return entries
+
+    # ---------- convenience ops ----------
+
+    def overwrite(self, df: DataFrame, fence_token: str | None = None) -> Manifest:
+        m = self.manifest()
+        files = self.write_data_files(df, m, schema_id=self._current_schema_id(m))
+        return self.commit(
+            m, files, fence_token=fence_token,
+            summary={"operation": "overwrite", "rows": sum(f.rows for f in files)},
+        )
+
+    def append(self, df: DataFrame, fence_token: str | None = None) -> Manifest | None:
+        """Append-only commit (lineage/metrics tables). Fenced: a token already in the
+        manifest makes this a no-op, so retried batches never duplicate rows."""
+        m = self.manifest()
+        if fence_token and fence_token in m.fence_tokens:
+            return None
+        files = self.write_data_files(df, m, schema_id=self._current_schema_id(m))
+        return self.commit(
+            m, m.files + files, fence_token=fence_token,
+            summary={"operation": "append", "rows": sum(f.rows for f in files)},
+        )
+
+    def _current_schema_id(self, m: Manifest) -> int:
+        for sid, sj in m.schemas.items():
+            if sj == m.schema_json:
+                return int(sid)
+        sid = max(int(s) for s in m.schemas) + 1
+        m.schemas[str(sid)] = m.schema_json
+        return sid
+
+    def has_fence_token(self, token: str) -> bool:
+        return token in self.manifest().fence_tokens
+
+
+def _parquet_stats(path: str, key_col: str) -> tuple[int, str | None, str | None]:
+    """Row count + min/max of the key column from the parquet footer (driver-side,
+    like Iceberg manifest stats)."""
+    md = pq.ParquetFile(path).metadata
+    rows = md.num_rows
+    kmin = kmax = None
+    try:
+        idx = md.schema.to_arrow_schema().get_field_index(key_col)
+    except Exception:
+        idx = -1
+    if idx >= 0:
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            lo = lo.decode() if isinstance(lo, bytes) else str(lo)
+            hi = hi.decode() if isinstance(hi, bytes) else str(hi)
+            kmin = lo if kmin is None or lo < kmin else kmin
+            kmax = hi if kmax is None or hi > kmax else kmax
+    return rows, kmin, kmax

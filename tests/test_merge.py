@@ -1,0 +1,171 @@
+"""MERGE INTO semantics: insert/update/delete/noop classification, array_union mode,
+file-pruned copy-on-write, fencing, schema evolution.
+
+Mirrors the reference's merge test matrix (recorder/.../MergeConceptsTest.scala,
+common/.../BulkUpdateFlowTest.scala result classification golden tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from concepts_pipeline_spark.lake import LakeTable, merge_into
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("n_tok", IntegerType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+
+def df_of(spark, rows, with_op=False, schema=None):
+    base = schema or SCHEMA
+    if with_op:
+        base = StructType(list(base.fields) + [StructField("op", StringType(), False)])
+    return spark.createDataFrame(rows, base)
+
+
+def make_table(spark, tmp_path, rows, num_buckets=4):
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, ["doc_id"], num_buckets=num_buckets)
+    if rows:
+        t.overwrite(df_of(spark, rows))
+    return t
+
+
+def snap(t, spark):
+    return {
+        r["doc_id"]: (r["tokens"], r["n_tok"], r["source"])
+        for r in t.read(spark).collect()
+    }
+
+
+def test_merge_insert_update_delete_noop(spark, tmp_path):
+    t = make_table(
+        spark,
+        tmp_path,
+        [("a", [1, 2], 2, "loc"), ("b", [3], 1, "loc"), ("c", [9], 1, "mesh")],
+    )
+    src = df_of(
+        spark,
+        [
+            ("a", [1, 2, 3], 3, "loc", "U"),   # update
+            ("b", [3], 1, "loc", "U"),          # noop (unchanged row)
+            ("c", None, None, None, "D"),       # delete
+            ("d", [7], 1, "wikidata", "I"),     # insert
+            ("e", None, None, None, "D"),       # delete of missing key
+        ],
+        with_op=True,
+    )
+    stats = merge_into(spark, t, src, fence_token="batch-1")
+    assert (stats.inserted, stats.updated, stats.deleted, stats.noop, stats.delete_missing) == (
+        1, 1, 1, 1, 1,
+    )
+    got = snap(t, spark)
+    assert got == {
+        "a": ([1, 2, 3], 3, "loc"),
+        "b": ([3], 1, "loc"),
+        "d": ([7], 1, "wikidata"),
+    }
+    # per-bucket lineage rows cover all actions
+    assert sum(pb["inserted"] for pb in stats.by_bucket) == 1
+
+
+def test_merge_fencing_is_transactional(spark, tmp_path):
+    t = make_table(spark, tmp_path, [("a", [1], 1, "loc")])
+    src = df_of(spark, [("a", [2], 1, "loc", "U")], with_op=True)
+    s1 = merge_into(spark, t, src, fence_token="tok")
+    assert s1.updated == 1 and not s1.skipped
+    v = t.current_version()
+    s2 = merge_into(spark, t, src, fence_token="tok")  # replay
+    assert s2.skipped and t.current_version() == v
+    assert snap(t, spark)["a"] == ([2], 1, "loc")
+
+
+def test_merge_idempotent_without_fence(spark, tmp_path):
+    """Replaying the same LWW'd batch without a fence is still a no-op on state
+    (the reference's noop-script idempotence, append-fields.json:5-13)."""
+    t = make_table(spark, tmp_path, [])
+    src = df_of(spark, [("a", [1], 1, "loc", "I"), ("b", None, None, None, "D")], with_op=True)
+    merge_into(spark, t, src)
+    before = snap(t, spark)
+    s2 = merge_into(spark, t, src)
+    assert snap(t, spark) == before
+    assert s2.noop == 1 and s2.updated == 0 and s2.inserted == 0
+
+
+def test_merge_prunes_untouched_buckets(spark, tmp_path):
+    t = make_table(
+        spark, tmp_path,
+        [(f"doc{i:04d}", [i], 1, "loc") for i in range(200)],
+        num_buckets=8,
+    )
+    files_before = {f.path: f for f in t.manifest().files}
+    src = df_of(spark, [("doc0000", [999], 1, "loc", "U")], with_op=True)
+    stats = merge_into(spark, t, src)
+    assert stats.touched_buckets == 1
+    m = t.manifest()
+    untouched = [f for f in m.files if f.path in files_before]
+    # all files from other buckets carried over byte-identical (same path)
+    assert len(untouched) == len(files_before) - stats.touched_files
+    assert t.read(spark).count() == 200
+
+
+def test_merge_array_union_mode(spark, tmp_path):
+    """Scripted set-union merge (ref: ScriptedBulkUpdateFlow + append-fields.json)."""
+    t = make_table(spark, tmp_path, [("a", [1, 3], 2, "loc")])
+    src = df_of(
+        spark,
+        [("a", [2, 3], 2, "loc", "U"), ("z", [5], 1, "mesh", "U")],
+        with_op=True,
+    )
+    stats = merge_into(
+        spark, t, src, update_mode="array_union", array_union_cols=["tokens"]
+    )
+    got = snap(t, spark)
+    assert got["a"][0] == [1, 2, 3]  # set union, sorted
+    assert got["z"][0] == [5]
+    assert stats.updated == 1 and stats.inserted == 1
+    # union with a subset → unchanged → noop
+    src2 = df_of(spark, [("a", [1], 2, "loc", "U")], with_op=True)
+    s2 = merge_into(spark, t, src2, update_mode="array_union", array_union_cols=["tokens"])
+    assert s2.noop == 1 and s2.updated == 0
+
+
+def test_merge_schema_evolution_add_and_widen(spark, tmp_path):
+    """Added column + int→long widening mid-stream (north_rule M3)."""
+    t = make_table(spark, tmp_path, [("a", [1], 1, "loc"), ("b", [2], 1, "loc")])
+    evolved = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("tokens", ArrayType(IntegerType()), True),
+            StructField("n_tok", LongType(), True),  # widened int -> long
+            StructField("source", StringType(), True),
+            StructField("lang", StringType(), True),  # added column
+        ]
+    )
+    src = df_of(
+        spark,
+        [("a", [1, 1], 2, "loc", "en", "U"), ("c", [3], 1, "mesh", "de", "I")],
+        with_op=True,
+        schema=evolved,
+    )
+    stats = merge_into(spark, t, src)
+    # "b" is in an untouched bucket → carried by reference, not rewritten
+    assert stats.updated == 1 and stats.inserted == 1
+    got = t.read(spark)
+    assert got.schema["n_tok"].dataType == LongType()
+    assert "lang" in got.columns
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert rows["b"]["lang"] is None and rows["b"]["n_tok"] == 1  # old file, conformed
+    assert rows["a"]["lang"] == "en" and rows["c"]["lang"] == "de"
