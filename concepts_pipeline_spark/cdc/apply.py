@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 )
 
 from ..lake import LakeTable, merge_into, MergeStats
+from ..lake.merge import HIDDEN_DELETED, HIDDEN_LSN
 from ..operators.lww import lww_latest
 from .generator import VOCAB_SIZE
 
@@ -46,6 +47,7 @@ LINEAGE_SCHEMA = StructType(
         StructField("updated", LongType(), True),
         StructField("deleted", LongType(), True),
         StructField("noop", LongType(), True),
+        StructField("stale", LongType(), True),
         StructField("carried", LongType(), True),
         StructField("delete_missing", LongType(), True),
         StructField("rows_in", LongType(), True),
@@ -151,8 +153,18 @@ class CdcPipeline:
         self.vocab_size = vocab_size
         self.lsn_col = lsn_col
         self.op_col = op_col
+        self.user_schema = target_schema
+        # physical schema adds the hidden CDC columns: last-applied LSN per key and
+        # the tombstone flag (deletes persist so stale redeliveries stay dead)
+        physical = StructType(
+            list(target_schema.fields)
+            + [
+                StructField(HIDDEN_LSN, LongType(), True),
+                StructField(HIDDEN_DELETED, BooleanType(), True),
+            ]
+        )
         self.target = LakeTable.create(
-            target_path, target_schema, key_cols, num_buckets, if_not_exists=True
+            target_path, physical, key_cols, num_buckets, if_not_exists=True
         )
         self.quarantine: LakeTable | None = None
         self.lineage: LakeTable | None = None
@@ -200,7 +212,7 @@ class CdcPipeline:
                 op_col=self.op_col,
                 salt_buckets=self.salt_buckets,
             )
-            source = deduped.drop(self.lsn_col, "event_ts")
+            source = deduped.drop("event_ts")
             stats = merge_into(
                 self.spark,
                 self.target,
@@ -209,6 +221,7 @@ class CdcPipeline:
                 update_mode=self.update_mode,
                 array_union_cols=self.array_union_cols,
                 fence_token=fence_token,
+                lsn_col=self.lsn_col,
             )
             rows_in = batch.count()
         finally:
@@ -224,6 +237,7 @@ class CdcPipeline:
                     "updated": pb["updated"],
                     "deleted": pb["deleted"],
                     "noop": pb["noop"],
+                    "stale": pb.get("stale", 0),
                     "carried": pb["carried"],
                     "delete_missing": pb["delete_missing"],
                     "rows_in": rows_in,
@@ -232,14 +246,21 @@ class CdcPipeline:
                 }
                 for pb in (stats.by_bucket or [{"bucket": -1, "inserted": 0,
                                                 "updated": 0, "deleted": 0, "noop": 0,
-                                                "carried": 0, "delete_missing": 0}])
+                                                "stale": 0, "carried": 0,
+                                                "delete_missing": 0}])
             ]
             ldf = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
             self.lineage.append(ldf, fence_token=f"{fence_token}:l")
         return ApplyResult(stats=stats, rows_in=rows_in, quarantined=n_rejects)
 
-    def final_state(self) -> DataFrame:
-        return self.target.read(self.spark)
+    def final_state(self, include_hidden: bool = False) -> DataFrame:
+        """The user-visible table: tombstones filtered, hidden columns dropped."""
+        df = self.target.read(self.spark)
+        live = df.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+        if include_hidden:
+            return live
+        hidden = {HIDDEN_LSN, HIDDEN_DELETED}
+        return live.select(*[c for c in live.columns if c not in hidden])
 
 
 def CHANGE_BATCH_FIELDS_HINT(

@@ -41,6 +41,12 @@ from .table import DataFileEntry, LakeTable, Manifest, bucket_expr
 
 ACTION_COL = "__action"
 BUCKET_COL = "__bucket"
+# hidden columns for LSN-aware CDC merges (see merge_into(lsn_col=...))
+HIDDEN_LSN = "_lsn"
+HIDDEN_DELETED = "_deleted"
+
+
+_MIN_LSN = -(2**63) + 1
 
 
 @dataclass
@@ -49,6 +55,7 @@ class MergeStats:
     updated: int = 0
     deleted: int = 0
     noop: int = 0
+    stale: int = 0  # events older than the row's applied LSN (lsn mode only)
     carried: int = 0  # rows rewritten unchanged from touched files
     delete_missing: int = 0  # delete events whose key was absent
     skipped: bool = False  # fence token already applied
@@ -73,11 +80,26 @@ def merge_into(
     array_union_cols: list[str] | None = None,
     evolve: bool = True,
     fence_token: str | None = None,
+    lsn_col: str | None = None,
 ) -> MergeStats:
     """Apply a deduplicated change batch (≤1 row per key, see operators.lww) to table.
 
     ``source`` columns: table key columns + ``op_col`` + payload columns. Payload may be
     a superset of the table schema (new columns) or widened — handled when evolve=True.
+
+    Two merge disciplines:
+
+    - ``lsn_col=None`` (plain): classic MERGE — source wins on match, deletes are
+      physical. Correct only when batches arrive in order (the reference's implicit
+      assumption: stream arrival order + ES doc versioning).
+    - ``lsn_col='lsn'`` (CDC): the table keeps hidden ``_lsn``/``_deleted`` columns.
+      An event only applies if ``s.lsn > t._lsn`` (stale redeliveries — e.g. a
+      duplicate of an old upsert delivered *after* a newer delete — are no-ops), and
+      deletes persist as tombstones so the LSN memory survives the delete. This is
+      what makes apply idempotent under at-least-once redelivery ACROSS batch
+      boundaries, which the reference cannot do (it skips deletes entirely,
+      ref: aggregator/.../WorkIdSource.scala:47-53). Readers filter tombstones
+      (LakeTable reads via CdcPipeline.final_state()).
     """
     t0 = time.time()
     m = table.manifest()
@@ -85,6 +107,13 @@ def merge_into(
         return MergeStats(skipped=True, version=m.version)
 
     key_cols = m.key_cols
+    if lsn_col is not None:
+        # fold the event LSN / op into the hidden columns before schema alignment
+        source = (
+            source.withColumn(HIDDEN_LSN, F.col(lsn_col).cast("long"))
+            .withColumn(HIDDEN_DELETED, F.col(op_col) == F.lit(delete_op))
+            .drop(lsn_col)
+        )
     payload_schema = StructType(
         [f for f in source.schema.fields if f.name != op_col]
     )
@@ -118,7 +147,8 @@ def merge_into(
     target_sub = conform(target_sub, new_schema)
 
     data_cols = [f.name for f in new_schema.fields]
-    val_cols = [c for c in data_cols if c not in key_cols]
+    hidden = {HIDDEN_LSN, HIDDEN_DELETED} if lsn_col is not None else set()
+    val_cols = [c for c in data_cols if c not in key_cols and c not in hidden]
 
     t = target_sub.withColumn("__t", F.lit(True)).alias("t")
     s = src.withColumn("__s", F.lit(True)).alias("s")
@@ -159,30 +189,65 @@ def merge_into(
     new_struct = F.struct(*[new_val[c].alias(c) for c in val_cols])
     changed = ~old_struct.eqNullSafe(new_struct)
 
-    action = (
-        F.when(is_matched & is_delete, F.lit("deleted"))
-        .when(is_matched & changed, F.lit("updated"))
-        .when(is_matched, F.lit("noop"))
-        .when(F.col("__s").isNotNull() & ~is_delete, F.lit("inserted"))
-        .when(F.col("__s").isNotNull(), F.lit("delete_missing"))
-        .otherwise(F.lit("carried"))
-    )
-
     out_key = [
         F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in key_cols
     ]
-    out_val = [
-        F.when(
-            F.col(ACTION_COL).isin("updated", "inserted"), new_val[c]
-        ).otherwise(F.col(f"t.{c}")).alias(c)
-        for c in val_cols
-    ]
+    field_types = {f.name: f.dataType for f in new_schema.fields}
 
-    result = (
-        joined.withColumn(ACTION_COL, action)
-        .select(*out_key, *out_val, F.col(ACTION_COL))
-        .withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets))
-    )
+    if lsn_col is not None:
+        s_only = F.col("__s").isNotNull() & F.col("__t").isNull()
+        t_deleted = F.coalesce(F.col(f"t.{HIDDEN_DELETED}"), F.lit(False))
+        fresh = is_matched & (
+            F.col(f"s.{HIDDEN_LSN}")
+            > F.coalesce(F.col(f"t.{HIDDEN_LSN}"), F.lit(_MIN_LSN))
+        )
+        use_s = fresh | s_only
+        action = (
+            F.when(s_only & is_delete, F.lit("delete_missing"))
+            .when(s_only, F.lit("inserted"))
+            .when(is_matched & ~fresh, F.lit("stale"))
+            .when(fresh & is_delete & t_deleted, F.lit("noop"))
+            .when(fresh & is_delete, F.lit("deleted"))
+            .when(fresh & (t_deleted | changed), F.lit("updated"))
+            .when(fresh, F.lit("noop"))
+            .otherwise(F.lit("carried"))
+        )
+        out_val = [
+            F.when(use_s & is_delete, F.lit(None).cast(field_types[c]))
+            .when(use_s, new_val[c])
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            for c in val_cols
+        ] + [
+            F.when(use_s, F.col(f"s.{HIDDEN_LSN}"))
+            .otherwise(F.col(f"t.{HIDDEN_LSN}"))
+            .alias(HIDDEN_LSN),
+            F.when(use_s, is_delete).otherwise(t_deleted).alias(HIDDEN_DELETED),
+        ]
+        result = (
+            joined.select(*out_key, *out_val, action.alias(ACTION_COL))
+            .withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets))
+        )
+    else:
+        action = (
+            F.when(is_matched & is_delete, F.lit("deleted"))
+            .when(is_matched & changed, F.lit("updated"))
+            .when(is_matched, F.lit("noop"))
+            .when(F.col("__s").isNotNull() & ~is_delete, F.lit("inserted"))
+            .when(F.col("__s").isNotNull(), F.lit("delete_missing"))
+            .otherwise(F.lit("carried"))
+        )
+        out_val = [
+            F.when(
+                F.col(ACTION_COL).isin("updated", "inserted"), new_val[c]
+            ).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in val_cols
+        ]
+        result = (
+            joined.withColumn(ACTION_COL, action)
+            .select(*out_key, *out_val, F.col(ACTION_COL))
+            .withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets))
+        )
     result.persist()
     try:
         # per-bucket lineage counts in one aggregation pass
@@ -197,16 +262,20 @@ def merge_into(
             pb = per_bucket.setdefault(
                 b,
                 {"bucket": b, "inserted": 0, "updated": 0, "deleted": 0,
-                 "noop": 0, "carried": 0, "delete_missing": 0},
+                 "noop": 0, "stale": 0, "carried": 0, "delete_missing": 0},
             )
             pb[a] += n
         stats.by_bucket = [per_bucket[b] for b in sorted(per_bucket)]
         stats.touched_buckets = len(touched_buckets)
         stats.touched_files = len(touched_files)
 
-        keep = result.filter(
-            ~F.col(ACTION_COL).isin("deleted", "delete_missing")
-        ).select(*data_cols)
+        if lsn_col is not None:
+            # tombstones persist (LSN memory survives the delete); readers filter them
+            keep = result.select(*data_cols)
+        else:
+            keep = result.filter(
+                ~F.col(ACTION_COL).isin("deleted", "delete_missing")
+            ).select(*data_cols)
 
         new_files = table.write_data_files(keep, _with_schemas(m, schemas), schema_id)
         table.commit(

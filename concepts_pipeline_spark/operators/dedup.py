@@ -1,0 +1,258 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference deduplicates exact keys in-stream (ConceptsAggregator.scala:110-118,
+3.7M → <0.25M rows). A training-data pipeline needs the generalized family, all
+expressed as shuffles Catalyst can plan (no driver-side state):
+
+- exact_dedup        — hash-groupBy on content digest
+- ngram_jaccard_pairs— exact n-gram Jaccard similarity pairs (small/verify path)
+- minhash_signatures / minhash_lsh_pairs — MinHash + banded LSH (the 100 TB path:
+  candidate generation is an equi-join on band buckets, never an O(n²) cross join)
+- simhash            — 64-bit SimHash fingerprints + banded near-pair candidates
+- embedding_neardup_pairs — cosine near-duplicates over an embedding column
+
+Scale notes: every operator keys its shuffle on a content-derived value (digest,
+band bucket), so hot keys are only as hot as true duplicates are frequent; band
+tables are orders of magnitude smaller than a shingle inverted index at the same
+recall; the exact verifiers run only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_words(col) -> F.Column:
+    """Lowercased word array, punctuation stripped — shared normalizer."""
+    return F.split(F.trim(F.lower(F.regexp_replace(col, r"[^\w\s]", " "))), r"\s+")
+
+
+def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
+    """One representative row per identical content: the minimum key per md5 digest.
+
+    Deterministic winner (min key), unlike dropDuplicates' arbitrary first row —
+    required for oracle comparison and for idempotent re-runs.
+    """
+    digest = F.md5(F.col(content_col).cast("string")).alias("__digest")
+    w = df.select(F.col(key_col), digest)
+    winners = w.groupBy("__digest").agg(F.min(key_col).alias(key_col))
+    return df.join(winners, on=key_col, how="inner")  # broadcast-able winner set
+
+
+def word_ngrams(df: DataFrame, text_col: str, key_col: str, n: int = 3) -> DataFrame:
+    """Explode distinct word n-gram shingles: (key, shingle)."""
+    words = normalized_words(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    shingles = F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return df.select(F.col(key_col).alias("key"), F.explode(shingles).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, key_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over n-gram shingle sets.
+
+    Inverted-index join on shared shingles (only docs sharing ≥1 shingle ever meet),
+    then |A∩B| / (|A|+|B|-|A∩B|). Returns (key_a, key_b, jaccard) with key_a < key_b.
+    At scale this is the *verify* stage — candidate generation should use LSH below.
+    """
+    sh = word_ngrams(df, text_col, key_col, n).persist()
+    try:
+        sizes = sh.groupBy("key").agg(F.count("*").alias("set_size"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, on="shingle")
+            .filter(F.col("a.key") < F.col("b.key"))
+            .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        out = (
+            inter.join(sizes.withColumnRenamed("key", "key_a").withColumnRenamed("set_size", "size_a"), "key_a")
+            .join(sizes.withColumnRenamed("key", "key_b").withColumnRenamed("set_size", "size_b"), "key_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("key_a", "key_b", "jaccard")
+        )
+        out = out.localCheckpoint()  # materialize before unpersisting the shingles
+    finally:
+        sh.unpersist()
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, key_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: min over shingles of xxhash64(seed_i, shingle).
+
+    One shuffle (groupBy key); the signature is an array<long> of length num_hashes.
+    """
+    sh = word_ngrams(df, text_col, key_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("key").agg(*mins)
+    return agg.select(
+        "key", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, verified with exact Jaccard.
+
+    shingle → minhash → band buckets → equi-join on (band, bucket-hash) → exact
+    verify. The band join is the only pairwise step and touches only colliding
+    docs — this is the shape that survives 100 TB.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, key_col, n, num_hashes)
+    band_entries = sig.select(
+        "key",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("signature", b * rows + 1, rows)), b
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("key", "bb.band", "bb.bucket")
+    cand = (
+        band_entries.alias("x")
+        .join(band_entries.alias("y"), on=["band", "bucket"])
+        .filter(F.col("x.key") < F.col("y.key"))
+        .select(F.col("x.key").alias("key_a"), F.col("y.key").alias("key_b"))
+        .distinct()
+    )
+    # exact verify only on LSH candidates, via the shingle inverted index
+    sh = word_ngrams(df, text_col, key_col, n)
+    sizes = sh.groupBy("key").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.key") < F.col("b.key"))
+        .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
+        .agg(F.count("*").alias("inter"))
+        .join(cand, on=["key_a", "key_b"])  # LSH candidates only
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("key", "key_a").withColumnRenamed("set_size", "size_a"), "key_a")
+        .join(sizes.withColumnRenamed("key", "key_b").withColumnRenamed("set_size", "size_b"), "key_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("key_a", "key_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, key_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per doc (sign of per-bit weighted sums of word
+    hashes). Pure column expressions: explode words → 64 conditional sums → pack.
+    """
+    words = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(normalized_words(F.col(text_col))).alias("word"),
+    ).filter(F.length("word") > 0)
+    h = F.xxhash64("word")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = words.groupBy("key").agg(*sums)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select("key", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, key_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Candidate near-pairs: band the 64-bit simhash into 4×16-bit chunks; any pair
+    within hamming distance 3 must agree on ≥1 chunk (pigeonhole) → equi-join per
+    chunk, then exact hamming filter via bit_count(xor)."""
+    fp = simhash(df, text_col, key_col)
+    chunks = fp.select(
+        "key",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("key", "simhash", "c.chunk", "c.val")
+    x, y = chunks.alias("x"), chunks.alias("y")
+    return (
+        x.join(y, on=["chunk", "val"])
+        .filter(F.col("x.key") < F.col("y.key"))
+        .select(
+            F.col("x.key").alias("key_a"),
+            F.col("y.key").alias("key_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str, key_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column (brute-force verify path;
+    see similarity.ann_lsh_topk for the banded candidate path at scale)."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    v = df.select(
+        F.col(key_col).alias("key"), F.col(vec_col).alias("vec"), norm.alias("norm")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.key") < F.col("b.key"))
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,117 @@
+"""Relational merge/CDC helper operators (SURVEY §2.3–§2.5 inventory).
+
+Each is the Spark-first re-expression of a reference stream stage:
+
+- anti_join_new_keys   — NotInIndexFlow existence pre-filter (J1): keep incoming rows
+                         none of whose keys are already in the target
+                         (ref: aggregator/NotInIndexFlow.scala:39-149)
+- lookup_join          — MultiGetFlow batched keyed lookup (S9): left join, null = miss
+                         (ref: recorder/MultiGetFlow.scala:20-53)
+- classify_changes     — BulkUpdateFlow per-item result classification (K3):
+                         created / updated / noop for a batch vs the target
+                         (ref: common/.../BulkUpdateFlow.scala:123-166)
+- merge_with_precedence— MergeConcepts two-source keyed merge (K1): authoritative
+                         fields win, catalogue fills the rest
+                         (ref: recorder/MergeConcepts.scala:11-65)
+- most_specific_type   — priority-aggregate over a type array (A4)
+                         (ref: recorder/MergeConcepts.scala:67-83)
+- set_union_agg        — accumulate array fields per key as a sorted set union (A5)
+                         (ref: aggregator/src/main/resources/append-fields.json)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# reference type-specificity: drop the generic ones, prefer anything specific
+# (ref: recorder/MergeConcepts.scala:67-83 — drop {Agent, Concept}; if empty →
+#  Agent if present else Concept; else head)
+GENERIC_TYPES = ["Agent", "Concept"]
+
+
+def anti_join_new_keys(
+    incoming: DataFrame, target_keys: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Rows of `incoming` whose key is absent from the target (left anti join).
+
+    Purely a merge-source shrinker, like the reference's terms-query existence check
+    (1h → 6min, NotInIndexFlow.scala:35-38). Catalyst broadcast-hashes the smaller
+    side automatically; at scale prefer passing a pre-projected key-only target."""
+    return incoming.join(target_keys.select(*key_cols), on=key_cols, how="left_anti")
+
+
+def lookup_join(
+    events: DataFrame, dim: DataFrame, key_cols: list[str], how: str = "left"
+) -> DataFrame:
+    """Batched keyed lookup as a join — missing keys yield nulls (Option.None)."""
+    return events.join(dim, on=key_cols, how=how)
+
+
+def classify_changes(
+    batch: DataFrame,
+    target: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Tag each batch row created/updated/noop vs the current target state."""
+    t = target.select(
+        *key_cols,
+        F.struct(*[F.col(c).alias(c) for c in compare_cols]).alias("__t_vals"),
+    )
+    s_vals = F.struct(*[F.col(c).alias(c) for c in compare_cols])
+    joined = batch.withColumn("__s_vals", s_vals).join(t, on=key_cols, how="left")
+    return joined.withColumn(
+        "action",
+        F.when(F.col("__t_vals").isNull(), F.lit("created"))
+        .when(F.col("__t_vals").eqNullSafe(F.col("__s_vals")), F.lit("noop"))
+        .otherwise(F.lit("updated")),
+    ).drop("__t_vals", "__s_vals")
+
+
+def merge_with_precedence(
+    primary: DataFrame,
+    secondary: DataFrame,
+    key_cols: list[str],
+    primary_cols: list[str],
+    secondary_cols: list[str],
+) -> DataFrame:
+    """Keyed merge where primary's fields win when present (coalesce per column);
+    rows existing only in secondary pass through (the reference's (None, cat) arm).
+    Rows only in primary keep their fields with null secondary columns (the
+    reference hard-errors there, MergeConcepts.scala:29-33; we keep them visible)."""
+    p = primary.select(*key_cols, *[F.col(c).alias(f"__p_{c}") for c in primary_cols])
+    s = secondary.select(*key_cols, *secondary_cols)
+    joined = s.join(p, on=key_cols, how="full_outer")
+    out_cols = [F.col(k) for k in key_cols]
+    for c in primary_cols:
+        if c in secondary_cols:
+            out_cols.append(F.coalesce(F.col(f"__p_{c}"), F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(f"__p_{c}").alias(c))
+    out_cols += [F.col(c) for c in secondary_cols if c not in primary_cols]
+    return joined.select(*out_cols)
+
+
+def most_specific_type(types_col) -> F.Column:
+    """The reference's specificity rule as one expression: drop generic types;
+    if any specific remain take the first (document order); else Agent if present
+    else Concept; null/empty input → null."""
+    generic = F.array(*[F.lit(t) for t in GENERIC_TYPES])
+    specific = F.filter(types_col, lambda t: ~F.array_contains(generic, t))
+    return (
+        F.when(F.size(F.coalesce(types_col, F.array())) == 0, F.lit(None).cast("string"))
+        .when(F.size(specific) > 0, F.element_at(specific, 1))
+        .when(F.array_contains(types_col, "Agent"), F.lit("Agent"))
+        .otherwise(F.lit("Concept"))
+    )
+
+
+def set_union_agg(df: DataFrame, key_cols: list[str], array_col: str) -> DataFrame:
+    """Accumulate an array column per key as a sorted distinct union — the painless
+    append-fields script as a real aggregation (explode → collect_set → sort)."""
+    return (
+        df.select(*key_cols, F.explode_outer(array_col).alias("__v"))
+        .groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_set("__v")).alias(array_col))
+    )

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH bucketing as
+the scale path (candidates via equi-join on signature prefix, re-ranked exactly).
+All math is JVM-side higher-order functions (zip_with / aggregate) — no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v) -> F.Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+
+    The query vector is a literal array → broadcast to every task for free; the scan
+    is embarrassingly parallel, followed by a global top-k (TakeOrderedAndProject —
+    no full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = sum(x * x for x in query_vec) ** 0.5
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        df.select(F.col(key_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    planes: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Sign-bit signature under `planes` pseudo-random hyperplanes.
+
+    Hyperplane components are deterministic xxhash64-derived values in [-1,1] —
+    reproducible across sessions without shipping a matrix."""
+    def comp(p: int, i: int) -> float:
+        # deterministic "random" in [-1, 1] from (seed, plane, dim index)
+        h = hash((seed, p, i)) & 0xFFFFFFFF
+        return (h / 0xFFFFFFFF) * 2.0 - 1.0
+
+    sig = None
+    for p in range(planes):
+        plane = [comp(p, i) for i in range(dim)]
+        d = _dot(F.col(vec_col), F.array(*[F.lit(c) for c in plane]))
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, p)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return df.select(F.col(key_col), F.col(vec_col), sig.alias("signature"))
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 10,
+    planes: int = 16,
+    max_hamming: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: prune to vectors whose hyperplane signature is within
+    `max_hamming` bits of the query's, then exact cosine re-rank.
+
+    At cluster scale the signature column is precomputed/persisted and the prune is a
+    cheap scan filter; only the surviving fraction pays the full dot product."""
+    dim = len(query_vec)
+    sig_df = hyperplane_signature(df, vec_col, key_col, planes, dim, seed)
+
+    def comp(p: int, i: int) -> float:
+        h = hash((seed, p, i)) & 0xFFFFFFFF
+        return (h / 0xFFFFFFFF) * 2.0 - 1.0
+
+    qsig = 0
+    for p in range(planes):
+        d = sum(query_vec[i] * comp(p, i) for i in range(dim))
+        if d > 0:
+            qsig |= 1 << p
+    candidates = sig_df.filter(
+        F.bit_count(F.col("signature").bitwiseXOR(F.lit(qsig))) <= max_hamming
+    )
+    return cosine_topk(candidates, query_vec, vec_col, key_col, k)

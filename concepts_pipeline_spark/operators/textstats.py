@@ -1,0 +1,121 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure column expressions (whole-stage codegen).
+
+These generalize the reference's per-line transforms (ingestor Transformer.scala
+string ops; SURVEY §2.2) to the text-quality toolkit a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_words
+
+# tiny deterministic stopword lists — heuristic language ID, not a model
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por"],
+}
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text_col) -> F.Column:
+    """Whitespace token count."""
+    t = F.trim(text_col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text_col) -> F.Column:
+    """Count of BPE-ish lexical tokens (letters runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_hits(text_col, lang: str = "en") -> F.Column:
+    """How many words are in the language's stopword list."""
+    words = normalized_words(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: token counts, mean word length, punctuation and
+    stopword ratios, and a composite score in [0,1]."""
+    t = F.col(text_col)
+    words = normalized_words(t)
+    n_words = token_count(t)
+    n_chars = F.length(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    mean_wlen = F.when(
+        F.size(words) > 0,
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / F.size(words),
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_words > 0, stopword_hits(t, "en") / n_words
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.lit(1.0)
+        - F.least(punct_ratio * 2, F.lit(0.5))
+        - F.when(stop_ratio < 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+        - F.when(n_words < 5, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words.cast("int"),
+            "n_tokens_bpe": bpe_ish_token_count(t).cast("int"),
+            "mean_word_len": F.round(mean_wlen, 6),
+            "punct_ratio": F.round(punct_ratio, 6),
+            "stopword_ratio": F.round(stop_ratio, 6),
+            "quality_score": F.round(score, 6),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts.
+
+    Ties break by language name order (deterministic). 'und' when no hits at all.
+    """
+    t = F.col(text_col)
+    langs = sorted(STOPWORDS)
+    hits = F.array(
+        *[
+            F.struct(
+                stopword_hits(t, lg).cast("int").alias("hits"), F.lit(lg).alias("lang")
+            )
+            for lg in langs
+        ]
+    )
+    best = F.array_max(hits)  # struct compare: hits first, then lang (desc tie → max lang)
+    # deterministic tie-break on *lowest* lang name among max hits:
+    max_hits = F.array_max(F.transform(hits, lambda s: s["hits"]))
+    winner = F.array_min(
+        F.filter(hits, lambda s: s["hits"] == max_hits)
+    )["lang"]
+    return df.withColumn(
+        "detected_lang",
+        F.when(max_hits > 0, winner).otherwise(F.lit("und")),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling fingerprint: polynomial fold of word hashes mod 2^61-1.
+
+    aggregate() runs JVM-side per row; collisions are as unlikely as a 61-bit hash
+    allows. Used for cheap content-identity across snapshots (cf. exact_dedup's md5
+    which is order-and-content identity on the raw string)."""
+    words = normalized_words(F.col(text_col))
+    p = F.lit(2305843009213693951)  # 2^61 - 1
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * 1000003 + F.pmod(F.xxhash64(w), p), p),
+    )
+    return df.withColumn("fingerprint", fp)
