@@ -1,38 +1,606 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
+training-data-pipeline operator) run against the driver's parquet tables; each
+``oracle_sql()`` entry is the equivalent ANSI SQL DuckDB runs on the same tables.
+Column names and value determinism are aligned on both sides (decimal-exact sums
+cast back to double, shared rounding, shared tie-breaks) so the driver's
+order-insensitive value-hash comparison holds.
+
+Non-SQL-expressible entries (hash-based sketches: MinHash/SimHash/xxhash
+fingerprints, Arrow mapInPandas multimodal plumbing) intentionally omit oracles —
+the driver records the weaker rows-only check for those.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from concepts_pipeline_spark.cdc.apply import CdcPipeline, validate_events
+from concepts_pipeline_spark.cdc.derive import (
+    FINAL_STATE_SQL,
+    LOG_CTE_SQL,
+    REASON_SQL,
+    derived_change_log,
+)
+from concepts_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from concepts_pipeline_spark.operators.lww import lww_latest
+from concepts_pipeline_spark.operators.merge_ops import (
+    anti_join_new_keys,
+    classify_changes,
+    lookup_join,
+    merge_with_precedence,
+    most_specific_type,
+    set_union_agg,
+)
+from concepts_pipeline_spark.operators.multimodal import extract_features, synth_media
+from concepts_pipeline_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from concepts_pipeline_spark.operators.textstats import (
+    STOPWORDS,
+    lang_id,
+    quality_features,
+)
+from concepts_pipeline_spark.operators import textstats
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TOKENS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("n_tok", IntegerType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+QUERY_VEC = [round(0.015 * ((i * 37 + 11) % 64) - 0.45, 3) for i in range(64)]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC engine (the flagship): derived change log → full pipeline → final state
+# ---------------------------------------------------------------------------
+
+def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the derived change log through the whole engine — validation →
+    quarantine → salted window-over-LSN LWW → fenced tombstone MERGE across four
+    out-of-order batches — and return the user-visible final state.
+
+    This is the analogue of the reference's full bulk replay
+    (ref: aggregator/.../ConceptsAggregator.scala:50-75) and must equal the
+    declarative SQL spec in cdc.derive.FINAL_STATE_SQL.
+    """
+    log = derived_change_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cps-replay-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        quarantine_path=f"{root}/quarantine",
+        lineage_path=f"{root}/lineage",
+        num_buckets=16,
+        salt_buckets=4,
+    )
+    # batches sliced by lsn % 4: every batch holds a mix of old and new LSNs, so
+    # the apply order is maximally out-of-order — LSN discipline must still win
+    for b in range(4):
+        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
+        pipe.apply_batch(batch, fence_token=f"entry-replay:{b}")
+    return pipe.final_state().select("doc_id", "tokens", "n_tok", "source")
+
+
+def cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-LSN last-writer-wins over valid events (SURVEY §2.4 A1)."""
+    log = derived_change_log(spark, sf_dir)
+    valid, _ = validate_events(log)
+    win = lww_latest(valid, ["doc_id"], salt_buckets=4)
+    return win.select("doc_id", "lsn", "op", "tokens", "n_tok", "source")
+
+
+def cdc_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-event classification counts (ref: ConceptExtractor warn+drop,
+    aggregator/.../ConceptExtractor.scala:81-118 — rejects kept queryable)."""
+    log = derived_change_log(spark, sf_dir)
+    _, rejects = validate_events(log)
+    return (
+        rejects.groupBy("reject_reason")
+        .agg(F.count("*").alias("n"))
+        .select("reject_reason", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational merge/CDC helper operators (SURVEY §2.3, §2.5)
+# ---------------------------------------------------------------------------
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NotInIndexFlow existence pre-filter (J1): customers with no events."""
+    customer = _t(spark, sf_dir, "customer")
+    keys = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey")
+    )
+    return anti_join_new_keys(customer, keys, ["c_custkey"])
+
+
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiGetFlow batched keyed lookup (S9): left join, null = miss."""
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_acctbal", "c_mktsegment"
+    )
+    return lookup_join(events, dim, ["user_id"])
+
+
+def q_classify_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BulkUpdateFlow created/updated/noop classification (K3)."""
+    customer = _t(spark, sf_dir, "customer")
+    target = customer.select(F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("acctbal"))
+    changed = customer.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal"))
+        .otherwise(F.col("c_acctbal") + 1)
+        .alias("acctbal"),
+    )
+    fresh = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("user_id") + 1_000_000).alias("key"))
+        .distinct()
+        .withColumn("acctbal", F.lit(0.0))
+    )
+    batch = changed.unionByName(fresh)
+    return classify_changes(batch, target, ["key"], ["acctbal"])
+
+
+def q_merge_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeConcepts two-source keyed merge (K1): primary fields win."""
+    primary = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_name").alias("name"),
+    )
+    secondary = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("acctbal"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return merge_with_precedence(
+        primary, secondary, ["key"], ["acctbal", "name"], ["acctbal", "n_events"]
+    )
+
+
+def q_set_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scripted set-union accumulate per key (A5/K4, append-fields script)."""
+    df = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), F.array("event_type").alias("event_types")
+    )
+    return set_union_agg(df, ["key"], "event_types")
+
+
+def q_most_specific_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-specificity priority aggregate (A4, MergeConcepts.mostSpecificType)."""
+    mapped = F.when(F.col("event_type") == "click", F.lit("Concept")) \
+        .when(F.col("event_type") == "view", F.lit("Agent")) \
+        .when(F.col("event_type") == "signup", F.lit("Person")) \
+        .when(F.col("event_type") == "purchase", F.lit("Organisation")) \
+        .otherwise(F.lit("Meeting"))
+    t = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("key"), mapped.alias("tp"))
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_set("tp")).alias("types"))
+    )
+    return t.select("key", "types", most_specific_type(F.col("types")).alias("specific_type"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", n=1, num_hashes=32, bands=8, threshold=0.8
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concepts_pipeline_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.3)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return cosine_topk(emb, QUERY_VEC, "embedding", "vec_id", k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return ann_lsh_topk(emb, QUERY_VEC, "embedding", "vec_id", k=10)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs, "text").select(
+        "doc_id", "n_words", "n_tokens_bpe", "mean_word_len",
+        "punct_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs, "text").select("doc_id", "detected_lang")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.doc_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media(docs, "text", "doc_id")
+    return extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics (built-in DataFrame ops; parity showcase for bench)
+# ---------------------------------------------------------------------------
+
+def _dec(c, p=18, s=4):
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped agg; decimal-exact sums cast back to double."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    sum_qty = F.sum(_dec("l_quantity"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(sum_qty.cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc).cast("double"), 4).alias("sum_disc_price"),
+            F.round((sum_qty.cast("double") / F.count("*")), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k (customer ⋈ orders ⋈ lineitem)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window style rollup: per (hour, event_type) counts + exact sums."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay through the engine at sf0.001."""
+    return cdc_replay_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_replay_final_state": cdc_replay_final_state,
+        "cdc_lww_latest": cdc_lww_latest,
+        "cdc_quarantine_counts": cdc_quarantine_counts,
+        "anti_join_new_keys": q_anti_join,
+        "lookup_join": q_lookup_join,
+        "classify_changes": q_classify_changes,
+        "merge_precedence": q_merge_precedence,
+        "set_union_agg": q_set_union_agg,
+        "most_specific_type": q_most_specific_type,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "simhash_near_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_features": q_media_features,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue": q3_top_revenue,
+        "events_hourly": q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+_WORDS_CTE = (
+    "w AS (SELECT doc_id, string_split_regex(trim(lower("
+    "regexp_replace(text, '[^\\w\\s]', ' ', 'g'))), '\\s+') AS words, text "
+    "FROM documents)"
+)
+
+_QVEC_SQL = "[" + ", ".join(str(x) for x in QUERY_VEC) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hits = {
+        lg: (
+            f"len(list_filter(words, x -> list_contains({_sw_list(lg)}, x)))"
+        )
+        for lg in sorted(STOPWORDS)
+    }
+    g4 = "greatest(h_de, h_en, h_es, h_fr)"
+    return {
+        "cdc_replay_final_state": FINAL_STATE_SQL,
+        "cdc_lww_latest": f"""
+            WITH {LOG_CTE_SQL},
+            tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
+            valid AS (SELECT * FROM tagged WHERE reject_reason IS NULL),
+            latest AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+              FROM valid)
+            SELECT doc_id, lsn, op, tokens, n_tok, source FROM latest WHERE rn = 1
+        """,
+        "cdc_quarantine_counts": f"""
+            WITH {LOG_CTE_SQL},
+            tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log)
+            SELECT reject_reason, count(*) AS n FROM tagged
+            WHERE reject_reason IS NOT NULL GROUP BY reject_reason
+        """,
+        "anti_join_new_keys": """
+            SELECT c.* FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        """,
+        "lookup_join": """
+            SELECT e.user_id, e.event_id, e.event_type, e.value,
+                   c.c_name, c.c_acctbal, c.c_mktsegment
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "classify_changes": """
+            WITH batch AS (
+              SELECT c_custkey AS key,
+                     CASE WHEN c_custkey % 3 = 0 THEN c_acctbal
+                          ELSE c_acctbal + 1 END AS acctbal
+              FROM customer WHERE c_custkey % 2 = 0
+              UNION ALL
+              SELECT DISTINCT user_id + 1000000 AS key, 0.0 AS acctbal FROM events
+            )
+            SELECT b.key, b.acctbal,
+                   CASE WHEN c.c_custkey IS NULL THEN 'created'
+                        WHEN b.acctbal = c.c_acctbal THEN 'noop'
+                        ELSE 'updated' END AS action
+            FROM batch b LEFT JOIN customer c ON b.key = c.c_custkey
+        """,
+        "merge_precedence": """
+            WITH p AS (SELECT c_custkey AS key, c_acctbal AS acctbal, c_name AS name
+                       FROM customer),
+                 s AS (SELECT user_id AS key,
+                              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS acctbal,
+                              count(*) AS n_events
+                       FROM events GROUP BY user_id)
+            SELECT COALESCE(p.key, s.key) AS key,
+                   COALESCE(p.acctbal, s.acctbal) AS acctbal,
+                   p.name AS name, s.n_events AS n_events
+            FROM s FULL OUTER JOIN p ON p.key = s.key
+        """,
+        "set_union_agg": """
+            SELECT user_id AS key,
+                   list_sort(list_distinct(list(event_type))) AS event_types
+            FROM events GROUP BY user_id
+        """,
+        "most_specific_type": """
+            WITH t AS (
+              SELECT user_id AS key,
+                     list_sort(list_distinct(list(
+                       CASE event_type WHEN 'click' THEN 'Concept'
+                                       WHEN 'view' THEN 'Agent'
+                                       WHEN 'signup' THEN 'Person'
+                                       WHEN 'purchase' THEN 'Organisation'
+                                       ELSE 'Meeting' END))) AS types
+              FROM events GROUP BY user_id)
+            SELECT key, types,
+                   CASE WHEN len(types) = 0 THEN NULL
+                        WHEN len(list_filter(types, x -> x NOT IN ('Agent','Concept'))) > 0
+                             THEN list_filter(types, x -> x NOT IN ('Agent','Concept'))[1]
+                        WHEN list_contains(types, 'Agent') THEN 'Agent'
+                        ELSE 'Concept' END AS specific_type
+            FROM t
+        """,
+        "exact_dedup": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        """,
+        "jaccard_pairs": f"""
+            WITH {_WORDS_CTE},
+            sh AS (SELECT doc_id AS key, unnest(list_distinct(words)) AS shingle FROM w),
+            sizes AS (SELECT key, count(*) AS set_size FROM sh GROUP BY key),
+            inter AS (
+              SELECT a.key AS key_a, b.key AS key_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
+              GROUP BY a.key, b.key)
+            SELECT i.key_a, i.key_b,
+                   round(CAST(i.inter AS DOUBLE)
+                         / (sa.set_size + sb.set_size - i.inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.key = i.key_a
+            JOIN sizes sb ON sb.key = i.key_b
+            WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8
+        """,
+        "embedding_neardup": """
+            WITH v AS (SELECT vec_id AS key, CAST(embedding AS DOUBLE[]) AS vec
+                       FROM embeddings)
+            SELECT a.key AS key_a, b.key AS key_b,
+                   round(list_dot_product(a.vec, b.vec)
+                         / (sqrt(list_dot_product(a.vec, a.vec))
+                            * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+            FROM v a, v b
+            WHERE a.key < b.key
+              AND round(list_dot_product(a.vec, b.vec)
+                        / (sqrt(list_dot_product(a.vec, a.vec))
+                           * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.3
+        """,
+        "cosine_topk": f"""
+            WITH q AS (SELECT CAST({_QVEC_SQL} AS DOUBLE[]) AS qv),
+            s AS (SELECT vec_id,
+                         round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                        CAST(embedding AS DOUBLE[])))
+                                  * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+                  FROM embeddings, q)
+            SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "text_quality": f"""
+            WITH {_WORDS_CTE},
+            feats AS (
+              SELECT doc_id,
+                CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+                len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+                CASE WHEN len(words) > 0
+                     THEN list_sum(list_transform(words, x -> len(x))) / len(words)
+                     ELSE 0.0 END AS mean_word_len,
+                CASE WHEN len(text) > 0
+                     THEN (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                          / len(text)
+                     ELSE 0.0 END AS punct_ratio,
+                {hits['en']} AS sw_en
+              FROM w),
+            r AS (
+              SELECT doc_id, n_words, n_tokens_bpe, mean_word_len, punct_ratio,
+                     CASE WHEN n_words > 0 THEN sw_en / n_words ELSE 0.0 END AS stop_ratio
+              FROM feats)
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   CAST(n_tokens_bpe AS INT) AS n_tokens_bpe,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(1.0 - least(punct_ratio * 2, 0.5)
+                         - CASE WHEN stop_ratio < 0.05 THEN 0.25 ELSE 0.0 END
+                         - CASE WHEN n_words < 5 THEN 0.25 ELSE 0.0 END, 6)
+                     AS quality_score
+            FROM r
+        """,
+        "lang_id": f"""
+            WITH {_WORDS_CTE},
+            h AS (SELECT doc_id,
+                         {hits['de']} AS h_de, {hits['en']} AS h_en,
+                         {hits['es']} AS h_es, {hits['fr']} AS h_fr
+                  FROM w)
+            SELECT doc_id,
+                   CASE WHEN {g4} = 0 THEN 'und'
+                        WHEN h_de = {g4} THEN 'de'
+                        WHEN h_en = {g4} THEN 'en'
+                        WHEN h_es = {g4} THEN 'es'
+                        ELSE 'fr' END AS detected_lang
+            FROM h
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+                     AS sum_qty,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+                     AS sum_base_price,
+                   round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))) AS DOUBLE), 4)
+                     AS sum_disc_price,
+                   round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue": """
+            SELECT o_orderkey, o_orderdate,
+                   round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                     AS sum_value
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        # minhash_lsh_pairs / simhash_near_pairs / doc_fingerprint / ann_lsh_topk /
+        # media_features: xxhash64- or Python-hash-based — intentionally rows-only.
+    }

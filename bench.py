@@ -1,0 +1,111 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "cpus": N, "cdc_events_per_sec": ...}
+
+The flagship number is the CDC replay: change-events/sec through the full engine
+(validate → quarantine → salted LWW → fenced tombstone MERGE → lineage), the
+sandbox stand-in for the 10^10-event replay throughput in BASELINE.json. Run
+tools/scale_bench.py for the N-vs-4N-cores scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from concepts_pipeline_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from concepts_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def materialize(df) -> int:
+    """Force full computation of every column (noop sink), return row count."""
+    df = df.cache()
+    n = df.count()
+    df.unpersist(blocking=False)
+    return n
+
+
+def bench_queries(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    qs = entry.queries()
+
+    def run_named(name):
+        return lambda: materialize(qs[name](spark, SF_DIR))
+
+    # n=3 shingles for the sketch benches: selective buckets at bench scale
+    # (n=1 on the tiny shared vocabulary would make every doc a near-dup).
+    return {
+        "cdc_replay": run_named("cdc_replay_final_state"),
+        "cdc_lww": run_named("cdc_lww_latest"),
+        "exact_dedup": run_named("exact_dedup"),
+        "minhash_lsh_3gram": lambda: materialize(
+            minhash_lsh_pairs(docs, "text", "doc_id", n=3, num_hashes=32, bands=8,
+                              threshold=0.5)
+        ),
+        "jaccard_3gram": lambda: materialize(
+            ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+        ),
+        "simhash_pairs": lambda: materialize(
+            simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+        ),
+        "text_quality": run_named("text_quality"),
+        "lang_id": run_named("lang_id"),
+        "doc_fingerprint": run_named("doc_fingerprint"),
+        "media_features": run_named("media_features"),
+        "cosine_topk": run_named("cosine_topk"),
+        "ann_lsh_topk": run_named("ann_lsh_topk"),
+        "lookup_join": run_named("lookup_join"),
+        "merge_precedence": run_named("merge_precedence"),
+        "set_union_agg": run_named("set_union_agg"),
+        "q1_pricing_summary": run_named("q1_pricing_summary"),
+        "q3_top_revenue": run_named("q3_top_revenue"),
+        "events_hourly": run_named("events_hourly"),
+    }
+
+
+def main():
+    spark = get_spark(app_name="cps-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in bench_queries(spark).items():
+        t0 = time.time()
+        rows[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline query wall time (CDC replay + dedup/similarity/text/relational) at sf",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+        "cdc_events": n_events,
+        "cdc_events_per_sec": round(n_events / timings["cdc_replay"], 1),
+        "rows": rows,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

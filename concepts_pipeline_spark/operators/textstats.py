@@ -106,13 +106,14 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Order-sensitive rolling fingerprint: polynomial fold of word hashes mod 2^61-1.
+    """Order-sensitive rolling fingerprint: polynomial fold of word hashes mod 2^31-1.
 
-    aggregate() runs JVM-side per row; collisions are as unlikely as a 61-bit hash
-    allows. Used for cheap content-identity across snapshots (cf. exact_dedup's md5
-    which is order-and-content identity on the raw string)."""
+    aggregate() runs JVM-side per row. The modulus keeps the fold inside 63 bits
+    (acc < 2^31, acc*1000003 + hash < 2^52 — no ANSI overflow). Used for cheap
+    content-identity across snapshots (cf. exact_dedup's md5 which is
+    order-and-content identity on the raw string)."""
     words = normalized_words(F.col(text_col))
-    p = F.lit(2305843009213693951)  # 2^61 - 1
+    p = F.lit(2147483647)  # 2^31 - 1
     fp = F.aggregate(
         words,
         F.lit(0).cast("long"),
