@@ -195,15 +195,25 @@ class CdcPipeline:
                 quarantined=0,
             )
         work_cols = [c for c in batch.columns if c != "batch_id"]
-        batch = batch.select(*work_cols)
-        batch.persist()
+        tagged = batch.select(*work_cols).withColumn(
+            "reject_reason", valid_event_expr(vocab_size=self.vocab_size)
+        )
+        tagged.persist()
         try:
-            valid, rejects = validate_events(batch, self.vocab_size)
-            n_rejects = 0
-            if self.quarantine is not None:
-                rejects_conf = rejects
-                self.quarantine.append(rejects_conf, fence_token=f"{fence_token}:q")
-                n_rejects = rejects.count()
+            # one aggregation pass yields rows_in AND the quarantine volume —
+            # no separate count() jobs over the batch
+            reason_counts = {
+                r["reject_reason"]: r["n"]
+                for r in tagged.groupBy("reject_reason")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            rows_in = sum(reason_counts.values())
+            n_rejects = sum(n for k, n in reason_counts.items() if k is not None)
+            valid = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+            if self.quarantine is not None and n_rejects:
+                rejects = tagged.filter(F.col("reject_reason").isNotNull())
+                self.quarantine.append(rejects, fence_token=f"{fence_token}:q")
 
             deduped = lww_latest(
                 valid,
@@ -223,9 +233,8 @@ class CdcPipeline:
                 fence_token=fence_token,
                 lsn_col=self.lsn_col,
             )
-            rows_in = batch.count()
         finally:
-            batch.unpersist()
+            tagged.unpersist()
 
         if self.lineage is not None and not stats.skipped:
             rows = [
@@ -249,8 +258,8 @@ class CdcPipeline:
                                                 "stale": 0, "carried": 0,
                                                 "delete_missing": 0}])
             ]
-            ldf = self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-            self.lineage.append(ldf, fence_token=f"{fence_token}:l")
+            # lineage rows are driver-side already — write them without a Spark job
+            self.lineage.append_rows(rows, fence_token=f"{fence_token}:l")
         return ApplyResult(stats=stats, rows_in=rows_in, quarantined=n_rejects)
 
     def final_state(self, include_hidden: bool = False) -> DataFrame:

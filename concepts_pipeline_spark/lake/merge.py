@@ -134,7 +134,9 @@ def merge_into(
     src = conform(source, schema_with_op)
 
     # ---- plan: which buckets / files does this batch touch? ----
-    src = src.withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets))
+    # persist: the (validated+LWW'd) source feeds bucket discovery, the merge
+    # join, AND the rewrite — without caching it would be recomputed three times
+    src = src.withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets)).persist()
     touched_buckets = sorted(
         r[0] for r in src.select(BUCKET_COL).distinct().collect()
     )
@@ -296,6 +298,7 @@ def merge_into(
         )
     finally:
         result.unpersist()
+        src.unpersist()
     stats.wall_ms = int((time.time() - t0) * 1000)
     return stats
 

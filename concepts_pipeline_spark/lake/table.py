@@ -324,6 +324,38 @@ class LakeTable:
             summary={"operation": "append", "rows": sum(f.rows for f in files)},
         )
 
+    def append_rows(
+        self, rows: list[dict], fence_token: str | None = None
+    ) -> Manifest | None:
+        """Driver-side append of a small row batch (lineage/metrics) — writes one
+        parquet file via pyarrow directly, no Spark job. Fenced like append()."""
+        import pyarrow as pa
+
+        m = self.manifest()
+        if fence_token and fence_token in m.fence_tokens:
+            return None
+        if not rows:
+            return self.commit(
+                m, m.files, fence_token=fence_token,
+                summary={"operation": "append", "rows": 0},
+            )
+        schema = m.schema
+        arrow_schema = pa.schema(
+            [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+        )
+        tbl = pa.Table.from_pylist(rows, schema=arrow_schema)
+        commit_id = uuid.uuid4().hex[:12]
+        rel = os.path.join(DATA_DIR, f"{commit_id}-b00000-0000.parquet")
+        pq.write_table(tbl, os.path.join(self.path, rel))
+        entry = DataFileEntry(
+            path=rel, bucket=0, rows=len(rows),
+            schema_id=self._current_schema_id(m),
+        )
+        return self.commit(
+            m, m.files + [entry], fence_token=fence_token,
+            summary={"operation": "append", "rows": len(rows)},
+        )
+
     def _current_schema_id(self, m: Manifest) -> int:
         for sid, sj in m.schemas.items():
             if sj == m.schema_json:
@@ -334,6 +366,25 @@ class LakeTable:
 
     def has_fence_token(self, token: str) -> bool:
         return token in self.manifest().fence_tokens
+
+
+def _arrow_type(dt):
+    """Minimal Spark→Arrow type mapping for driver-side appends (primitives only)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    mapping = {
+        T.StringType(): pa.string(),
+        T.LongType(): pa.int64(),
+        T.IntegerType(): pa.int32(),
+        T.BooleanType(): pa.bool_(),
+        T.DoubleType(): pa.float64(),
+        T.FloatType(): pa.float32(),
+        T.TimestampType(): pa.timestamp("us", tz="UTC"),
+    }
+    if dt in mapping:
+        return mapping[dt]
+    raise TypeError(f"append_rows supports primitive columns only, got {dt}")
 
 
 def _parquet_stats(path: str, key_col: str) -> tuple[int, str | None, str | None]:

@@ -125,7 +125,20 @@ def minhash_lsh_pairs(
     docs — this is the shape that survives 100 TB.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, key_col, n, num_hashes)
+    sh = word_ngrams(df, text_col, key_col, n)
+    # one shuffle produces BOTH the minhash signature and the exact shingle set —
+    # the verify stage then never rebuilds the inverted index
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    per_key = sh.groupBy("key").agg(
+        *mins, F.collect_set("shingle").alias("sh_set")
+    )
+    sig = per_key.select(
+        "key",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
     band_entries = sig.select(
         "key",
         F.explode(
@@ -147,27 +160,37 @@ def minhash_lsh_pairs(
         .select(F.col("x.key").alias("key_a"), F.col("y.key").alias("key_b"))
         .distinct()
     )
-    # exact verify only on LSH candidates, via the shingle inverted index
-    sh = word_ngrams(df, text_col, key_col, n)
-    sizes = sh.groupBy("key").agg(F.count("*").alias("set_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("a.key") < F.col("b.key"))
-        .groupBy(F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b"))
-        .agg(F.count("*").alias("inter"))
-        .join(cand, on=["key_a", "key_b"])  # LSH candidates only
+    # exact verify only on LSH candidates: two equi-joins bring each side's exact
+    # shingle set, intersection is a per-row array op — cost is O(|candidates|),
+    # never the inverted-index pair blowup
+    sets = per_key.select(
+        "key", F.col("sh_set"), F.size("sh_set").alias("set_size")
     )
-    return (
-        inter.join(sizes.withColumnRenamed("key", "key_a").withColumnRenamed("set_size", "size_a"), "key_a")
-        .join(sizes.withColumnRenamed("key", "key_b").withColumnRenamed("set_size", "size_b"), "key_b")
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("key").alias("key_a"),
+                F.col("sh_set").alias("set_a"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "key_a",
+        )
+        .join(
+            sets.select(
+                F.col("key").alias("key_b"),
+                F.col("sh_set").alias("set_b"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "key_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("key_a", "key_b", "jaccard")
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "key_a", "key_b", "jaccard"
     )
 
 
