@@ -195,46 +195,69 @@ class CdcPipeline:
                 quarantined=0,
             )
         work_cols = [c for c in batch.columns if c != "batch_id"]
-        tagged = batch.select(*work_cols).withColumn(
+        batch = batch.select(*work_cols)
+        tagged = batch.withColumn(
             "reject_reason", valid_event_expr(vocab_size=self.vocab_size)
         )
-        tagged.persist()
-        try:
-            # one aggregation pass yields rows_in AND the quarantine volume —
-            # no separate count() jobs over the batch
-            reason_counts = {
-                r["reject_reason"]: r["n"]
-                for r in tagged.groupBy("reject_reason")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            rows_in = sum(reason_counts.values())
-            n_rejects = sum(n for k, n in reason_counts.items() if k is not None)
-            valid = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
-            if self.quarantine is not None and n_rejects:
-                rejects = tagged.filter(F.col("reject_reason").isNotNull())
-                self.quarantine.append(rejects, fence_token=f"{fence_token}:q")
 
-            deduped = lww_latest(
-                valid,
-                self.key_cols,
-                lsn_col=self.lsn_col,
-                op_col=self.op_col,
-                salt_buckets=self.salt_buckets,
+        # Probe: rows_in + touched target buckets from a KEY-COLUMN-ONLY scan —
+        # Parquet column pruning means the (dominant) token arrays are never
+        # decoded here. Buckets are taken over all events (valid or not): a
+        # superset of the LWW winners' buckets, so pruning stays sound; a bucket
+        # touched only by invalid events merely rewrites unchanged ('carried').
+        from ..lake.table import bucket_expr
+
+        probe = batch.agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.collect_set(
+                bucket_expr(self.key_cols, self.target.manifest().num_buckets)
+            ).alias("buckets"),
+        ).first()
+        rows_in = probe["rows_in"]
+        touched_buckets = [int(b) for b in probe["buckets"]]
+
+        # Quarantine write: the reject count rides the write action as an
+        # Observation (no separate counting job over the batch).
+        n_rejects = 0
+        valid = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+        if self.quarantine is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = tagged.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("reject_reason").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+                ).alias("n_rejects"),
             )
-            source = deduped.drop("event_ts")
-            stats = merge_into(
-                self.spark,
-                self.target,
-                source,
-                op_col=self.op_col,
-                update_mode=self.update_mode,
-                array_union_cols=self.array_union_cols,
-                fence_token=fence_token,
-                lsn_col=self.lsn_col,
-            )
-        finally:
-            tagged.unpersist()
+            rejects = observed.filter(F.col("reject_reason").isNotNull())
+            committed = self.quarantine.append(rejects, fence_token=f"{fence_token}:q")
+            if committed is not None:
+                n_rejects = int(obs.get["n_rejects"] or 0)
+            else:
+                # crash-recovery replay: quarantine already fenced, the observed
+                # action never ran — count the (tiny) reject set directly
+                n_rejects = tagged.filter(F.col("reject_reason").isNotNull()).count()
+
+        deduped = lww_latest(
+            valid,
+            self.key_cols,
+            lsn_col=self.lsn_col,
+            op_col=self.op_col,
+            salt_buckets=self.salt_buckets,
+        )
+        source = deduped.drop("event_ts")
+        stats = merge_into(
+            self.spark,
+            self.target,
+            source,
+            op_col=self.op_col,
+            update_mode=self.update_mode,
+            array_union_cols=self.array_union_cols,
+            fence_token=fence_token,
+            lsn_col=self.lsn_col,
+            touched_buckets=touched_buckets,
+        )
 
         if self.lineage is not None and not stats.skipped:
             rows = [

@@ -48,6 +48,10 @@ HIDDEN_DELETED = "_deleted"
 
 _MIN_LSN = -(2**63) + 1
 
+_ACTIONS = [
+    "inserted", "updated", "deleted", "noop", "stale", "carried", "delete_missing",
+]
+
 
 @dataclass
 class MergeStats:
@@ -81,6 +85,7 @@ def merge_into(
     evolve: bool = True,
     fence_token: str | None = None,
     lsn_col: str | None = None,
+    touched_buckets: list[int] | None = None,
 ) -> MergeStats:
     """Apply a deduplicated change batch (≤1 row per key, see operators.lww) to table.
 
@@ -134,12 +139,19 @@ def merge_into(
     src = conform(source, schema_with_op)
 
     # ---- plan: which buckets / files does this batch touch? ----
-    # persist: the (validated+LWW'd) source feeds bucket discovery, the merge
-    # join, AND the rewrite — without caching it would be recomputed three times
-    src = src.withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets)).persist()
-    touched_buckets = sorted(
-        r[0] for r in src.select(BUCKET_COL).distinct().collect()
-    )
+    # callers that already know the touched buckets (CdcPipeline folds bucket
+    # discovery into its validation aggregation) pass them in, keeping this
+    # function single-action; otherwise discover them here with one extra job
+    src = src.withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets))
+    src_persisted = False
+    if touched_buckets is None:
+        src = src.persist()
+        src_persisted = True
+        touched_buckets = sorted(
+            r[0] for r in src.select(BUCKET_COL).distinct().collect()
+        )
+    else:
+        touched_buckets = sorted(set(touched_buckets))
     tb = set(touched_buckets)
     touched_files = [f for f in m.files if f.bucket in tb]
     passthrough_files = [f for f in m.files if f.bucket not in tb]
@@ -250,27 +262,24 @@ def merge_into(
             .select(*out_key, *out_val, F.col(ACTION_COL))
             .withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets))
         )
-    result.persist()
-    try:
-        # per-bucket lineage counts in one aggregation pass
-        counts = (
-            result.groupBy(BUCKET_COL, ACTION_COL).count().collect()
-        )
-        stats = MergeStats(version=m.version + 1)
-        per_bucket: dict[int, dict] = {}
-        for row in counts:
-            b, a, n = row[BUCKET_COL], row[ACTION_COL], row["count"]
-            setattr(stats, a, getattr(stats, a) + n)
-            pb = per_bucket.setdefault(
-                b,
-                {"bucket": b, "inserted": 0, "updated": 0, "deleted": 0,
-                 "noop": 0, "stale": 0, "carried": 0, "delete_missing": 0},
-            )
-            pb[a] += n
-        stats.by_bucket = [per_bucket[b] for b in sorted(per_bucket)]
-        stats.touched_buckets = len(touched_buckets)
-        stats.touched_files = len(touched_files)
+    # per-(bucket, action) lineage counts ride the write action as an Observation —
+    # metrics come out of the same single pass that rewrites the touched buckets,
+    # so the whole merge is ONE job over the data (no counting re-scan, no cache)
+    from pyspark.sql import Observation
 
+    obs = Observation()
+    count_aggs = [
+        F.sum(
+            F.when(
+                (F.col(BUCKET_COL) == b) & (F.col(ACTION_COL) == a), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias(f"c_{b}_{a}")
+        for b in touched_buckets
+        for a in _ACTIONS
+    ] or [F.count(F.lit(1)).alias("c_none")]
+    result = result.observe(obs, count_aggs[0], *count_aggs[1:])
+
+    try:
         if lsn_col is not None:
             # tombstones persist (LSN memory survives the delete); readers filter them
             keep = result.select(*data_cols)
@@ -280,6 +289,25 @@ def merge_into(
             ).select(*data_cols)
 
         new_files = table.write_data_files(keep, _with_schemas(m, schemas), schema_id)
+
+        stats = MergeStats(version=m.version + 1)
+        metrics = obs.get
+        per_bucket: dict[int, dict] = {}
+        for b in touched_buckets:
+            pb = {"bucket": b, "inserted": 0, "updated": 0, "deleted": 0,
+                  "noop": 0, "stale": 0, "carried": 0, "delete_missing": 0}
+            any_n = 0
+            for a in _ACTIONS:
+                n = int(metrics.get(f"c_{b}_{a}") or 0)
+                pb[a] = n
+                any_n += n
+                setattr(stats, a, getattr(stats, a) + n)
+            if any_n:
+                per_bucket[b] = pb
+        stats.by_bucket = [per_bucket[b] for b in sorted(per_bucket)]
+        stats.touched_buckets = len(touched_buckets)
+        stats.touched_files = len(touched_files)
+
         table.commit(
             m,
             passthrough_files + new_files,
@@ -297,8 +325,8 @@ def merge_into(
             },
         )
     finally:
-        result.unpersist()
-        src.unpersist()
+        if src_persisted:
+            src.unpersist()
     stats.wall_ms = int((time.time() - t0) * 1000)
     return stats
 
