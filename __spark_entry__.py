@@ -291,6 +291,198 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Recursive JSON concept extraction (SURVEY §2.2 P4/P5/P6)
+# ---------------------------------------------------------------------------
+
+_AUTHS = ["fihrist", "label-derived", "lc-names", "lc-subjects", "nlm-mesh", "viaf"]
+
+
+def _work_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic catalogue-work-shaped JSON per order: a contributor agent
+    (from customer), subjects with nested sub-concepts (from parts), plus
+    injected malformations (missing label, unknown authority, multiple
+    identifiers) that the extractor must drop — the JSON-ingest analogue of the
+    reference's snapshot source (ref: aggregator/sources/WorksSnapshotSource.scala)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def ident(value, auth):
+        return F.struct(
+            value.alias("value"), F.struct(auth.alias("id")).alias("identifierType")
+        )
+
+    ck = F.col("c_custkey")
+    agent = F.struct(
+        F.concat(F.lit("c"), ck).alias("id"),
+        F.element_at(
+            F.array(F.lit("Person"), F.lit("Organisation"), F.lit("Agent")),
+            (ck % 3 + 1).cast("int"),
+        ).alias("type"),
+        F.when(ck % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("label"),
+        F.array(ident(F.concat(F.lit("n"), ck), F.lit("viaf"))).alias("identifiers"),
+    )
+    contributor = F.struct(agent.alias("agent"))
+
+    pk = F.col("p_partkey")
+
+    def genre(prefix: str):
+        return F.struct(
+            F.concat(F.lit(prefix), pk).alias("id"),
+            F.lit("Genre").alias("type"),
+            F.concat(F.lit(f"genre-{prefix}"), pk).alias("label"),
+            F.array(
+                ident(F.concat(F.lit(prefix), pk), F.lit("label-derived"))
+            ).alias("identifiers"),
+        )
+
+    auths = F.array(*[F.lit(a) for a in _AUTHS])
+    subj_auth = F.when(pk % 7 == 0, F.lit("bogus")).otherwise(
+        F.element_at(auths, (pk % 6 + 1).cast("int"))
+    )
+    base_ident = ident(F.concat(F.lit("sh"), pk % 500), subj_auth)
+    second_ident = ident(F.concat(F.lit("sh2-"), pk), F.lit("viaf"))
+    identifiers = F.when(pk % 5 == 0, F.array(base_ident, second_ident)).otherwise(
+        F.array(base_ident)
+    )
+    empty_concepts = F.slice(F.array(genre("g")), 1, 0)
+    concepts = (
+        F.when(pk % 3 == 0, F.array(genre("g")))
+        .when(pk % 3 == 2, F.array(genre("g"), genre("h")))
+        .otherwise(empty_concepts)
+    )
+    subject = F.struct(
+        F.concat(F.lit("p"), pk).alias("id"),
+        F.lit("Subject").alias("type"),
+        F.col("p_name").alias("label"),
+        identifiers.alias("identifiers"),
+        concepts.alias("concepts"),
+    )
+
+    lp = l.join(p, l.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("okey"), subject.alias("subject")
+    )
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_orderkey").alias("okey"), contributor.alias("contributor")
+    )
+    works = (
+        oc.join(lp, on="okey", how="left")
+        .groupBy("okey")
+        .agg(
+            F.first("contributor").alias("contrib"),
+            F.collect_list("subject").alias("subjects"),
+        )
+    )
+    doc = F.to_json(
+        F.struct(
+            F.concat(F.lit("w"), F.col("okey")).alias("id"),
+            F.lit("Work").alias("type"),
+            F.array(F.col("contrib")).alias("contributors"),
+            F.col("subjects").alias("subjects"),
+        )
+    )
+    return works.select(F.concat(F.lit("w"), F.col("okey")).alias("work_id"), doc.alias("doc"))
+
+
+def q_concept_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concepts_pipeline_spark.operators.extract import extract_concepts
+
+    return extract_concepts(_work_json(spark, sf_dir), "doc", "work_id")
+
+
+def q_concept_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concepts_pipeline_spark.operators.extract import (
+        accumulate_catalogue_concepts,
+        extract_concepts,
+    )
+
+    return accumulate_catalogue_concepts(
+        extract_concepts(_work_json(spark, sf_dir), "doc", "work_id")
+    )
+
+
+def q_skos_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LoC SKOS JSON-LD transform + -781 geographic filter (P1/P2/P3) over
+    SKOS-shaped lines synthesized from the documents table: polymorphic
+    prefLabel (string | {@value}), scalar/array/absent altLabel, deprecated
+    records (no prefLabel) dropped, distractor graph nodes ignored."""
+    from concepts_pipeline_spark.operators.skos import (
+        filter_geographic_subdivisions,
+        skos_transform,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ident = F.concat(
+        F.lit("sh"), did,
+        F.when(did % 17 == 0, F.lit("-781")).otherwise(F.lit("")),
+    )
+    path = F.concat(F.lit("/authorities/subjects/"), ident)
+    label = F.concat(F.lit("label "), did)
+    pref = (
+        F.when(did % 13 == 0, F.lit(""))  # deprecated: no prefLabel
+        .when(
+            did % 2 == 0,
+            F.concat(F.lit(',"skos:prefLabel":{"@language":"en","@value":"'), label, F.lit('"}')),
+        )
+        .otherwise(F.concat(F.lit(',"skos:prefLabel":"'), label, F.lit('"')))
+    )
+    alt = (
+        F.when(did % 4 == 0, F.concat(
+            F.lit(',"skos:altLabel":[{"@value":"alt-a-'), did, F.lit('"},"alt-b-'), did, F.lit('"]')))
+        .when(did % 4 == 1, F.concat(F.lit(',"skos:altLabel":"alt-'), did, F.lit('"')))
+        .when(did % 4 == 3, F.concat(F.lit(',"skos:altLabel":[{"@value":"alt-'), did, F.lit('"}]')))
+        .otherwise(F.lit(""))
+    )
+    line = F.concat(
+        F.lit('{"@id":"'), path,
+        F.lit('","@graph":[{"@id":"http://x/authorities/subjects/zz9","skos:prefLabel":"distractor"},'),
+        F.lit('{"@id":"http://id.loc.gov'), path, F.lit('"'), pref, alt, F.lit("}]}"),
+    )
+    out = skos_transform(d.select(line.alias("line")), "line", "lc-subjects")
+    return filter_geographic_subdivisions(out)
+
+
+# shared relational spec of what the extractor must find (DuckDB)
+_EXTRACT_CTE = """
+contribs AS (
+  SELECT 'w' || o_orderkey AS work_id, 'c' || c_custkey AS canonical_id,
+         c_name AS label,
+         CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'Person'
+              WHEN 1 THEN 'Organisation' ELSE 'Agent' END AS ontology_type,
+         'viaf' AS authority, 'n' || c_custkey AS identifier_value
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_custkey % 11 <> 0),
+pw AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_partkey AS pk, p.p_name
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+subs AS (
+  SELECT 'w' || okey AS work_id, 'p' || pk AS canonical_id, p_name AS label,
+         CASE CAST(pk % 3 AS INT) WHEN 0 THEN 'Genre'
+              WHEN 1 THEN 'Subject' ELSE 'Concept' END AS ontology_type,
+         ['fihrist','label-derived','lc-names','lc-subjects','nlm-mesh','viaf']
+           [CAST(pk % 6 AS INT) + 1] AS authority,
+         'sh' || (pk % 500) AS identifier_value
+  FROM pw WHERE pk % 5 <> 0 AND pk % 7 <> 0),
+genres AS (
+  SELECT 'w' || okey AS work_id, 'g' || pk AS canonical_id,
+         'genre-g' || pk AS label, 'Genre' AS ontology_type,
+         'label-derived' AS authority, 'g' || pk AS identifier_value
+  FROM pw WHERE pk % 3 = 0
+  UNION ALL
+  SELECT 'w' || okey, 'g' || pk, 'genre-g' || pk, 'Genre', 'label-derived', 'g' || pk
+  FROM pw WHERE pk % 3 = 2
+  UNION ALL
+  SELECT 'w' || okey, 'h' || pk, 'genre-h' || pk, 'Genre', 'label-derived', 'h' || pk
+  FROM pw WHERE pk % 3 = 2),
+extracted AS (
+  SELECT * FROM contribs UNION ALL SELECT * FROM subs UNION ALL SELECT * FROM genres)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Relational analytics (built-in DataFrame ops; parity showcase for bench)
 # ---------------------------------------------------------------------------
 
@@ -377,6 +569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "media_features": q_media_features,
+        "skos_transform": q_skos_transform,
+        "concept_extraction": q_concept_extraction,
+        "concept_accumulation": q_concept_accumulation,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "events_hourly": q_events_hourly,
@@ -569,6 +764,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_es = {g4} THEN 'es'
                         ELSE 'fr' END AS detected_lang
             FROM h
+        """,
+        "skos_transform": """
+            SELECT 'lc-subjects' AS authority,
+                   'sh' || doc_id AS identifier,
+                   'label ' || doc_id AS label,
+                   CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN ['alt-a-' || doc_id, 'alt-b-' || doc_id]
+                        WHEN 1 THEN ['alt-' || doc_id]
+                        WHEN 3 THEN ['alt-' || doc_id]
+                        ELSE [] END AS alternative_labels
+            FROM documents
+            WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0
+        """,
+        "concept_extraction": f"""
+            WITH {_EXTRACT_CTE}
+            SELECT work_id, canonical_id, label, ontology_type, authority,
+                   identifier_value
+            FROM extracted
+        """,
+        "concept_accumulation": f"""
+            WITH {_EXTRACT_CTE}
+            SELECT authority, identifier_value,
+                   min_by(label, canonical_id) AS label,
+                   list_sort(list_distinct(list(canonical_id))) AS canonical_ids,
+                   list_sort(list_distinct(list(ontology_type))) AS ontology_types,
+                   count(*) AS occurrences
+            FROM extracted GROUP BY authority, identifier_value
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
