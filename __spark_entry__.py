@@ -446,6 +446,30 @@ def q_skos_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_geographic_subdivisions(out)
 
 
+def q_record_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recorder-stage merge (K1/K2/A4): catalogue concepts (accumulated from the
+    extraction pipeline) left-joined to authoritative concepts (from the SKOS
+    transform), authoritative label/altLabels winning, exploded per canonicalId
+    with sameAs = sibling ids."""
+    from concepts_pipeline_spark.operators.extract import (
+        accumulate_catalogue_concepts,
+        extract_concepts,
+    )
+    from concepts_pipeline_spark.operators.record import record_concepts
+
+    catalogue = accumulate_catalogue_concepts(
+        extract_concepts(_work_json(spark, sf_dir), "doc", "work_id")
+    ).select(
+        "authority",
+        F.col("identifier_value").alias("identifier"),
+        "label",
+        "canonical_ids",
+        "ontology_types",
+    )
+    authoritative = q_skos_transform(spark, sf_dir)
+    return record_concepts(catalogue, authoritative)
+
+
 # shared relational spec of what the extractor must find (DuckDB)
 _EXTRACT_CTE = """
 contribs AS (
@@ -572,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skos_transform": q_skos_transform,
         "concept_extraction": q_concept_extraction,
         "concept_accumulation": q_concept_accumulation,
+        "record_concepts": q_record_concepts,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "events_hourly": q_events_hourly,
@@ -791,6 +816,43 @@ def oracle_sql() -> dict[str, str]:
                    list_sort(list_distinct(list(ontology_type))) AS ontology_types,
                    count(*) AS occurrences
             FROM extracted GROUP BY authority, identifier_value
+        """,
+        "record_concepts": f"""
+            WITH {_EXTRACT_CTE},
+            cat AS (
+              SELECT authority, identifier_value AS identifier,
+                     min_by(label, canonical_id) AS label,
+                     list_sort(list_distinct(list(canonical_id))) AS canonical_ids,
+                     list_sort(list_distinct(list(ontology_type))) AS ontology_types
+              FROM extracted GROUP BY authority, identifier_value),
+            auth AS (
+              SELECT 'lc-subjects' AS authority, 'sh' || doc_id AS identifier,
+                     'label ' || doc_id AS a_label,
+                     CASE CAST(doc_id % 4 AS INT)
+                          WHEN 0 THEN ['alt-a-' || doc_id, 'alt-b-' || doc_id]
+                          WHEN 1 THEN ['alt-' || doc_id]
+                          WHEN 3 THEN ['alt-' || doc_id]
+                          ELSE [] END AS a_alts
+              FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0),
+            merged AS (
+              SELECT c.authority, c.identifier,
+                     COALESCE(a.a_label, c.label) AS label,
+                     COALESCE(a.a_alts, []) AS alternative_labels,
+                     CASE WHEN len(c.ontology_types) = 0 THEN NULL
+                          WHEN len(list_filter(c.ontology_types,
+                                               x -> x NOT IN ('Agent','Concept'))) > 0
+                               THEN list_filter(c.ontology_types,
+                                                x -> x NOT IN ('Agent','Concept'))[1]
+                          WHEN list_contains(c.ontology_types, 'Agent') THEN 'Agent'
+                          ELSE 'Concept' END AS ontology_type,
+                     c.canonical_ids
+              FROM cat c LEFT JOIN auth a
+                ON c.authority = a.authority AND c.identifier = a.identifier)
+            SELECT unnest(canonical_ids) AS canonical_id, authority, identifier,
+                   label, alternative_labels, ontology_type,
+                   list_filter(canonical_ids, x -> x <> unnest(canonical_ids))
+                     AS same_as
+            FROM merged
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
