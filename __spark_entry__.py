@@ -107,6 +107,36 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("doc_id", "tokens", "n_tok", "source")
 
 
+def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME replay through Structured Streaming: land the derived change log
+    as files, tail it with foreachBatch (checkpointed, fence-token exactly-once,
+    availableNow), return the final state. Must equal FINAL_STATE_SQL — the
+    streaming path and the bulk path share one declarative spec
+    (ref: the bulk/SQS dual-mode design, README.md:16-20 of the reference)."""
+    from concepts_pipeline_spark.streaming.runner import run_stream
+
+    log = derived_change_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cps-stream-")
+    log.repartition(4).write.mode("overwrite").parquet(f"file://{root}/feed")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        quarantine_path=f"{root}/quarantine",
+        lineage_path=f"{root}/lineage",
+        changes_path=f"{root}/changes",
+        num_buckets=16,
+        salt_buckets=4,
+    )
+    h = run_stream(
+        spark, pipe, f"{root}/feed", f"{root}/ckpt",
+        name="entry-stream", max_files_per_trigger=2, schema=log.schema,
+    )
+    h.query.awaitTermination()
+    return pipe.final_state().select("doc_id", "tokens", "n_tok", "source")
+
+
 def cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-over-LSN last-writer-wins over valid events (SURVEY §2.4 A1)."""
     log = derived_change_log(spark, sf_dir)
@@ -547,6 +577,21 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical metrics rollup (SURVEY §2.4 note: grouping sets absent in the
+    reference, built-in here): (event_type, day) with subtotals + grand total."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup(F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window style rollup: per (hour, event_type) counts + exact sums."""
     ev = _t(spark, sf_dir, "events")
@@ -574,6 +619,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": cdc_replay_final_state,
+        "cdc_stream_final_state": cdc_stream_final_state,
         "cdc_lww_latest": cdc_lww_latest,
         "cdc_quarantine_counts": cdc_quarantine_counts,
         "anti_join_new_keys": q_anti_join,
@@ -600,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "events_hourly": q_events_hourly,
+        "events_rollup": q_events_rollup,
     }
 
 
@@ -626,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
     g4 = "greatest(h_de, h_en, h_es, h_fr)"
     return {
         "cdc_replay_final_state": FINAL_STATE_SQL,
+        "cdc_stream_final_state": FINAL_STATE_SQL,
         "cdc_lww_latest": f"""
             WITH {LOG_CTE_SQL},
             tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
@@ -877,6 +925,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "events_rollup": """
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n_events,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                     AS sum_value
+            FROM events GROUP BY ROLLUP (event_type, date_trunc('day', ts))
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -137,6 +137,7 @@ class CdcPipeline:
         key_cols: list[str],
         quarantine_path: str | None = None,
         lineage_path: str | None = None,
+        changes_path: str | None = None,
         num_buckets: int = 16,
         salt_buckets: int = 8,
         update_mode: str = "replace",
@@ -180,6 +181,22 @@ class CdcPipeline:
         if lineage_path:
             self.lineage = LakeTable.create(
                 lineage_path, LINEAGE_SCHEMA, ["fence_token"], num_buckets=1,
+                if_not_exists=True,
+            )
+        self.changes: LakeTable | None = None
+        if changes_path:
+            # downstream change outbox (ref: publishIds + TopicPublisher,
+            # aggregator/ConceptsAggregator.scala:120-124): only keys whose merge
+            # action was inserted/updated/deleted, appended per batch
+            changes_schema = StructType(
+                [StructField(k, target_schema[k].dataType, False) for k in key_cols]
+                + [
+                    StructField("action", StringType(), False),
+                    StructField("fence_token", StringType(), True),
+                ]
+            )
+            self.changes = LakeTable.create(
+                changes_path, changes_schema, key_cols, num_buckets=4,
                 if_not_exists=True,
             )
 
@@ -257,6 +274,7 @@ class CdcPipeline:
             fence_token=fence_token,
             lsn_col=self.lsn_col,
             touched_buckets=touched_buckets,
+            changes_table=self.changes,
         )
 
         if self.lineage is not None and not stats.skipped:

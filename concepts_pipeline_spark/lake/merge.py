@@ -86,6 +86,7 @@ def merge_into(
     fence_token: str | None = None,
     lsn_col: str | None = None,
     touched_buckets: list[int] | None = None,
+    changes_table: LakeTable | None = None,
 ) -> MergeStats:
     """Apply a deduplicated change batch (≤1 row per key, see operators.lww) to table.
 
@@ -267,6 +268,14 @@ def merge_into(
     # so the whole merge is ONE job over the data (no counting re-scan, no cache)
     from pyspark.sql import Observation
 
+    # downstream change publication (ref: aggregator publishIds routes only
+    # updated-not-noop ids to SNS, ConceptsAggregator.scala:120-124 +
+    # TopicPublisher.scala:23-58) — here an appended outbox table partition the
+    # next pipeline stage reads. Needs the per-row actions twice (outbox + main
+    # write), so the merge result is cached only when the outbox is enabled.
+    if changes_table is not None:
+        result = result.persist()
+
     obs = Observation()
     count_aggs = [
         F.sum(
@@ -289,6 +298,19 @@ def merge_into(
             ).select(*data_cols)
 
         new_files = table.write_data_files(keep, _with_schemas(m, schemas), schema_id)
+
+        if changes_table is not None:
+            changed = result.filter(
+                F.col(ACTION_COL).isin("inserted", "updated", "deleted")
+            ).select(
+                *key_cols,
+                F.col(ACTION_COL).alias("action"),
+                F.lit(fence_token).alias("fence_token"),
+            )
+            changes_table.append(
+                changed,
+                fence_token=f"{fence_token}:c" if fence_token else None,
+            )
 
         stats = MergeStats(version=m.version + 1)
         metrics = obs.get
@@ -327,6 +349,8 @@ def merge_into(
     finally:
         if src_persisted:
             src.unpersist()
+        if changes_table is not None:
+            result.unpersist()
     stats.wall_ms = int((time.time() - t0) * 1000)
     return stats
 

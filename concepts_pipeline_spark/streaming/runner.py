@@ -48,6 +48,7 @@ def run_stream(
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     on_batch: Callable[[int, DataFrame], None] | None = None,
+    schema=None,
 ) -> StreamHandle:
     """Tail a landed change-log directory and apply each micro-batch exactly once.
 
@@ -62,7 +63,7 @@ def run_stream(
         applied.append((batch_id, res))
 
     reader = (
-        spark.readStream.schema(CHANGE_LOG_SCHEMA)
+        spark.readStream.schema(schema or CHANGE_LOG_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(f"file://{source_path}")
     )
