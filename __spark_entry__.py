@@ -137,6 +137,37 @@ def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("doc_id", "tokens", "n_tok", "source")
 
 
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema evolution: batch 1 carries the base schema; batch 2
+    adds a `lang` column AND widens n_tok int→long. The engine evolves the table
+    before apply (lake/schema.py); old rows read back with lang NULL and widened
+    n_tok (ref contrast: the reference's strict ES mappings would reject the new
+    field — BulkUpdateFlowTest.scala:163-166 — we evolve instead, per north_rule)."""
+    log = derived_change_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cps-evolve-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        num_buckets=16,
+        salt_buckets=4,
+    )
+    b1 = log.filter(F.pmod(F.col("lsn"), F.lit(2)) == 0)
+    b2 = (
+        log.filter(F.pmod(F.col("lsn"), F.lit(2)) == 1)
+        .withColumn("n_tok", F.col("n_tok").cast("long"))
+        .withColumn(
+            "lang",
+            F.when(F.col("op") == "D", F.lit(None).cast("string"))
+            .otherwise(F.substring("source", 1, 2)),
+        )
+    )
+    pipe.apply_batch(b1, fence_token="evolve:0")
+    pipe.apply_batch(b2, fence_token="evolve:1")
+    return pipe.final_state().select("doc_id", "tokens", "n_tok", "source", "lang")
+
+
 def cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-over-LSN last-writer-wins over valid events (SURVEY §2.4 A1)."""
     log = derived_change_log(spark, sf_dir)
@@ -620,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": cdc_replay_final_state,
         "cdc_stream_final_state": cdc_stream_final_state,
+        "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_lww_latest": cdc_lww_latest,
         "cdc_quarantine_counts": cdc_quarantine_counts,
         "anti_join_new_keys": q_anti_join,
@@ -674,6 +706,17 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_final_state": FINAL_STATE_SQL,
         "cdc_stream_final_state": FINAL_STATE_SQL,
+        "cdc_schema_evolution": f"""
+            WITH {LOG_CTE_SQL},
+            tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
+            valid AS (SELECT * FROM tagged WHERE reject_reason IS NULL),
+            latest AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+              FROM valid)
+            SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok, source,
+                   CASE WHEN lsn % 2 = 1 THEN substr(source, 1, 2) END AS lang
+            FROM latest WHERE rn = 1 AND op <> 'D'
+        """,
         "cdc_lww_latest": f"""
             WITH {LOG_CTE_SQL},
             tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
