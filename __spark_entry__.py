@@ -107,6 +107,28 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("doc_id", "tokens", "n_tok", "source")
 
 
+def cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same out-of-order replay under the merge-on-read strategy: batches
+    append LWW'd delta files (no target read, no bucket rewrite); the read
+    resolves base∪delta by hidden LSN. Must equal the SAME FINAL_STATE_SQL
+    oracle as copy-on-write — one declarative spec, two physical strategies."""
+    log = derived_change_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cps-mor-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        num_buckets=16,
+        salt_buckets=4,
+        strategy="mor",
+    )
+    for b in range(4):
+        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
+        pipe.apply_batch(batch, fence_token=f"mor-replay:{b}")
+    return pipe.final_state().select("doc_id", "tokens", "n_tok", "source")
+
+
 def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME replay through Structured Streaming: land the derived change log
     as files, tail it with foreachBatch (checkpointed, fence-token exactly-once,
@@ -650,6 +672,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": cdc_replay_final_state,
+        "cdc_replay_mor": cdc_replay_mor,
         "cdc_stream_final_state": cdc_stream_final_state,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_lww_latest": cdc_lww_latest,
@@ -705,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
     g4 = "greatest(h_de, h_en, h_es, h_fr)"
     return {
         "cdc_replay_final_state": FINAL_STATE_SQL,
+        "cdc_replay_mor": FINAL_STATE_SQL,
         "cdc_stream_final_state": FINAL_STATE_SQL,
         "cdc_schema_evolution": f"""
             WITH {LOG_CTE_SQL},

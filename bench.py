@@ -51,6 +51,24 @@ def cdc_replay_single_batch(spark, sf_dir):
     pipe.apply_batch(log, fence_token="bench:all")
     return pipe.final_state()
 
+
+def cdc_replay_mor_single_batch(spark, sf_dir):
+    """Merge-on-read steady-state: append-only deltas, read-time resolution."""
+    import tempfile
+
+    from concepts_pipeline_spark.cdc.apply import CdcPipeline
+    from concepts_pipeline_spark.cdc.derive import derived_change_log
+    from __spark_entry__ import TOKENS_SCHEMA
+
+    log = derived_change_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cps-benchmor-")
+    pipe = CdcPipeline(
+        spark, f"{root}/tokens", TOKENS_SCHEMA, ["doc_id"],
+        num_buckets=16, salt_buckets=4, strategy="mor",
+    )
+    pipe.apply_batch(log, fence_token="bench:all")
+    return pipe.final_state()
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -75,6 +93,7 @@ def bench_queries(spark):
     return {
         "cdc_replay": run_named("cdc_replay_final_state"),
         "cdc_replay_1batch": lambda: materialize(cdc_replay_single_batch(spark, SF_DIR)),
+        "cdc_replay_mor_1batch": lambda: materialize(cdc_replay_mor_single_batch(spark, SF_DIR)),
         "cdc_lww": run_named("cdc_lww_latest"),
         "exact_dedup": run_named("exact_dedup"),
         "minhash_lsh_3gram": lambda: materialize(

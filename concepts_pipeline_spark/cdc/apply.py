@@ -141,6 +141,7 @@ class CdcPipeline:
         num_buckets: int = 16,
         salt_buckets: int = 8,
         update_mode: str = "replace",
+        strategy: str = "cow",
         array_union_cols: list[str] | None = None,
         vocab_size: int = VOCAB_SIZE,
         lsn_col: str = "lsn",
@@ -150,6 +151,7 @@ class CdcPipeline:
         self.key_cols = key_cols
         self.salt_buckets = salt_buckets
         self.update_mode = update_mode
+        self.strategy = strategy
         self.array_union_cols = array_union_cols
         self.vocab_size = vocab_size
         self.lsn_col = lsn_col
@@ -274,7 +276,10 @@ class CdcPipeline:
             fence_token=fence_token,
             lsn_col=self.lsn_col,
             touched_buckets=touched_buckets,
-            changes_table=self.changes,
+            # MoR appends deltas without reading the target, so per-key action
+            # classification (and thus the outbox) is only available under CoW
+            changes_table=self.changes if self.strategy == "cow" else None,
+            strategy=self.strategy,
         )
 
         if self.lineage is not None and not stats.skipped:
@@ -304,8 +309,14 @@ class CdcPipeline:
         return ApplyResult(stats=stats, rows_in=rows_in, quarantined=n_rejects)
 
     def final_state(self, include_hidden: bool = False) -> DataFrame:
-        """The user-visible table: tombstones filtered, hidden columns dropped."""
-        df = self.target.read(self.spark)
+        """The user-visible table: tombstones filtered, hidden columns dropped.
+        Under merge-on-read, deltas are LWW-resolved here (lake.merge.read_merged)."""
+        if self.strategy == "mor":
+            from ..lake.merge import read_merged
+
+            df = read_merged(self.spark, self.target)
+        else:
+            df = self.target.read(self.spark)
         live = df.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
         if include_hidden:
             return live

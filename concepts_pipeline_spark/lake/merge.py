@@ -87,6 +87,7 @@ def merge_into(
     lsn_col: str | None = None,
     touched_buckets: list[int] | None = None,
     changes_table: LakeTable | None = None,
+    strategy: str = "cow",
 ) -> MergeStats:
     """Apply a deduplicated change batch (≤1 row per key, see operators.lww) to table.
 
@@ -144,6 +145,17 @@ def merge_into(
     # discovery into its validation aggregation) pass them in, keeping this
     # function single-action; otherwise discover them here with one extra job
     src = src.withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets))
+
+    if strategy == "mor":
+        if lsn_col is None:
+            raise ValueError("merge-on-read requires lsn_col (LWW read resolution)")
+        return _mor_append(
+            table, m, src, new_schema, schema_json, schemas, schema_id,
+            op_col, fence_token, t0,
+        )
+    if strategy != "cow":
+        raise ValueError(f"unknown merge strategy {strategy!r}")
+
     src_persisted = False
     if touched_buckets is None:
         src = src.persist()
@@ -359,3 +371,138 @@ def _with_schemas(m: Manifest, schemas: dict[str, str]) -> Manifest:
     out = Manifest.from_json(m.to_json())
     out.schemas = schemas
     return out
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read: append LWW'd deltas, resolve at read, fold via compaction
+# ---------------------------------------------------------------------------
+#
+# Copy-on-write rewrites every touched bucket per batch — write amplification is
+# table_size/batch_size when key-touch is uniform. MoR writes ONLY the batch
+# (as bucketed delta files carrying the hidden _lsn/_deleted columns) and defers
+# the merge: the read is one more LWW over base∪delta (identical total order),
+# and compaction folds a bucket back to a single base generation when its delta
+# count crosses a threshold. This is Iceberg's MoR/compaction shape re-expressed
+# on the LWW engine — same FINAL_STATE oracle, a fraction of the write volume.
+
+def _mor_append(
+    table: LakeTable,
+    m: Manifest,
+    src,
+    new_schema: StructType,
+    schema_json: str,
+    schemas: dict[str, str],
+    schema_id: int,
+    op_col: str,
+    fence_token: str | None,
+    t0: float,
+) -> MergeStats:
+    data_cols = [f.name for f in new_schema.fields]
+    val_cols = [
+        c for c in data_cols
+        if c not in m.key_cols and c not in (HIDDEN_LSN, HIDDEN_DELETED)
+    ]
+    field_types = {f.name: f.dataType for f in new_schema.fields}
+    # tombstones carry no payload (matches the CoW delete arm)
+    keep = src.select(
+        *m.key_cols,
+        *[
+            F.when(F.col(HIDDEN_DELETED), F.lit(None).cast(field_types[c]))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in val_cols
+        ],
+        F.col(HIDDEN_LSN),
+        F.col(HIDDEN_DELETED),
+    )
+    new_files = table.write_data_files(
+        keep, _with_schemas(m, schemas), schema_id, kind="delta"
+    )
+    stats = MergeStats(version=m.version + 1)
+    stats.by_bucket = [
+        {"bucket": f.bucket, "inserted": 0, "updated": 0, "deleted": 0,
+         "noop": 0, "stale": 0, "carried": 0, "delete_missing": 0,
+         "delta_rows": f.rows}
+        for f in sorted(new_files, key=lambda f: f.bucket)
+    ]
+    stats.updated = sum(f.rows for f in new_files)  # rows applied as deltas
+    stats.touched_buckets = len({f.bucket for f in new_files})
+    table.commit(
+        m,
+        m.files + new_files,
+        schema_json=schema_json,
+        schemas=schemas,
+        fence_token=fence_token,
+        summary={
+            "operation": "merge-mor",
+            "delta_rows": stats.updated,
+            "delta_files": len(new_files),
+        },
+    )
+    stats.wall_ms = int((time.time() - t0) * 1000)
+    return stats
+
+
+def read_merged(spark: SparkSession, table: LakeTable, version: int | None = None):
+    """Snapshot read with MoR resolution: LWW by hidden _lsn over base∪delta.
+
+    Buckets without deltas short-circuit (no aggregation); tombstones are KEPT
+    (callers filter, same contract as the CoW read path)."""
+    from ..operators.lww import lww_latest
+
+    m = table.manifest(version)
+    delta_buckets = {f.bucket for f in m.files if f.kind == "delta"}
+    if not delta_buckets:
+        return table._read_files(spark, m, m.files)
+    clean = [f for f in m.files if f.bucket not in delta_buckets]
+    dirty = [f for f in m.files if f.bucket in delta_buckets]
+    resolved = lww_latest(
+        table._read_files(spark, m, dirty),
+        m.key_cols,
+        lsn_col=HIDDEN_LSN,
+        op_col=None,
+    )
+    if not clean:
+        return resolved
+    return table._read_files(spark, m, clean).unionByName(resolved)
+
+
+def compact(
+    spark: SparkSession,
+    table: LakeTable,
+    max_delta_files_per_bucket: int = 4,
+) -> int:
+    """Fold buckets whose delta-file count exceeds the threshold back to a single
+    base generation. Idempotent; concurrent writers are protected by the
+    optimistic manifest commit. Returns the number of compacted buckets."""
+    from ..operators.lww import lww_latest
+
+    m = table.manifest()
+    per_bucket: dict[int, int] = {}
+    for f in m.files:
+        if f.kind == "delta":
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    targets = {b for b, n in per_bucket.items() if n > max_delta_files_per_bucket}
+    if not targets:
+        return 0
+    victim_files = [f for f in m.files if f.bucket in targets]
+    keep_files = [f for f in m.files if f.bucket not in targets]
+    resolved = lww_latest(
+        table._read_files(spark, m, victim_files),
+        m.key_cols,
+        lsn_col=HIDDEN_LSN,
+        op_col=None,
+    )
+    sid = table._current_schema_id(m)
+    new_files = table.write_data_files(resolved, m, sid, kind="base")
+    table.commit(
+        m,
+        keep_files + new_files,
+        summary={
+            "operation": "compact",
+            "buckets": sorted(targets),
+            "files_removed": len(victim_files),
+            "files_added": len(new_files),
+        },
+    )
+    return len(targets)

@@ -55,6 +55,9 @@ class DataFileEntry:
     schema_id: int
     min_key: str | None = None
     max_key: str | None = None
+    # 'base' = fully merged; 'delta' = merge-on-read increment (LWW over _lsn
+    # resolves base∪delta at read time; compaction folds deltas back to base)
+    kind: str = "base"
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -258,6 +261,7 @@ class LakeTable:
         m: Manifest,
         schema_id: int,
         repartition: bool = True,
+        kind: str = "base",
     ) -> list[DataFileEntry]:
         """Write df as bucketed immutable parquet files under data/; return entries.
 
@@ -295,7 +299,7 @@ class LakeTable:
                 entries.append(
                     DataFileEntry(
                         path=rel, bucket=bucket, rows=rows, schema_id=schema_id,
-                        min_key=kmin, max_key=kmax,
+                        min_key=kmin, max_key=kmax, kind=kind,
                     )
                 )
                 seq += 1

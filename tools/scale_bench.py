@@ -68,7 +68,8 @@ def _jvm_cpu_seconds() -> float:
     return total
 
 
-def worker(cpus: int, num_batches: int, single_batch: bool = False) -> None:
+def worker(cpus: int, num_batches: int, single_batch: bool = False,
+           strategy: str = "cow") -> None:
     import tempfile
 
     from pyspark.sql import functions as F
@@ -97,6 +98,7 @@ def worker(cpus: int, num_batches: int, single_batch: bool = False) -> None:
         lineage_path=f"{root}/lineage",
         num_buckets=32,  # identical physical layout at every parallelism level
         salt_buckets=8,
+        strategy=strategy,
     )
     # JIT/codegen warmup on a scratch table: the first micro-batch otherwise pays
     # ~10 s of one-time JVM compilation that is not steady-state throughput
@@ -126,7 +128,7 @@ def worker(cpus: int, num_batches: int, single_batch: bool = False) -> None:
     jvm_cpu = _jvm_cpu_seconds() - c0
     final_rows = pipe.final_state().count()
     print(json.dumps({
-        "cpus": cpus, "events": n_events, "applied": applied,
+        "cpus": cpus, "strategy": strategy, "events": n_events, "applied": applied,
         "elapsed_sec": round(elapsed, 2),
         "events_per_sec": round(n_events / elapsed, 1),
         "jvm_cpu_sec": round(jvm_cpu, 1),
@@ -151,11 +153,13 @@ def main() -> None:
                          "GC/IO threads overflow the nominal core budget)")
     ap.add_argument("--multi-batch", action="store_true",
                     help="apply per-segment micro-batches instead of one big batch")
+    ap.add_argument("--strategy", default="cow", choices=["cow", "mor"])
     ap.add_argument("--worker", type=int, default=None)
     args = ap.parse_args()
 
     if args.worker is not None:
-        worker(args.worker, args.batches, single_batch=not args.multi_batch)
+        worker(args.worker, args.batches, single_batch=not args.multi_batch,
+               strategy=args.strategy)
         return
 
     prep(args.events, args.keys, args.batches)
@@ -165,7 +169,8 @@ def main() -> None:
     for _ in range(args.repeats):
         for c in args.cpus:
             cmd = [sys.executable, os.path.abspath(__file__),
-                   "--worker", str(c), "--batches", str(args.batches)]
+                   "--worker", str(c), "--batches", str(args.batches),
+                   "--strategy", args.strategy]
             if args.multi_batch:
                 cmd.append("--multi-batch")
             if not args.no_pin and os.path.exists("/usr/bin/taskset"):
