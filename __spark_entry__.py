@@ -190,6 +190,69 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("doc_id", "tokens", "n_tok", "source", "lang")
 
 
+def cdc_accumulate_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulate-mode CDC (ref: ScriptedBulkUpdateFlow + the painless
+    append-fields set-union script, K4/A5): every upsert's token array unions
+    into the stored row instead of replacing it. Events are pre-reduced per key
+    within each batch (union is commutative/associative, so no LSN ordering is
+    needed) and applied with merge update_mode='array_union' across three
+    batches."""
+    from concepts_pipeline_spark.lake import LakeTable, merge_into
+    from pyspark.sql.types import LongType
+
+    log = derived_change_log(spark, sf_dir)
+    valid, _ = validate_events(log.filter(F.col("op") != "D"))
+    root = tempfile.mkdtemp(prefix="cps-accum-")
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("tokens", ArrayType(IntegerType()), True),
+            StructField("n_events", LongType(), True),
+        ]
+    )
+    table = LakeTable.create(f"{root}/acc", schema, ["doc_id"], num_buckets=8)
+    for b in range(3):
+        batch = valid.filter(F.pmod(F.col("lsn"), F.lit(3)) == b)
+        pre = batch.groupBy("doc_id").agg(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("tokens")))).alias("tokens"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.lit("U").alias("op"),
+        )
+        merge_into(
+            spark, table, pre,
+            update_mode="array_union", array_union_cols=["tokens"],
+            fence_token=f"accum:{b}",
+        )
+    out = table.read(spark)
+    # n_events replace-updates per batch; re-derive the true total per key so the
+    # output is order-independent: sum arrives via a second pass over the log
+    totals = valid.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return out.drop("n_events").join(totals, "doc_id").select(
+        "doc_id", "tokens", "n_events"
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization with a 30-minute inactivity gap —
+    F.session_window (SURVEY §2.8: absent in the reference, built-in here; the
+    same grouping drives streaming sessions with a watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-over-LSN last-writer-wins over valid events (SURVEY §2.4 A1)."""
     log = derived_change_log(spark, sf_dir)
@@ -675,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mor": cdc_replay_mor,
         "cdc_stream_final_state": cdc_stream_final_state,
         "cdc_schema_evolution": cdc_schema_evolution,
+        "cdc_accumulate_union": cdc_accumulate_union,
         "cdc_lww_latest": cdc_lww_latest,
         "cdc_quarantine_counts": cdc_quarantine_counts,
         "anti_join_new_keys": q_anti_join,
@@ -702,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue": q3_top_revenue,
         "events_hourly": q_events_hourly,
         "events_rollup": q_events_rollup,
+        "event_sessions": q_event_sessions,
     }
 
 
@@ -740,6 +805,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok, source,
                    CASE WHEN lsn % 2 = 1 THEN substr(source, 1, 2) END AS lang
             FROM latest WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_accumulate_union": f"""
+            WITH {LOG_CTE_SQL},
+            tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
+            valid AS (SELECT * FROM tagged
+                      WHERE reject_reason IS NULL AND op <> 'D')
+            SELECT doc_id,
+                   list_sort(list_distinct(flatten(list(tokens)))) AS tokens,
+                   count(*) AS n_events
+            FROM valid GROUP BY doc_id
         """,
         "cdc_lww_latest": f"""
             WITH {LOG_CTE_SQL},
@@ -992,6 +1067,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY o_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "event_sessions": """
+            WITH ordered AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                          THEN 0 ELSE 1 END AS new_session
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS sid
+              FROM ordered)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                     AS sum_value
+            FROM sess GROUP BY user_id, sid
         """,
         "events_rollup": """
             SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
