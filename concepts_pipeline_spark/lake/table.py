@@ -371,6 +371,34 @@ class LakeTable:
     def has_fence_token(self, token: str) -> bool:
         return token in self.manifest().fence_tokens
 
+    def expire_snapshots(self, keep_last: int = 1) -> tuple[int, int]:
+        """Drop all but the newest ``keep_last`` manifests and delete data files
+        no surviving snapshot references (Iceberg expire_snapshots + orphan-file
+        vacuum in one step). Time travel remains available within the kept
+        window. Returns (manifests_removed, data_files_removed)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self._manifest_versions()
+        drop = versions[:-keep_last]
+        if not drop:
+            return (0, 0)
+        keep = versions[-keep_last:]
+        referenced = {
+            f.path for v in keep for f in self.manifest(v).files
+        }
+        removed_files = 0
+        for v in drop:
+            for f in self.manifest(v).files:
+                if f.path not in referenced:
+                    p = os.path.join(self.path, f.path)
+                    if os.path.exists(p):
+                        os.unlink(p)
+                        removed_files += 1
+                    referenced.add(f.path)  # count each orphan once
+        for v in drop:
+            os.unlink(os.path.join(self.path, MANIFEST_DIR, f"v{v:012d}.json"))
+        return (len(drop), removed_files)
+
 
 def _arrow_type(dt):
     """Minimal Spark→Arrow type mapping for driver-side appends (primitives only)."""

@@ -1,0 +1,90 @@
+"""Snapshot expiry / orphan-file vacuum, and schema evolution under merge-on-read."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, StringType, StructField, StructType,
+)
+
+from concepts_pipeline_spark.cdc.apply import CdcPipeline
+from concepts_pipeline_spark.lake import LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("n_tok", IntegerType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+LOG = ("lsn long, op string, doc_id string, tokens array<int>, "
+       "n_tok int, source string")
+
+
+def test_expire_snapshots_keeps_state_and_removes_orphans(spark, tmp_path):
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t"), SCHEMA, ["doc_id"], num_buckets=2,
+    )
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(10 * i + j, "I" if i == 0 else "U", f"d{j}", [i, j], 2, "s")
+             for j in range(3)],
+            LOG,
+        )
+        pipe.apply_batch(b, fence_token=f"e:{i}")
+    t = pipe.target
+    versions_before = t._manifest_versions()
+    files_before = len(
+        [f for f in os.listdir(os.path.join(t.path, "data")) if f.endswith(".parquet")]
+    )
+    def snap(df):
+        return {(r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+                for r in df.collect()}
+
+    state_before = snap(pipe.final_state())
+
+    dropped_manifests, dropped_files = t.expire_snapshots(keep_last=2)
+    assert dropped_manifests == len(versions_before) - 2
+    assert dropped_files > 0
+    files_after = len(
+        [f for f in os.listdir(os.path.join(t.path, "data")) if f.endswith(".parquet")]
+    )
+    assert files_after == files_before - dropped_files
+
+    # current state unchanged; fence history survives; time travel within window
+    assert snap(pipe.final_state()) == state_before
+    assert t.has_fence_token("e:0")
+    assert len(t._manifest_versions()) == 2
+    t.read(spark, version=t._manifest_versions()[0]).collect()  # older kept snapshot
+
+    # idempotent
+    assert t.expire_snapshots(keep_last=2) == (0, 0)
+
+    # and new commits still apply cleanly after expiry
+    b = spark.createDataFrame([(100, "U", "d0", [9], 1, "s")], LOG)
+    pipe.apply_batch(b, fence_token="e:5")
+    got = {r["doc_id"]: tuple(r["tokens"]) for r in pipe.final_state().collect()}
+    assert got["d0"] == (9,)
+
+
+def test_mor_schema_evolution(spark, tmp_path):
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "m"), SCHEMA, ["doc_id"], num_buckets=2,
+        strategy="mor",
+    )
+    b1 = spark.createDataFrame([(1, "I", "a", [1], 1, "s"), (2, "I", "b", [2], 1, "s")], LOG)
+    pipe.apply_batch(b1, fence_token="m:1")
+    b2 = (
+        spark.createDataFrame([(10, "U", "a", [5], 1, "s")], LOG)
+        .withColumn("n_tok", F.col("n_tok").cast("long"))
+        .withColumn("lang", F.lit("en"))
+    )
+    pipe.apply_batch(b2, fence_token="m:2")
+    got = {r["doc_id"]: r.asDict() for r in pipe.final_state().collect()}
+    assert got["a"]["lang"] == "en" and got["a"]["tokens"] == [5]
+    assert got["b"]["lang"] is None and got["b"]["n_tok"] == 1
+    assert dict(pipe.final_state().dtypes)["n_tok"] == "bigint"  # widened
