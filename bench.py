@@ -106,6 +106,8 @@ def bench_queries(spark):
         "simhash_pairs": lambda: materialize(
             simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
         ),
+        "concept_extraction": run_named("concept_extraction"),
+        "skos_transform": run_named("skos_transform"),
         "text_quality": run_named("text_quality"),
         "lang_id": run_named("lang_id"),
         "doc_fingerprint": run_named("doc_fingerprint"),
@@ -144,7 +146,7 @@ def main():
         "cdc_events": n_events,
         "cdc_events_per_sec": round(n_events / timings["cdc_replay_1batch"], 1),
         "cdc_events_per_sec_4batch": round(n_events / timings["cdc_replay"], 1),
-        "notes": "see BASELINE.md 'Measured' section: 171k events/s at 8 pinned cores on a 4.2M-event feed; scaling methodology + efficiency there",
+        "notes": "see BASELINE.md Measured section: 171k (CoW) / 240k (MoR) events/s at 8 pinned cores on a 4.2M-event feed; scaling methodology + efficiency there",
         "rows": rows,
     }
     print(json.dumps(out))

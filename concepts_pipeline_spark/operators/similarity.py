@@ -69,6 +69,80 @@ def hyperplane_signature(
     return df.select(F.col(key_col), F.col(vec_col), sig.alias("signature"))
 
 
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    num_lists: int = 16,
+    seed: int = 7,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-flat index build: pick ``num_lists`` deterministic centroids (the
+    vectors whose xxhash64(key) ranks lowest — a seeded sample, no iteration),
+    assign every vector to its nearest centroid. Returns (assignments, centroids).
+
+    At cluster scale the assignment is one broadcast-join scan (centroids are
+    tiny) and the posting lists are written bucketed by ``list_id`` so a probe
+    reads only its lists' files."""
+    ranked = df.select(
+        F.col(key_col), F.col(vec_col),
+        F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)).alias("__rk"),
+    )
+    centroids = (
+        ranked.orderBy("__rk").limit(num_lists)
+        .select(
+            F.col(key_col).alias("list_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    from pyspark.sql.functions import broadcast
+
+    dist2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = df.crossJoin(broadcast(centroids)).select(
+        F.col(key_col), F.col(vec_col), F.col("list_id"), dist2.alias("__d2")
+    )
+    w_min = F.min_by(F.struct("list_id", "__d2"), F.col("__d2"))
+    assign = (
+        scored.groupBy(key_col)
+        .agg(w_min.alias("__w"), F.first(vec_col).alias(vec_col))
+        .select(key_col, vec_col, F.col("__w.list_id").alias("list_id"))
+    )
+    return assign, centroids
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 10,
+    num_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: rank centroids by distance to the query, search
+    only the ``n_probe`` nearest posting lists, exact cosine re-rank inside."""
+    assign, centroids = ivf_assign(df, vec_col, key_col, num_lists, seed)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cdist = F.aggregate(
+        F.zip_with(F.col("centroid"), q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe = [
+        r["list_id"]
+        for r in centroids.select("list_id", cdist.alias("d"))
+        .orderBy("d", "list_id")
+        .limit(n_probe)
+        .collect()
+    ]
+    candidates = assign.filter(F.col("list_id").isin(probe))
+    return cosine_topk(candidates, query_vec, vec_col, key_col, k)
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec: list[float],
