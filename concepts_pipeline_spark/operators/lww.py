@@ -67,6 +67,28 @@ def lww_latest(
         )
         winner = F.max_by(F.struct(*[F.col(c) for c in cols]), order_struct)
         return df.groupBy(*key_cols).agg(winner.alias("__w")).select("__w.*")
+    if method == "pandas":
+        # Arrow-batched applyInPandas per-key reduce (input_hint parity path):
+        # the same total order evaluated in numpy/pandas per group. Slower than
+        # 'agg' (no map-side combine, Python round-trip) — exists as the template
+        # for reductions that outgrow expressions.
+        import pandas as pd
+
+        cols = list(df.columns)
+        has_op = op_col is not None
+
+        def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+            rank = (
+                (pdf[op_col] == delete_op).astype(int)
+                if has_op
+                else pd.Series(0, index=pdf.index)
+            )
+            order = pd.DataFrame({"l": pdf[lsn_col], "r": rank})
+            idx = order.sort_values(["l", "r"], ascending=[False, False]).index[0]
+            return pdf.loc[[idx], cols]
+
+        return df.groupBy(*key_cols).applyInPandas(pick, schema=df.schema)
+
     order = _order_cols(lsn_col, op_col, delete_op, df.columns)
     if salt_buckets and salt_buckets > 1:
         salt = F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets))

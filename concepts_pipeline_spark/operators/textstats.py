@@ -46,9 +46,11 @@ def stopword_hits(text_col, lang: str = "en") -> F.Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features: token counts, mean word length, punctuation and
-    stopword ratios, and a composite score in [0,1]."""
+    stopword ratios, and a composite score in [0,1]. The word array is split
+    once and shared across the derived features."""
     t = F.col(text_col)
-    words = normalized_words(t)
+    df = df.withColumn("__qw", normalized_words(t))
+    words = F.col("__qw")
     n_words = token_count(t)
     n_chars = F.length(t)
     n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
@@ -56,9 +58,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(words) > 0,
         F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / F.size(words),
     ).otherwise(F.lit(0.0))
-    stop_ratio = F.when(
-        n_words > 0, stopword_hits(t, "en") / n_words
-    ).otherwise(F.lit(0.0))
+    sw_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    en_hits = F.size(F.filter(words, lambda w: F.array_contains(sw_en, w)))
+    stop_ratio = F.when(n_words > 0, en_hits / n_words).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     score = (
         F.lit(1.0)
@@ -75,34 +77,35 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stopword_ratio": F.round(stop_ratio, 6),
             "quality_score": F.round(score, 6),
         }
-    )
+    ).drop("__qw")
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hit counts.
 
     Ties break by language name order (deterministic). 'und' when no hits at all.
-    """
-    t = F.col(text_col)
+    The normalized word array is materialized ONCE as a column and shared by all
+    per-language counters (the naive formulation re-splits the text per language
+    — 4× the regex work; Catalyst does not CSE across separate expressions)."""
     langs = sorted(STOPWORDS)
+    with_words = df.withColumn("__words", normalized_words(F.col(text_col)))
+    words = F.col("__words")
+    def hit_count(lg: str) -> F.Column:
+        sw = F.array(*[F.lit(x) for x in STOPWORDS[lg]])
+        return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
     hits = F.array(
         *[
-            F.struct(
-                stopword_hits(t, lg).cast("int").alias("hits"), F.lit(lg).alias("lang")
-            )
+            F.struct(hit_count(lg).cast("int").alias("hits"), F.lit(lg).alias("lang"))
             for lg in langs
         ]
     )
-    best = F.array_max(hits)  # struct compare: hits first, then lang (desc tie → max lang)
-    # deterministic tie-break on *lowest* lang name among max hits:
     max_hits = F.array_max(F.transform(hits, lambda s: s["hits"]))
-    winner = F.array_min(
-        F.filter(hits, lambda s: s["hits"] == max_hits)
-    )["lang"]
-    return df.withColumn(
+    winner = F.array_min(F.filter(hits, lambda s: s["hits"] == max_hits))["lang"]
+    return with_words.withColumn(
         "detected_lang",
         F.when(max_hits > 0, winner).otherwise(F.lit("und")),
-    )
+    ).drop("__words")
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
