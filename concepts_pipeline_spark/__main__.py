@@ -1,0 +1,258 @@
+"""CLI entry points — the engine's analogue of the reference's three service
+mains (ingestor/aggregator/recorder Main.scala) plus the CDC/lake lifecycle:
+
+  python -m concepts_pipeline_spark ingest    --input <gz-ndjson…> --table <dir> [--authority lc-subjects]
+  python -m concepts_pipeline_spark aggregate --input <works-parquet> --json-col doc --key-col work_id --table <dir>
+  python -m concepts_pipeline_spark record    --catalogue <dir> --authoritative <dir> --out <dir>
+  python -m concepts_pipeline_spark replay    --feed <parquet-dir> --target <dir> [--strategy cow|mor] [--batch-col batch_id]
+  python -m concepts_pipeline_spark stream    --feed <dir> --target <dir> --checkpoint <dir>
+  python -m concepts_pipeline_spark compact   --table <dir> [--max-delta-files 4]
+  python -m concepts_pipeline_spark expire    --table <dir> [--keep-last 2]
+
+All commands run on the ambient Spark config (local[] here; identical code under
+``spark-submit --py-files`` on a cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from .session import get_spark
+
+    s = get_spark(app_name=app)
+    s.sparkContext.setLogLevel("WARN")
+    return s
+
+
+TOKENS_SCHEMA_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def cmd_ingest(args) -> dict:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from .lake import LakeTable, merge_into
+    from .operators.skos import filter_geographic_subdivisions, skos_transform
+
+    spark = _spark("cps-ingest")
+    lines = spark.read.text(list(args.input))
+    concepts = filter_geographic_subdivisions(
+        skos_transform(lines, "value", args.authority)
+    )
+    schema = StructType.fromDDL(
+        "authority string, identifier string, label string, "
+        "alternative_labels array<string>"
+    )
+    table = LakeTable.create(
+        args.table, schema, ["authority", "identifier"],
+        num_buckets=args.buckets, if_not_exists=True,
+    )
+    stats = merge_into(
+        spark, table, concepts.withColumn("op", F.lit("U")),
+        fence_token=args.fence,
+    )
+    return {"inserted": stats.inserted, "updated": stats.updated,
+            "noop": stats.noop, "skipped": stats.skipped}
+
+
+def cmd_aggregate(args) -> dict:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from .lake import LakeTable, merge_into
+    from .operators.extract import accumulate_catalogue_concepts, extract_concepts
+
+    spark = _spark("cps-aggregate")
+    works = spark.read.parquet(*args.input)
+    concepts = accumulate_catalogue_concepts(
+        extract_concepts(works, args.json_col, args.key_col)
+    )
+    schema = StructType.fromDDL(
+        "authority string, identifier_value string, label string, "
+        "canonical_ids array<string>, ontology_types array<string>, occurrences long"
+    )
+    table = LakeTable.create(
+        args.table, schema, ["authority", "identifier_value"],
+        num_buckets=args.buckets, if_not_exists=True,
+    )
+    stats = merge_into(
+        spark, table, concepts.withColumn("op", F.lit("U")),
+        update_mode="array_union",
+        array_union_cols=["canonical_ids", "ontology_types"],
+        fence_token=args.fence,
+    )
+    return {"applied": stats.applied, "noop": stats.noop, "skipped": stats.skipped}
+
+
+def cmd_record(args) -> dict:
+    from pyspark.sql import functions as F
+
+    from .lake import LakeTable
+    from .operators.record import record_concepts
+
+    spark = _spark("cps-record")
+    catalogue = LakeTable(args.catalogue).read(spark).select(
+        "authority", F.col("identifier_value").alias("identifier"),
+        "label", "canonical_ids", "ontology_types",
+    )
+    authoritative = LakeTable(args.authoritative).read(spark)
+    merged = record_concepts(catalogue, authoritative)
+    merged.write.mode("overwrite").parquet(args.out)
+    return {"rows": spark.read.parquet(args.out).count()}
+
+
+def cmd_replay(args) -> dict:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from .cdc.apply import CdcPipeline
+
+    spark = _spark("cps-replay")
+    feed = spark.read.parquet(args.feed)
+    pipe = CdcPipeline(
+        spark,
+        target_path=args.target,
+        target_schema=StructType.fromDDL(args.schema),
+        key_cols=args.keys.split(","),
+        quarantine_path=args.quarantine,
+        lineage_path=args.lineage,
+        changes_path=args.changes,
+        num_buckets=args.buckets,
+        strategy=args.strategy,
+    )
+    results = []
+    if args.batch_col and args.batch_col in feed.columns:
+        batch_ids = sorted(
+            r[0] for r in feed.select(args.batch_col).distinct().collect()
+        )
+        for b in batch_ids:
+            batch = feed.filter(F.col(args.batch_col) == b).drop(args.batch_col)
+            r = pipe.apply_batch(batch, fence_token=f"replay:{b}")
+            results.append({"batch": b, "applied": r.stats.applied,
+                            "quarantined": r.quarantined,
+                            "skipped": r.stats.skipped})
+    else:
+        r = pipe.apply_batch(feed, fence_token="replay:all")
+        results.append({"batch": "all", "applied": r.stats.applied,
+                        "quarantined": r.quarantined, "skipped": r.stats.skipped})
+    return {"batches": results, "final_rows": pipe.final_state().count()}
+
+
+def cmd_stream(args) -> dict:
+    from pyspark.sql.types import StructType
+
+    from .cdc.apply import CdcPipeline
+    from .streaming.runner import run_stream
+
+    spark = _spark("cps-stream")
+    pipe = CdcPipeline(
+        spark,
+        target_path=args.target,
+        target_schema=StructType.fromDDL(args.schema),
+        key_cols=args.keys.split(","),
+        quarantine_path=args.quarantine,
+        lineage_path=args.lineage,
+        num_buckets=args.buckets,
+        strategy=args.strategy,
+    )
+    schema = spark.read.parquet(args.feed).schema
+    h = run_stream(
+        spark, pipe, args.feed, args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger, schema=schema,
+    )
+    h.query.awaitTermination()
+    return {
+        "batches": [
+            {"batch_id": b, "applied": r.stats.applied, "skipped": r.stats.skipped}
+            for b, r in h.applied
+        ],
+        "final_rows": pipe.final_state().count(),
+    }
+
+
+def cmd_compact(args) -> dict:
+    from .lake import LakeTable
+    from .lake.merge import compact
+
+    spark = _spark("cps-compact")
+    n = compact(spark, LakeTable(args.table), args.max_delta_files)
+    return {"compacted_buckets": n}
+
+
+def cmd_expire(args) -> dict:
+    from .lake import LakeTable
+
+    manifests, files = LakeTable(args.table).expire_snapshots(args.keep_last)
+    return {"manifests_removed": manifests, "data_files_removed": files}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="concepts_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("ingest", help="gz NDJSON authority dump → authoritative table")
+    g.add_argument("--input", nargs="+", required=True)
+    g.add_argument("--table", required=True)
+    g.add_argument("--authority", default="lc-subjects")
+    g.add_argument("--buckets", type=int, default=16)
+    g.add_argument("--fence", default=None)
+    g.set_defaults(fn=cmd_ingest)
+
+    g = sub.add_parser("aggregate", help="works JSON → catalogue concepts (set-union accumulate)")
+    g.add_argument("--input", nargs="+", required=True)
+    g.add_argument("--json-col", default="doc")
+    g.add_argument("--key-col", default="work_id")
+    g.add_argument("--table", required=True)
+    g.add_argument("--buckets", type=int, default=16)
+    g.add_argument("--fence", default=None)
+    g.set_defaults(fn=cmd_aggregate)
+
+    g = sub.add_parser("record", help="catalogue ⋈ authoritative → final concepts parquet")
+    g.add_argument("--catalogue", required=True)
+    g.add_argument("--authoritative", required=True)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_record)
+
+    for name, fn in (("replay", cmd_replay), ("stream", cmd_stream)):
+        g = sub.add_parser(name, help=f"{name} a CDC feed into the tokens table")
+        g.add_argument("--feed", required=True)
+        g.add_argument("--target", required=True)
+        g.add_argument("--schema", default=TOKENS_SCHEMA_DDL)
+        g.add_argument("--keys", default="doc_id")
+        g.add_argument("--quarantine", default=None)
+        g.add_argument("--lineage", default=None)
+        g.add_argument("--buckets", type=int, default=16)
+        g.add_argument("--strategy", default="cow", choices=["cow", "mor"])
+        if name == "replay":
+            g.add_argument("--changes", default=None)
+            g.add_argument("--batch-col", default="batch_id")
+        else:
+            g.add_argument("--checkpoint", required=True)
+            g.add_argument("--max-files-per-trigger", type=int, default=4)
+        g.set_defaults(fn=fn)
+
+    g = sub.add_parser("compact", help="fold merge-on-read deltas back to base files")
+    g.add_argument("--table", required=True)
+    g.add_argument("--max-delta-files", type=int, default=4)
+    g.set_defaults(fn=cmd_compact)
+
+    g = sub.add_parser("expire", help="expire old snapshots + vacuum orphan files")
+    g.add_argument("--table", required=True)
+    g.add_argument("--keep-last", type=int, default=2)
+    g.set_defaults(fn=cmd_expire)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    out = args.fn(args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""CLI end-to-end: the three reference-service analogues chained
+(ingest → aggregate → record) plus replay/compact/expire, via main()."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+from concepts_pipeline_spark.__main__ import main
+from concepts_pipeline_spark.cdc.derive import derived_change_log
+from concepts_pipeline_spark.lake import LakeTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def skos_line(ident, label):
+    path = f"/authorities/subjects/{ident}"
+    return json.dumps({"@id": path, "@graph": [
+        {"@id": f"http://id.loc.gov{path}", "skos:prefLabel": label}
+    ]})
+
+
+def work_doc(wid, concepts):
+    return json.dumps({"id": wid, "type": "Work", "subjects": concepts})
+
+
+def concept(cid, value, authority="lc-subjects", label="L"):
+    return {"id": cid, "type": "Subject", "label": label,
+            "identifiers": [{"value": value, "identifierType": {"id": authority}}]}
+
+
+def run(capsys, argv):
+    assert main(argv) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_ingest_aggregate_record(spark, tmp_path, capsys):
+    gz = tmp_path / "dump.ndjson.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write(skos_line("sh1", "Sanitation") + "\n")
+        fh.write(skos_line("sh2", "Libraries") + "\n")
+
+    out = run(capsys, [
+        "ingest", "--input", f"file://{gz}", "--table", str(tmp_path / "auth"),
+        "--fence", "i:1",
+    ])
+    assert out["inserted"] == 2
+
+    works = spark.createDataFrame(
+        [("w1", work_doc("w1", [concept("c1", "sh1")])),
+         ("w2", work_doc("w2", [concept("c2", "sh1"), concept("c3", "sh2")]))],
+        ["work_id", "doc"],
+    )
+    works.write.parquet(f"file://{tmp_path}/works")
+    out = run(capsys, [
+        "aggregate", "--input", f"file://{tmp_path}/works",
+        "--table", str(tmp_path / "cat"), "--fence", "a:1",
+    ])
+    assert out["applied"] == 2  # (lc-subjects, sh1) and (lc-subjects, sh2)
+
+    out = run(capsys, [
+        "record", "--catalogue", str(tmp_path / "cat"),
+        "--authoritative", str(tmp_path / "auth"),
+        "--out", f"file://{tmp_path}/final",
+    ])
+    assert out["rows"] == 3  # c1, c2 (sameAs siblings), c3
+    final = {r["canonical_id"]: r for r in
+             spark.read.parquet(f"file://{tmp_path}/final").collect()}
+    assert final["c1"]["label"] == "Sanitation"  # authoritative label won
+    assert sorted(final["c1"]["same_as"]) == ["c2"]
+
+
+def test_cli_replay_compact_expire(spark, tmp_path, capsys):
+    feed = derived_change_log(spark, SF).withColumn(
+        "batch_id", F.pmod(F.col("lsn"), F.lit(3))
+    )
+    feed.write.parquet(f"file://{tmp_path}/feed")
+    target = str(tmp_path / "tokens")
+    out = run(capsys, [
+        "replay", "--feed", f"file://{tmp_path}/feed", "--target", target,
+        "--strategy", "mor", "--quarantine", str(tmp_path / "q"),
+        "--lineage", str(tmp_path / "l"),
+    ])
+    assert len(out["batches"]) == 3 and out["final_rows"] == 12
+
+    out = run(capsys, ["compact", "--table", target, "--max-delta-files", "1"])
+    assert out["compacted_buckets"] > 0
+
+    out = run(capsys, ["expire", "--table", target, "--keep-last", "1"])
+    assert out["manifests_removed"] > 0
+    assert LakeTable(target).exists()
