@@ -88,6 +88,44 @@ def merge_into(
     touched_buckets: list[int] | None = None,
     changes_table: LakeTable | None = None,
     strategy: str = "cow",
+    max_retries: int = 2,
+) -> MergeStats:
+    """Optimistic-concurrency wrapper: on CommitConflict (another writer won the
+    manifest swap) the merge re-reads the NEW snapshot and re-runs — correct
+    because the whole merge is computed against the manifest it read, the fence
+    check is repeated per attempt (a racing writer that already applied this
+    fence turns the retry into a skip), and already-written data files of the
+    losing attempt are unreferenced orphans (reclaimed by expire_snapshots)."""
+    from .table import CommitConflict
+
+    attempt = 0
+    while True:
+        try:
+            return _merge_into_once(
+                spark, table, source, op_col, delete_op, update_mode,
+                array_union_cols, evolve, fence_token, lsn_col,
+                touched_buckets, changes_table, strategy,
+            )
+        except CommitConflict:
+            if attempt >= max_retries:
+                raise
+            attempt += 1
+
+
+def _merge_into_once(
+    spark: SparkSession,
+    table: LakeTable,
+    source: DataFrame,
+    op_col: str = "op",
+    delete_op: str = "D",
+    update_mode: str = "replace",
+    array_union_cols: list[str] | None = None,
+    evolve: bool = True,
+    fence_token: str | None = None,
+    lsn_col: str | None = None,
+    touched_buckets: list[int] | None = None,
+    changes_table: LakeTable | None = None,
+    strategy: str = "cow",
 ) -> MergeStats:
     """Apply a deduplicated change batch (≤1 row per key, see operators.lww) to table.
 

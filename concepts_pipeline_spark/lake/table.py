@@ -278,8 +278,8 @@ class LakeTable:
             out = out.repartition(m.num_buckets, "__bucket")
         out.write.partitionBy("__bucket").mode("overwrite").parquet(f"file://{tmp}")
 
-        entries: list[DataFileEntry] = []
         key0 = m.key_cols[0]
+        staged: list[tuple[str, int]] = []  # (relative path, bucket)
         for dirname in sorted(os.listdir(tmp)):
             if not dirname.startswith("__bucket="):
                 continue
@@ -292,17 +292,34 @@ class LakeTable:
                 src = os.path.join(bdir, fname)
                 rel = os.path.join(DATA_DIR, f"{commit_id}-b{bucket:05d}-{seq:04d}.parquet")
                 os.rename(src, os.path.join(self.path, rel))
-                rows, kmin, kmax = _parquet_stats(os.path.join(self.path, rel), key0)
-                if rows == 0:
-                    os.unlink(os.path.join(self.path, rel))
-                    continue
-                entries.append(
-                    DataFileEntry(
-                        path=rel, bucket=bucket, rows=rows, schema_id=schema_id,
-                        min_key=kmin, max_key=kmax, kind=kind,
-                    )
-                )
+                staged.append((rel, bucket))
                 seq += 1
+
+        # footer stats in a driver-side thread pool: at cluster scale a commit
+        # stages thousands of files and sequential footer reads become the
+        # serial tail of every batch
+        from concurrent.futures import ThreadPoolExecutor
+
+        def stat(item: tuple[str, int]):
+            rel, bucket = item
+            rows, kmin, kmax = _parquet_stats(os.path.join(self.path, rel), key0)
+            return rel, bucket, rows, kmin, kmax
+
+        workers = min(16, max(4, len(staged)))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            stats = list(pool.map(stat, staged))
+
+        entries: list[DataFileEntry] = []
+        for rel, bucket, rows, kmin, kmax in stats:
+            if rows == 0:
+                os.unlink(os.path.join(self.path, rel))
+                continue
+            entries.append(
+                DataFileEntry(
+                    path=rel, bucket=bucket, rows=rows, schema_id=schema_id,
+                    min_key=kmin, max_key=kmax, kind=kind,
+                )
+            )
         shutil.rmtree(tmp, ignore_errors=True)
         return entries
 
