@@ -235,28 +235,20 @@ class CdcPipeline:
         rows_in = probe["rows_in"]
         touched_buckets = [int(b) for b in probe["buckets"]]
 
-        # Quarantine write: the reject count rides the write action as an
-        # Observation (no separate counting job over the batch).
+        # Quarantine write: the reject count comes from the append's own commit
+        # summary (write_data_files already reads per-file row counts) — no
+        # Observation, no separate counting job over the batch.
         n_rejects = 0
         valid = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
         if self.quarantine is not None:
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            observed = tagged.observe(
-                obs,
-                F.sum(
-                    F.when(F.col("reject_reason").isNotNull(), F.lit(1)).otherwise(F.lit(0))
-                ).alias("n_rejects"),
-            )
-            rejects = observed.filter(F.col("reject_reason").isNotNull())
+            rejects = tagged.filter(F.col("reject_reason").isNotNull())
             committed = self.quarantine.append(rejects, fence_token=f"{fence_token}:q")
             if committed is not None:
-                n_rejects = int(obs.get["n_rejects"] or 0)
+                n_rejects = int(committed.summary.get("rows", 0))
             else:
-                # crash-recovery replay: quarantine already fenced, the observed
-                # action never ran — count the (tiny) reject set directly
-                n_rejects = tagged.filter(F.col("reject_reason").isNotNull()).count()
+                # crash-recovery replay: quarantine already fenced — count the
+                # (tiny) reject set directly
+                n_rejects = rejects.count()
 
         deduped = lww_latest(
             valid,

@@ -203,6 +203,21 @@ def _merge_into_once(
         )
     else:
         touched_buckets = sorted(set(touched_buckets))
+
+    if not touched_buckets:
+        # empty batch: nothing to read or write, but the fence must still commit
+        # (exactly-once bookkeeping for replays of the empty batch)
+        if src_persisted:
+            src.unpersist()
+        table.commit(
+            m, m.files, schema_json=schema_json, schemas=schemas,
+            fence_token=fence_token,
+            summary={"operation": "merge", "empty_batch": True},
+        )
+        stats = MergeStats(version=m.version + 1)
+        stats.wall_ms = int((time.time() - t0) * 1000)
+        return stats
+
     tb = set(touched_buckets)
     touched_files = [f for f in m.files if f.bucket in tb]
     passthrough_files = [f for f in m.files if f.bucket not in tb]
@@ -328,10 +343,15 @@ def _merge_into_once(
 
     obs = Observation()
     count_aggs = [
-        F.sum(
-            F.when(
-                (F.col(BUCKET_COL) == b) & (F.col(ACTION_COL) == a), F.lit(1)
-            ).otherwise(F.lit(0))
+        # coalesce: sum() over an empty merge result is NULL and Observation.get
+        # cannot convert null metric rows
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col(BUCKET_COL) == b) & (F.col(ACTION_COL) == a), F.lit(1)
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
         ).alias(f"c_{b}_{a}")
         for b in touched_buckets
         for a in _ACTIONS
@@ -363,7 +383,14 @@ def _merge_into_once(
             )
 
         stats = MergeStats(version=m.version + 1)
-        metrics = obs.get
+        try:
+            metrics = obs.get
+        except Exception:
+            # Spark quirk: observe + repartition + EMPTY result + AQE loses the
+            # metrics row (verified: non-empty or AQE-off is fine). The only
+            # reachable empty-result case here is all-invalid events against
+            # never-written buckets — every count is zero.
+            metrics = {}
         per_bucket: dict[int, dict] = {}
         for b in touched_buckets:
             pb = {"bucket": b, "inserted": 0, "updated": 0, "deleted": 0,
