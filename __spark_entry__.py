@@ -377,6 +377,15 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup decision: jaccard pairs → connected components (min-label
+    propagation) → one survivor per cluster."""
+    from concepts_pipeline_spark.operators.dedup import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_survivors(docs, "text", "doc_id", n=1, threshold=0.8)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
@@ -759,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "most_specific_type": q_most_specific_type,
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_survivors": q_dedup_survivors,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_near_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -920,6 +930,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.key = i.key_a
             JOIN sizes sb ON sb.key = i.key_b
             WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE {_WORDS_CTE},
+            sh AS (SELECT doc_id AS key, unnest(list_distinct(words)) AS shingle FROM w),
+            sizes AS (SELECT key, count(*) AS set_size FROM sh GROUP BY key),
+            inter AS (
+              SELECT a.key AS key_a, b.key AS key_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
+              GROUP BY a.key, b.key),
+            pairs AS (
+              SELECT i.key_a, i.key_b FROM inter i
+              JOIN sizes sa ON sa.key = i.key_a
+              JOIN sizes sb ON sb.key = i.key_b
+              WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8),
+            edges AS (
+              SELECT key_a AS a, key_b AS b FROM pairs
+              UNION SELECT key_b, key_a FROM pairs
+              UNION SELECT doc_id, doc_id FROM documents),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+            SELECT d.doc_id,
+                   (SELECT min(r.b) FROM reach r WHERE r.a = d.doc_id) AS cluster_rep,
+                   d.doc_id = (SELECT min(r.b) FROM reach r WHERE r.a = d.doc_id)
+                     AS is_survivor
+            FROM documents d
         """,
         "embedding_neardup": """
             WITH v AS (SELECT vec_id AS key, CAST(embedding AS DOUBLE[]) AS vec

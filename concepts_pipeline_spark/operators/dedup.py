@@ -254,6 +254,76 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    key_col: str = "key",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation over near-duplicate pairs → (key, cluster_rep).
+
+    ``pairs``: (key_a, key_b) undirected edges; ``nodes``: all keys (singletons
+    keep themselves as rep). Each iteration joins current labels across edges
+    and keeps the per-key minimum; converges in O(graph diameter) rounds
+    (near-dup clusters are small and dense, so typically 2-4). The loop is
+    driver-side control flow over fully distributed joins — no collected data —
+    and each round localCheckpoints to truncate the lineage (at cluster scale:
+  checkpoint to durable storage instead)."""
+    edges = (
+        pairs.select(F.col("key_a").alias("a"), F.col("key_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("key_b").alias("a"), F.col("key_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(key_col).alias("a"), F.col(key_col).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("a", "b2"), edges.b == F.col("b2"))
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="a", how="left")
+            .select(
+                "a",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+                (F.coalesce(F.col("nbr_lbl"), F.col("lbl")) < F.col("lbl")).alias("__chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.agg(
+            F.coalesce(F.sum(F.col("__chg").cast("int")), F.lit(0))
+        ).first()[0]
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("a").alias(key_col), F.col("lbl").alias("cluster_rep"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n: int = 1,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-duplicate dedup DECISION: jaccard pairs → connected
+    components → one survivor (min key) per cluster.
+
+    Output: (key, cluster_rep, is_survivor) for every document."""
+    pairs = ngram_jaccard_pairs(df, text_col, key_col, n=n, threshold=threshold)
+    nodes = df.select(F.col(key_col).alias("key"))
+    comps = connected_components(pairs, nodes, "key")
+    return comps.select(
+        F.col("key").alias(key_col),
+        F.col("cluster_rep"),
+        (F.col("key") == F.col("cluster_rep")).alias("is_survivor"),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, vec_col: str, key_col: str, threshold: float = 0.95
 ) -> DataFrame:

@@ -1,0 +1,35 @@
+"""Connected-components / dedup-survivor tests on hand-built graphs."""
+
+from __future__ import annotations
+
+from concepts_pipeline_spark.operators.dedup import connected_components
+
+
+def run(spark, edges, nodes):
+    p = spark.createDataFrame(edges, "key_a string, key_b string") if edges else \
+        spark.createDataFrame([], "key_a string, key_b string")
+    n = spark.createDataFrame([(x,) for x in nodes], "key string")
+    return {r["key"]: r["cluster_rep"]
+            for r in connected_components(p, n, "key").collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # a-b-c-d chain: diameter 3, needs multiple propagation rounds
+    got = run(spark, [("b", "a"), ("c", "b"), ("d", "c")], ["a", "b", "c", "d"])
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_star_and_singleton(spark):
+    got = run(spark, [("m", "z"), ("m", "y"), ("m", "x")],
+              ["m", "x", "y", "z", "lonely"])
+    assert got == {"m": "m", "x": "m", "y": "m", "z": "m", "lonely": "lonely"}
+
+
+def test_two_components(spark):
+    got = run(spark, [("b", "a"), ("d", "c")], ["a", "b", "c", "d"])
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+
+def test_no_edges(spark):
+    got = run(spark, [], ["p", "q"])
+    assert got == {"p": "p", "q": "q"}
