@@ -365,6 +365,25 @@ def q_most_specific_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data operators: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
 
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality features → language filter →
+    near-dup survivor selection, in one DataFrame chain — the end-user flow the
+    individual operators exist for."""
+    from concepts_pipeline_spark.operators.dedup import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lang_id(quality_features(docs, "text"), "text")
+    kept = scored.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("detected_lang") == "en")
+    )
+    surv = dedup_survivors(docs, "text", "doc_id", n=1, threshold=0.8).filter(
+        F.col("is_survivor")
+    )
+    return kept.join(surv.select("doc_id"), "doc_id").select(
+        "doc_id", "n_words", "quality_score", "detected_lang"
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, "text", "doc_id").select(
@@ -769,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_survivors": q_dedup_survivors,
+        "training_corpus": q_training_corpus,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_near_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -957,6 +977,64 @@ def oracle_sql() -> dict[str, str]:
                    d.doc_id = (SELECT min(r.b) FROM reach r WHERE r.a = d.doc_id)
                      AS is_survivor
             FROM documents d
+        """,
+        "training_corpus": f"""
+            WITH RECURSIVE {_WORDS_CTE},
+            sh AS (SELECT doc_id AS key, unnest(list_distinct(words)) AS shingle FROM w),
+            sizes AS (SELECT key, count(*) AS set_size FROM sh GROUP BY key),
+            inter AS (
+              SELECT a.key AS key_a, b.key AS key_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.key < b.key
+              GROUP BY a.key, b.key),
+            pairs AS (
+              SELECT i.key_a, i.key_b FROM inter i
+              JOIN sizes sa ON sa.key = i.key_a
+              JOIN sizes sb ON sb.key = i.key_b
+              WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8),
+            edges AS (
+              SELECT key_a AS a, key_b AS b FROM pairs
+              UNION SELECT key_b, key_a FROM pairs
+              UNION SELECT doc_id, doc_id FROM documents),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            survivors AS (
+              SELECT d.doc_id FROM documents d
+              WHERE d.doc_id = (SELECT min(r.b) FROM reach r WHERE r.a = d.doc_id)),
+            feats AS (
+              SELECT doc_id, words, text,
+                CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+                CASE WHEN len(text) > 0
+                     THEN (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))
+                          / len(text)
+                     ELSE 0.0 END AS punct_ratio,
+                len(list_filter(words, x -> list_contains(
+                  ['the','and','of','to','a','in','is','it','that','for'], x))) AS sw_en,
+                len(list_filter(words, x -> list_contains(
+                  ['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS h_de,
+                len(list_filter(words, x -> list_contains(
+                  ['el','la','los','de','que','y','en','un','es','por'], x))) AS h_es,
+                len(list_filter(words, x -> list_contains(
+                  ['le','la','les','et','de','un','une','est','que','pour'], x))) AS h_fr
+              FROM w),
+            scored AS (
+              SELECT doc_id, n_words,
+                round(1.0 - least(punct_ratio * 2, 0.5)
+                      - CASE WHEN (CASE WHEN n_words > 0 THEN sw_en / n_words ELSE 0.0 END) < 0.05
+                             THEN 0.25 ELSE 0.0 END
+                      - CASE WHEN n_words < 5 THEN 0.25 ELSE 0.0 END, 6) AS quality_score,
+                CASE WHEN greatest(h_de, sw_en, h_es, h_fr) = 0 THEN 'und'
+                     WHEN h_de = greatest(h_de, sw_en, h_es, h_fr) THEN 'de'
+                     WHEN sw_en = greatest(h_de, sw_en, h_es, h_fr) THEN 'en'
+                     WHEN h_es = greatest(h_de, sw_en, h_es, h_fr) THEN 'es'
+                     ELSE 'fr' END AS detected_lang
+              FROM feats)
+            SELECT s.doc_id, CAST(s.n_words AS INT) AS n_words,
+                   s.quality_score, s.detected_lang
+            FROM scored s JOIN survivors v ON s.doc_id = v.doc_id
+            WHERE s.quality_score >= 0.5 AND s.detected_lang = 'en'
         """,
         "embedding_neardup": """
             WITH v AS (SELECT vec_id AS key, CAST(embedding AS DOUBLE[]) AS vec
