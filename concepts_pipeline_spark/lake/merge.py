@@ -187,6 +187,13 @@ def _merge_into_once(
     if strategy == "mor":
         if lsn_col is None:
             raise ValueError("merge-on-read requires lsn_col (LWW read resolution)")
+        if update_mode != "replace":
+            # deferred set-union would need union (not LWW) read resolution —
+            # refuse loudly rather than silently replacing
+            raise ValueError(
+                f"update_mode={update_mode!r} is not supported under merge-on-read; "
+                "use strategy='cow' for accumulate semantics"
+            )
         return _mor_append(
             table, m, src, new_schema, schema_json, schemas, schema_id,
             op_col, fence_token, t0,

@@ -109,3 +109,21 @@ def test_mor_read_resolves_lww_not_duplicates(spark, tmp_path):
     mor.apply_batch(b2, fence_token="t:2")
     got = state(mor.final_state())
     assert got == {"a": ((9,), 1, "s")}  # a updated, b deleted, no dup rows
+
+
+def test_mor_rejects_array_union_mode(spark, tmp_path):
+    import pytest
+    from concepts_pipeline_spark.lake import LakeTable, merge_into
+    from pyspark.sql.types import StructType
+
+    t = LakeTable.create(
+        str(tmp_path / "au"),
+        StructType.fromDDL("doc_id string, xs array<int>, _lsn long, _deleted boolean"),
+        ["doc_id"], num_buckets=2,
+    )
+    src = spark.createDataFrame(
+        [(1, "U", "a", [1])], "lsn long, op string, doc_id string, xs array<int>"
+    )
+    with pytest.raises(ValueError, match="not supported under merge-on-read"):
+        merge_into(spark, t, src, lsn_col="lsn", strategy="mor",
+                   update_mode="array_union", array_union_cols=["xs"])
