@@ -186,6 +186,13 @@ class CdcPipeline:
                 if_not_exists=True,
             )
         self.changes: LakeTable | None = None
+        if changes_path and strategy != "cow":
+            # MoR appends deltas without reading the target, so per-key action
+            # classification (which feeds the outbox) does not exist there
+            raise ValueError(
+                "changes_path (downstream outbox) requires strategy='cow' — "
+                "merge-on-read never classifies per-key actions"
+            )
         if changes_path:
             # downstream change outbox (ref: publishIds + TopicPublisher,
             # aggregator/ConceptsAggregator.scala:120-124): only keys whose merge
@@ -207,7 +214,22 @@ class CdcPipeline:
     def apply_batch(self, batch: DataFrame, fence_token: str) -> ApplyResult:
         """Validate + LWW + fenced merge + lineage for one change batch."""
         if self.target.has_fence_token(fence_token):
-            # replayed batch (foreachBatch retry / restart): already applied
+            # replayed batch (foreachBatch retry / restart): already applied.
+            # A crash BETWEEN the target commit and the lineage append would
+            # otherwise leave a permanent lineage hole — close it with a fenced
+            # recovery marker (no-op when the lineage row already landed).
+            if self.lineage is not None and not self.lineage.has_fence_token(
+                f"{fence_token}:l"
+            ):
+                self.lineage.append_rows(
+                    [{
+                        "fence_token": fence_token, "commit_version": None,
+                        "bucket": -1, "inserted": 0, "updated": 0, "deleted": 0,
+                        "noop": 0, "stale": 0, "carried": 0, "delete_missing": 0,
+                        "rows_in": 0, "quarantined": 0, "wall_ms": 0,
+                    }],
+                    fence_token=f"{fence_token}:l",
+                )
             return ApplyResult(
                 stats=MergeStats(skipped=True, version=self.target.current_version()),
                 rows_in=0,

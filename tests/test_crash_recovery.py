@@ -82,3 +82,37 @@ def test_crash_between_quarantine_and_target_commit(spark, tmp_path, monkeypatch
         lin.groupBy("fence_token", "bucket").count().filter(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_crash_between_target_commit_and_lineage(spark, tmp_path, monkeypatch):
+    """Crash AFTER the target commit but BEFORE the lineage append: the fenced
+    retry must close the lineage hole with a recovery marker, exactly once."""
+    log = derived_change_log(spark, SF)
+    pipe = make_pipe(spark, tmp_path)
+    from concepts_pipeline_spark.lake.table import LakeTable
+
+    real_append_rows = LakeTable.append_rows
+    boom = {"armed": True}
+
+    def exploding_append_rows(self, rows, fence_token=None):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise Boom("crash before lineage append")
+        return real_append_rows(self, rows, fence_token=fence_token)
+
+    monkeypatch.setattr(LakeTable, "append_rows", exploding_append_rows)
+    with pytest.raises(Boom):
+        pipe.apply_batch(log, fence_token="lh:0")
+    # target committed, lineage did not
+    assert pipe.target.has_fence_token("lh:0")
+    assert not pipe.lineage.has_fence_token("lh:0:l")
+
+    res = pipe.apply_batch(log, fence_token="lh:0")  # fenced retry
+    assert res.stats.skipped
+    assert pipe.lineage.has_fence_token("lh:0:l")
+    lin = pipe.lineage.read(spark).filter(F.col("fence_token") == "lh:0")
+    assert lin.count() == 1  # the recovery marker, exactly once
+
+    # a second retry does not duplicate it
+    pipe.apply_batch(log, fence_token="lh:0")
+    assert pipe.lineage.read(spark).filter(F.col("fence_token") == "lh:0").count() == 1
