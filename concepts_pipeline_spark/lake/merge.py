@@ -539,6 +539,83 @@ def read_merged(spark: SparkSession, table: LakeTable, version: int | None = Non
     return table._read_files(spark, m, clean).unionByName(resolved)
 
 
+def rescale_buckets(
+    spark: SparkSession,
+    table: LakeTable,
+    new_num_buckets: int,
+) -> Manifest:
+    """Rewrite the table under a new bucket count — the answer to "would the
+    partition strategy hold at 1000×?": as the key space grows, the bucket
+    count evolves in one atomic commit (readers keep snapshot isolation; the
+    swap is the same optimistic manifest commit as every other write). MoR
+    deltas are LWW-resolved into the new base generation as part of the rewrite."""
+    if new_num_buckets < 1:
+        raise ValueError("new_num_buckets must be >= 1")
+    m = table.manifest()
+    if new_num_buckets == m.num_buckets:
+        return m
+    merged = read_merged(spark, table)
+    new_base = Manifest.from_json(m.to_json())
+    new_base.num_buckets = new_num_buckets
+    sid = table._current_schema_id(new_base)
+    files = table.write_data_files(merged, new_base, sid, kind="base")
+    out = Manifest(
+        version=m.version + 1,
+        schema_json=m.schema_json,
+        key_cols=m.key_cols,
+        num_buckets=new_num_buckets,
+        files=files,
+        schemas=new_base.schemas,
+        fence_tokens=list(m.fence_tokens),
+        summary={"operation": "rescale", "from": m.num_buckets,
+                 "to": new_num_buckets, "rows": sum(f.rows for f in files)},
+        properties=m.properties,
+    )
+    table._write_manifest(out)
+    return out
+
+
+def read_for_keys(
+    spark: SparkSession,
+    table: LakeTable,
+    keys: list,
+    version: int | None = None,
+):
+    """Batched point lookup (the reference's `_mget`, recorder/MultiGetFlow.scala:
+    20-53, done with storage statistics): prune to the buckets the keys hash to,
+    then drop files whose [min_key, max_key] range excludes every key — only the
+    surviving files are scanned, with a residual IN filter. MoR deltas in the
+    touched buckets are LWW-resolved."""
+    from ..operators.lww import lww_latest
+
+    m = table.manifest(version)
+    key0 = m.key_cols[0]
+    one = spark.createDataFrame([(k,) for k in keys], f"{key0} {m.schema[key0].dataType.simpleString()}")
+    buckets = {
+        int(r[0])
+        for r in one.select(bucket_expr(m.key_cols, m.num_buckets)).collect()
+    }
+    str_keys = sorted(str(k) for k in keys)
+    lo, hi = str_keys[0], str_keys[-1]
+
+    def file_may_contain(f: DataFileEntry) -> bool:
+        if f.bucket not in buckets:
+            return False
+        if f.min_key is None or f.max_key is None:
+            return True  # no stats → must read
+        return not (f.max_key < lo or f.min_key > hi) and any(
+            f.min_key <= k <= f.max_key for k in str_keys
+        )
+
+    files = [f for f in m.files if file_may_contain(f)]
+    if not files:
+        return spark.createDataFrame([], m.schema)
+    df = table._read_files(spark, m, files).filter(F.col(key0).isin(list(keys)))
+    if any(f.kind == "delta" for f in files):
+        df = lww_latest(df, m.key_cols, lsn_col=HIDDEN_LSN, op_col=None)
+    return df
+
+
 def compact(
     spark: SparkSession,
     table: LakeTable,
