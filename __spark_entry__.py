@@ -365,6 +365,13 @@ def q_most_specific_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data operators: dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
 
+def q_dedup_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concepts_pipeline_spark.operators.dedup import dedup_survivors_lsh
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_survivors_lsh(docs, "text", "doc_id", n=1, threshold=0.8)
+
+
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: quality features → language filter →
     near-dup survivor selection, in one DataFrame chain — the end-user flow the
@@ -788,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_survivors_lsh": q_dedup_survivors_lsh,
         "training_corpus": q_training_corpus,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_near_pairs": q_simhash_pairs,

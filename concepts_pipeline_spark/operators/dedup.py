@@ -324,6 +324,32 @@ def dedup_survivors(
     )
 
 
+def dedup_survivors_lsh(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n: int = 1,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The 100 TB path of the dedup decision: MinHash-LSH candidate pairs
+    (equi-join on band buckets, exact-verify on candidates only) → connected
+    components → one survivor per cluster. Same output contract as
+    dedup_survivors; candidate generation never goes O(n²)."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, key_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold,
+    )
+    nodes = df.select(F.col(key_col).alias("key"))
+    comps = connected_components(pairs, nodes, "key")
+    return comps.select(
+        F.col("key").alias(key_col),
+        F.col("cluster_rep"),
+        (F.col("key") == F.col("cluster_rep")).alias("is_survivor"),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, vec_col: str, key_col: str, threshold: float = 0.95
 ) -> DataFrame:
