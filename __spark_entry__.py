@@ -67,6 +67,20 @@ TOKENS_SCHEMA = StructType(
     ]
 )
 
+
+def _j(col: str):
+    """Serialize an array column to its canonical JSON string.
+
+    The driver's correctness gate canonicalizes results with pandas
+    ``sort_values`` + value hashing, which requires every cell to be hashable —
+    raw ``array<...>`` cells crash it (``unhashable type: 'list'``). Spark's
+    ``to_json`` and DuckDB's ``CAST(to_json(...) AS VARCHAR)`` produce
+    byte-identical strings (``[1,2,3]`` / ``["a","b \\"q\\""]`` / NULL for NULL),
+    so both sides of the gate serialize arrays at the query-contract surface
+    while the engine keeps real ArrayType columns internally.
+    """
+    return F.to_json(F.col(col)).alias(col)
+
 QUERY_VEC = [round(0.015 * ((i * 37 + 11) % 64) - 0.45, 3) for i in range(64)]
 
 
@@ -104,7 +118,7 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(4):
         batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
         pipe.apply_batch(batch, fence_token=f"entry-replay:{b}")
-    return pipe.final_state().select("doc_id", "tokens", "n_tok", "source")
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
 def cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,7 +140,7 @@ def cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(4):
         batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
         pipe.apply_batch(batch, fence_token=f"mor-replay:{b}")
-    return pipe.final_state().select("doc_id", "tokens", "n_tok", "source")
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
 def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +170,7 @@ def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="entry-stream", max_files_per_trigger=2, schema=log.schema,
     )
     h.query.awaitTermination()
-    return pipe.final_state().select("doc_id", "tokens", "n_tok", "source")
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
 def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,7 +201,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipe.apply_batch(b1, fence_token="evolve:0")
     pipe.apply_batch(b2, fence_token="evolve:1")
-    return pipe.final_state().select("doc_id", "tokens", "n_tok", "source", "lang")
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source", "lang")
 
 
 def cdc_accumulate_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +242,7 @@ def cdc_accumulate_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output is order-independent: sum arrives via a second pass over the log
     totals = valid.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_events"))
     return out.drop("n_events").join(totals, "doc_id").select(
-        "doc_id", "tokens", "n_events"
+        "doc_id", _j("tokens"), "n_events"
     )
 
 
@@ -258,7 +272,7 @@ def cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = derived_change_log(spark, sf_dir)
     valid, _ = validate_events(log)
     win = lww_latest(valid, ["doc_id"], salt_buckets=4)
-    return win.select("doc_id", "lsn", "op", "tokens", "n_tok", "source")
+    return win.select("doc_id", "lsn", "op", _j("tokens"), "n_tok", "source")
 
 
 def cdc_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,7 +356,7 @@ def q_set_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _t(spark, sf_dir, "events").select(
         F.col("user_id").alias("key"), F.array("event_type").alias("event_types")
     )
-    return set_union_agg(df, ["key"], "event_types")
+    return set_union_agg(df, ["key"], "event_types").select("key", _j("event_types"))
 
 
 def q_most_specific_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,7 +372,7 @@ def q_most_specific_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.array_sort(F.collect_set("tp")).alias("types"))
     )
-    return t.select("key", "types", most_specific_type(F.col("types")).alias("specific_type"))
+    return t.select("key", _j("types"), most_specific_type(F.col("types")).alias("specific_type"))
 
 
 # ---------------------------------------------------------------------------
@@ -478,7 +492,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = synth_media(docs, "text", "doc_id")
-    return extract_features(media)
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "width", "height", _j("features")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -590,16 +606,21 @@ def q_concept_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_concepts,
     )
 
-    return accumulate_catalogue_concepts(
+    acc = accumulate_catalogue_concepts(
         extract_concepts(_work_json(spark, sf_dir), "doc", "work_id")
+    )
+    return acc.select(
+        "authority", "identifier_value", "label",
+        _j("canonical_ids"), _j("ontology_types"), "occurrences",
     )
 
 
-def q_skos_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _skos_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LoC SKOS JSON-LD transform + -781 geographic filter (P1/P2/P3) over
     SKOS-shaped lines synthesized from the documents table: polymorphic
     prefLabel (string | {@value}), scalar/array/absent altLabel, deprecated
-    records (no prefLabel) dropped, distractor graph nodes ignored."""
+    records (no prefLabel) dropped, distractor graph nodes ignored.
+    Returns alternative_labels as a real array (engine form)."""
     from concepts_pipeline_spark.operators.skos import (
         filter_geographic_subdivisions,
         skos_transform,
@@ -637,6 +658,13 @@ def q_skos_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_geographic_subdivisions(out)
 
 
+def q_skos_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-surface form of the SKOS transform: arrays serialized to JSON."""
+    return _skos_raw(spark, sf_dir).select(
+        "authority", "identifier", "label", _j("alternative_labels")
+    )
+
+
 def q_record_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recorder-stage merge (K1/K2/A4): catalogue concepts (accumulated from the
     extraction pipeline) left-joined to authoritative concepts (from the SKOS
@@ -657,8 +685,12 @@ def q_record_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_ids",
         "ontology_types",
     )
-    authoritative = q_skos_transform(spark, sf_dir)
-    return record_concepts(catalogue, authoritative)
+    authoritative = _skos_raw(spark, sf_dir)
+    rec = record_concepts(catalogue, authoritative)
+    return rec.select(
+        "canonical_id", "authority", "identifier", "label",
+        _j("alternative_labels"), "ontology_type", _j("same_as"),
+    )
 
 
 # shared relational spec of what the extractor must find (DuckDB)
@@ -831,8 +863,16 @@ _WORDS_CTE = (
 
 _QVEC_SQL = "[" + ", ".join(str(x) for x in QUERY_VEC) + "]"
 
+# Gate-surface form of the final-state spec: token arrays serialized to their
+# canonical JSON string (byte-identical to Spark's F.to_json) so the driver's
+# pandas canonicalizer can sort/hash every cell.
+FINAL_STATE_JSON_SQL = f"""
+SELECT doc_id, CAST(to_json(tokens) AS VARCHAR) AS tokens, n_tok, source
+FROM ({FINAL_STATE_SQL})
+"""
 
-def oracle_sql() -> dict[str, str]:
+
+def _oracle_sql_base() -> dict[str, str]:
     hits = {
         lg: (
             f"len(list_filter(words, x -> list_contains({_sw_list(lg)}, x)))"
@@ -841,9 +881,9 @@ def oracle_sql() -> dict[str, str]:
     }
     g4 = "greatest(h_de, h_en, h_es, h_fr)"
     return {
-        "cdc_replay_final_state": FINAL_STATE_SQL,
-        "cdc_replay_mor": FINAL_STATE_SQL,
-        "cdc_stream_final_state": FINAL_STATE_SQL,
+        "cdc_replay_final_state": FINAL_STATE_JSON_SQL,
+        "cdc_replay_mor": FINAL_STATE_JSON_SQL,
+        "cdc_stream_final_state": FINAL_STATE_JSON_SQL,
         "cdc_schema_evolution": f"""
             WITH {LOG_CTE_SQL},
             tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
@@ -851,7 +891,8 @@ def oracle_sql() -> dict[str, str]:
             latest AS (
               SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
               FROM valid)
-            SELECT doc_id, tokens, CAST(n_tok AS BIGINT) AS n_tok, source,
+            SELECT doc_id, CAST(to_json(tokens) AS VARCHAR) AS tokens,
+                   CAST(n_tok AS BIGINT) AS n_tok, source,
                    CASE WHEN lsn % 2 = 1 THEN substr(source, 1, 2) END AS lang
             FROM latest WHERE rn = 1 AND op <> 'D'
         """,
@@ -861,7 +902,8 @@ def oracle_sql() -> dict[str, str]:
             valid AS (SELECT * FROM tagged
                       WHERE reject_reason IS NULL AND op <> 'D')
             SELECT doc_id,
-                   list_sort(list_distinct(flatten(list(tokens)))) AS tokens,
+                   CAST(to_json(list_sort(list_distinct(flatten(list(tokens)))))
+                        AS VARCHAR) AS tokens,
                    count(*) AS n_events
             FROM valid GROUP BY doc_id
         """,
@@ -872,7 +914,9 @@ def oracle_sql() -> dict[str, str]:
             latest AS (
               SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
               FROM valid)
-            SELECT doc_id, lsn, op, tokens, n_tok, source FROM latest WHERE rn = 1
+            SELECT doc_id, lsn, op, CAST(to_json(tokens) AS VARCHAR) AS tokens,
+                   n_tok, source
+            FROM latest WHERE rn = 1
         """,
         "cdc_quarantine_counts": f"""
             WITH {LOG_CTE_SQL},
@@ -918,7 +962,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "set_union_agg": """
             SELECT user_id AS key,
-                   list_sort(list_distinct(list(event_type))) AS event_types
+                   CAST(to_json(list_sort(list_distinct(list(event_type))))
+                        AS VARCHAR) AS event_types
             FROM events GROUP BY user_id
         """,
         "most_specific_type": """
@@ -930,14 +975,17 @@ def oracle_sql() -> dict[str, str]:
                                        WHEN 'signup' THEN 'Person'
                                        WHEN 'purchase' THEN 'Organisation'
                                        ELSE 'Meeting' END))) AS types
-              FROM events GROUP BY user_id)
-            SELECT key, types,
-                   CASE WHEN len(types) = 0 THEN NULL
-                        WHEN len(list_filter(types, x -> x NOT IN ('Agent','Concept'))) > 0
-                             THEN list_filter(types, x -> x NOT IN ('Agent','Concept'))[1]
-                        WHEN list_contains(types, 'Agent') THEN 'Agent'
-                        ELSE 'Concept' END AS specific_type
-            FROM t
+              FROM events GROUP BY user_id),
+            s AS (
+              SELECT key, types,
+                     CASE WHEN len(types) = 0 THEN NULL
+                          WHEN len(list_filter(types, x -> x NOT IN ('Agent','Concept'))) > 0
+                               THEN list_filter(types, x -> x NOT IN ('Agent','Concept'))[1]
+                          WHEN list_contains(types, 'Agent') THEN 'Agent'
+                          ELSE 'Concept' END AS specific_type
+              FROM t)
+            SELECT key, CAST(to_json(types) AS VARCHAR) AS types, specific_type
+            FROM s
         """,
         "exact_dedup": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -1013,9 +1061,9 @@ def oracle_sql() -> dict[str, str]:
             feats AS (
               SELECT doc_id, words, text,
                 CASE WHEN len(trim(text)) = 0 THEN 0
-                     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
                 CASE WHEN len(text) > 0
-                     THEN (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))
+                     THEN (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')))
                           / len(text)
                      ELSE 0.0 END AS punct_ratio,
                 len(list_filter(words, x -> list_contains(
@@ -1118,11 +1166,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'lc-subjects' AS authority,
                    'sh' || doc_id AS identifier,
                    'label ' || doc_id AS label,
-                   CASE CAST(doc_id % 4 AS INT)
+                   CAST(to_json(CASE CAST(doc_id % 4 AS INT)
                         WHEN 0 THEN ['alt-a-' || doc_id, 'alt-b-' || doc_id]
                         WHEN 1 THEN ['alt-' || doc_id]
                         WHEN 3 THEN ['alt-' || doc_id]
-                        ELSE [] END AS alternative_labels
+                        ELSE [] END) AS VARCHAR) AS alternative_labels
             FROM documents
             WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0
         """,
@@ -1136,8 +1184,10 @@ def oracle_sql() -> dict[str, str]:
             WITH {_EXTRACT_CTE}
             SELECT authority, identifier_value,
                    min_by(label, canonical_id) AS label,
-                   list_sort(list_distinct(list(canonical_id))) AS canonical_ids,
-                   list_sort(list_distinct(list(ontology_type))) AS ontology_types,
+                   CAST(to_json(list_sort(list_distinct(list(canonical_id))))
+                        AS VARCHAR) AS canonical_ids,
+                   CAST(to_json(list_sort(list_distinct(list(ontology_type))))
+                        AS VARCHAR) AS ontology_types,
                    count(*) AS occurrences
             FROM extracted GROUP BY authority, identifier_value
         """,
@@ -1172,11 +1222,17 @@ def oracle_sql() -> dict[str, str]:
                      c.canonical_ids
               FROM cat c LEFT JOIN auth a
                 ON c.authority = a.authority AND c.identifier = a.identifier)
-            SELECT unnest(canonical_ids) AS canonical_id, authority, identifier,
-                   label, alternative_labels, ontology_type,
-                   list_filter(canonical_ids, x -> x <> unnest(canonical_ids))
-                     AS same_as
-            FROM merged
+            SELECT canonical_id, authority, identifier, label,
+                   CAST(to_json(alternative_labels) AS VARCHAR)
+                     AS alternative_labels,
+                   ontology_type,
+                   CAST(to_json(same_as) AS VARCHAR) AS same_as
+            FROM (
+              SELECT unnest(canonical_ids) AS canonical_id, authority, identifier,
+                     label, alternative_labels, ontology_type,
+                     list_filter(canonical_ids, x -> x <> unnest(canonical_ids))
+                       AS same_as
+              FROM merged)
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1239,3 +1295,14 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh_pairs / simhash_near_pairs / doc_fingerprint / ann_lsh_topk /
         # media_features: xxhash64- or Python-hash-based — intentionally rows-only.
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    # The LSH-path dedup decision shares the (doc_id, cluster_rep, is_survivor)
+    # contract with the exact-jaccard path, and LSH-with-exact-verify at
+    # threshold 0.8 recovers the exact pair set on this data (verified: 100%
+    # cluster agreement at sf0.01) — so it is held to the same recursive-CTE
+    # oracle rather than the weaker rows-only check.
+    out["dedup_survivors_lsh"] = out["dedup_survivors"]
+    return out

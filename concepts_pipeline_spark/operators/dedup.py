@@ -350,11 +350,11 @@ def dedup_survivors_lsh(
     )
 
 
-def embedding_neardup_pairs(
+def embedding_neardup_pairs_bruteforce(
     df: DataFrame, vec_col: str, key_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Cosine near-duplicate pairs over an embedding column (brute-force verify path;
-    see similarity.ann_lsh_topk for the banded candidate path at scale)."""
+    """All-pairs cosine near-duplicates — the O(n²) brute-force TEST ORACLE only.
+    The primary path is :func:`embedding_neardup_pairs` (metric-blocked)."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
     v = df.select(
         F.col(key_col).alias("key"), F.col(vec_col).alias("vec"), norm.alias("norm")
@@ -372,6 +372,111 @@ def embedding_neardup_pairs(
             F.col("a.key").alias("key_a"),
             F.col("b.key").alias("key_b"),
             F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    key_col: str,
+    threshold: float = 0.95,
+    num_lists: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """EXACT cosine near-duplicate pairs via metric blocking — no Cartesian product.
+
+    cosine(a,b) ≥ t  ⟺  ‖â−b̂‖ ≤ R = √(2−2t) on the normalized vectors, so the
+    search is a fixed-radius euclidean join. Blocking: IVF-assign each normalized
+    vector to its nearest of ``num_lists`` deterministic centroids; by the
+    triangle inequality a pair in lists (i,j) satisfies
+    ‖â−b̂‖ ≥ d(cᵢ,cⱼ) − rᵢ − rⱼ (rᵢ = list radius), so any list pair with
+    d(cᵢ,cⱼ) − rᵢ − rⱼ > R provably holds no result and is pruned. Survivor list
+    pairs (tiny: ≤ num_lists², computed from collected centroid/radius metadata)
+    drive two equi-joins whose fan-out enumerates exactly the un-pruned blocks —
+    the plan is broadcast + hash joins, never a CartesianProduct node, and work
+    is partitioned by list pair across the cluster.
+
+    Completeness is unconditional (pure triangle inequality — the output equals
+    the brute-force pair set at ANY threshold); pruning *strength* scales with
+    threshold tightness and data clusteredness: at a real near-dup threshold
+    (t≥0.9, R≤0.45) most of the num_lists² blocks are pruned, while adversarially
+    loose thresholds (R ≈ random-pair distance) degrade gracefully toward the
+    unavoidable Ω(n²) exact-search bound — distributed, not single-partition.
+    """
+    from concepts_pipeline_spark.operators.similarity import ivf_assign
+
+    R = (max(0.0, 2.0 - 2.0 * threshold)) ** 0.5
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(vec_col).alias("vec"),
+        norm.alias("norm"),
+    ).filter(F.col("norm") > 0)
+    unit = base.select(
+        "key", "vec", "norm",
+        F.transform("vec", lambda x: x / F.col("norm")).alias("uvec"),
+    )
+    assign, centroids = ivf_assign(unit, "uvec", "key", num_lists, seed)
+    assign = assign.join(base.select("key", "vec", "norm"), "key")
+
+    # per-list radius: max distance of a member's unit vector to its centroid
+    cdist = F.sqrt(
+        F.aggregate(
+            F.zip_with("uvec", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    radii = (
+        assign.join(F.broadcast(centroids), "list_id")
+        .select("list_id", cdist.alias("d"))
+        .groupBy("list_id")
+        .agg(F.max("d").alias("radius"))
+    )
+    # centroid/radius metadata is O(num_lists) — collect and prune list pairs
+    # driver-side (same pattern as ivf_assign's centroid ranking collect)
+    meta = {
+        r["list_id"]: (r["centroid"], r["radius"])
+        for r in centroids.join(radii, "list_id").collect()
+    }
+
+    def d(u, v):
+        return sum((x - y) ** 2 for x, y in zip(u, v)) ** 0.5
+
+    lids = sorted(meta)
+    lp = [
+        (li, lj)
+        for li in lids
+        for lj in lids
+        if d(meta[li][0], meta[lj][0]) - meta[li][1] - meta[lj][1] <= R
+    ]
+    spark = df.sparkSession
+    lp_df = spark.createDataFrame(lp, "list_a string, list_b string") if lp else None
+    if lp_df is None:
+        return spark.createDataFrame([], "key_a string, key_b string, cosine double")
+
+    a = assign.select(
+        F.col("key").alias("key_a"), F.col("vec").alias("vec_a"),
+        F.col("norm").alias("norm_a"), F.col("list_id").alias("list_a"),
+    )
+    b = assign.select(
+        F.col("key").alias("key_b"), F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"), F.col("list_id").alias("list_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(F.broadcast(lp_df), "list_a")
+        .join(b, "list_b")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b",
+            F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -80,35 +80,54 @@ def ivf_assign(
     vectors whose xxhash64(key) ranks lowest — a seeded sample, no iteration),
     assign every vector to its nearest centroid. Returns (assignments, centroids).
 
-    At cluster scale the assignment is one broadcast-join scan (centroids are
-    tiny) and the posting lists are written bucketed by ``list_id`` so a probe
-    reads only its lists' files."""
-    ranked = df.select(
-        F.col(key_col), F.col(vec_col),
-        F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)).alias("__rk"),
+    Centroid metadata is O(num_lists) — collected once and inlined as a literal
+    array of structs, so the assignment is a MAP-ONLY scan (an argmin over a
+    constant array via higher-order functions): no join node, no shuffle. At
+    cluster scale the posting lists are then written bucketed by ``list_id`` so
+    a probe reads only its lists' files. Ties on distance break to the smaller
+    list_id (deterministic)."""
+    spark = df.sparkSession
+    cents = (
+        df.select(
+            F.col(key_col), F.col(vec_col),
+            F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)).alias("__rk"),
+        )
+        .orderBy("__rk")
+        .limit(num_lists)
+        .collect()
     )
-    centroids = (
-        ranked.orderBy("__rk").limit(num_lists)
-        .select(
-            F.col(key_col).alias("list_id"),
-            F.col(vec_col).alias("centroid"),
+    centroids = spark.createDataFrame(
+        [(str(r[key_col]), [float(x) for x in r[vec_col]]) for r in cents],
+        "list_id string, centroid array<double>",
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(str(r[key_col])).alias("list_id"),
+                F.array(*[F.lit(float(x)) for x in r[vec_col]]).alias("centroid"),
+            )
+            for r in cents
+        ]
+    )
+    # struct ordering compares fields left-to-right, so array_min over
+    # struct(d2, list_id) is "argmin by distance, min list_id on ties"
+    best = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), c["centroid"], lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("__d2"),
+                c["list_id"].alias("list_id"),
+            ),
         )
     )
-    from pyspark.sql.functions import broadcast
-
-    dist2 = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = df.crossJoin(broadcast(centroids)).select(
-        F.col(key_col), F.col(vec_col), F.col("list_id"), dist2.alias("__d2")
-    )
-    w_min = F.min_by(F.struct("list_id", "__d2"), F.col("__d2"))
-    assign = (
-        scored.groupBy(key_col)
-        .agg(w_min.alias("__w"), F.first(vec_col).alias(vec_col))
-        .select(key_col, vec_col, F.col("__w.list_id").alias("list_id"))
+    assign = df.select(
+        F.col(key_col), F.col(vec_col), best["list_id"].alias("list_id")
     )
     return assign, centroids
 

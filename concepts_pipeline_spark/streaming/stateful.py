@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -60,19 +61,28 @@ def streaming_lww(
             best_lsn, deleted = state.get
         else:
             best_lsn, deleted = None, False
-        winner = None
-        for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                lsn = int(getattr(row, lsn_col))
-                is_del = getattr(row, op_col) == delete_op
-                if best_lsn is None or lsn > best_lsn or (
-                    lsn == best_lsn and is_del and not deleted
-                ):
-                    best_lsn, deleted = lsn, is_del
-                    winner = row
-        if winner is not None:
-            state.update((best_lsn, deleted))
-            yield pd.DataFrame([tuple(getattr(winner, c) for c in cols)], columns=cols)
+        # Vectorized winner scan: the in-batch winner is the max-LSN event,
+        # delete outranking upsert at equal LSN, first arrival winning residual
+        # ties — an argmax over numpy arrays, never a per-row Python loop
+        # (a hot key can carry millions of events per micro-batch).
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        lsns = batch[lsn_col].to_numpy(dtype="int64")
+        dels = (batch[op_col] == delete_op).to_numpy()
+        top = lsns.max()
+        at_top = lsns == top
+        top_dels = at_top & dels
+        if top_dels.any():
+            i, win_del = int(np.flatnonzero(top_dels)[0]), True
+        else:
+            i, win_del = int(np.flatnonzero(at_top)[0]), False
+        if best_lsn is None or top > best_lsn or (
+            top == best_lsn and win_del and not deleted
+        ):
+            state.update((int(top), win_del))
+            yield batch.iloc[[i]][list(cols)]
 
     return (
         events.groupBy(key_col)

@@ -24,8 +24,15 @@ TABLES = [
 
 
 def norm_cell(v):
-    if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
+    # The driver's gate canonicalizes with pandas sort_values + value hashing,
+    # which crashes on unhashable cells (lists/dicts). Mirror that strictly:
+    # a query emitting raw array/map columns must FAIL here, not be silently
+    # tuple-normalized (that masking is what broke round 1's gate).
+    if isinstance(v, (list, dict)):
+        raise TypeError(
+            f"unhashable cell {type(v).__name__} — the driver gate would crash; "
+            "serialize array/map output columns with to_json on both sides"
+        )
     if isinstance(v, float):
         return repr(v)
     return v
@@ -60,6 +67,14 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            # rows-only queries still pass through the driver's canonicalizer —
+            # their cells must be hashable too
+            try:
+                norm_rows(s_rows, s_cols)
+            except TypeError as e:
+                failures.append(name)
+                print(f"FAIL  {name}: {e}")
+                continue
             print(f"ok*   {name}: rows-only ({len(s_rows)} rows)")
             continue
         try:
@@ -78,7 +93,12 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: rows spark={len(s_rows)} duckdb={len(d_rows)}")
             continue
-        sn, dn = norm_rows(s_rows, s_cols), norm_rows(d_rows, d_cols)
+        try:
+            sn, dn = norm_rows(s_rows, s_cols), norm_rows(d_rows, d_cols)
+        except TypeError as e:
+            failures.append(name)
+            print(f"FAIL  {name}: {e}")
+            continue
         if sn != dn:
             failures.append(name)
             diff_s = list((sn - dn).items())[:3]
