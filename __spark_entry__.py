@@ -665,11 +665,11 @@ def q_skos_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_record_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _record_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recorder-stage merge (K1/K2/A4): catalogue concepts (accumulated from the
     extraction pipeline) left-joined to authoritative concepts (from the SKOS
     transform), authoritative label/altLabels winning, exploded per canonicalId
-    with sameAs = sibling ids."""
+    with sameAs = sibling ids. Engine form (real arrays)."""
     from concepts_pipeline_spark.operators.extract import (
         accumulate_catalogue_concepts,
         extract_concepts,
@@ -686,11 +686,77 @@ def q_record_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ontology_types",
     )
     authoritative = _skos_raw(spark, sf_dir)
-    rec = record_concepts(catalogue, authoritative)
+    return record_concepts(catalogue, authoritative)
+
+
+def q_record_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _record_raw(spark, sf_dir)
     return rec.select(
         "canonical_id", "authority", "identifier", "label",
         _j("alternative_labels"), "ontology_type", _j("same_as"),
     )
+
+
+def q_record_concept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's end product: one nested {query, display} JSON document per
+    concept (ref: common/.../model/Concept.scala:20-51 — typed identifier objects
+    in display, sameAs only in display)."""
+    from concepts_pipeline_spark.operators.record import record_concept_docs
+
+    return record_concept_docs(_record_raw(spark, sf_dir))
+
+
+# shared relational spec of the recorder fan-out (DuckDB): catalogue-accumulate,
+# authoritative left-join with precedence, per-canonicalId explode with sameAs
+_RECORD_FAN_CTE_TMPL = """
+cat AS (
+  SELECT authority, identifier_value AS identifier,
+         min_by(label, canonical_id) AS label,
+         list_sort(list_distinct(list(canonical_id))) AS canonical_ids,
+         list_sort(list_distinct(list(ontology_type))) AS ontology_types
+  FROM extracted GROUP BY authority, identifier_value),
+auth AS (
+  SELECT 'lc-subjects' AS authority, 'sh' || doc_id AS identifier,
+         'label ' || doc_id AS a_label,
+         CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN ['alt-a-' || doc_id, 'alt-b-' || doc_id]
+              WHEN 1 THEN ['alt-' || doc_id]
+              WHEN 3 THEN ['alt-' || doc_id]
+              ELSE [] END AS a_alts
+  FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0),
+merged AS (
+  SELECT c.authority, c.identifier,
+         COALESCE(a.a_label, c.label) AS label,
+         COALESCE(a.a_alts, []) AS alternative_labels,
+         CASE WHEN len(c.ontology_types) = 0 THEN NULL
+              WHEN len(list_filter(c.ontology_types,
+                                   x -> x NOT IN ('Agent','Concept'))) > 0
+                   THEN list_filter(c.ontology_types,
+                                    x -> x NOT IN ('Agent','Concept'))[1]
+              WHEN list_contains(c.ontology_types, 'Agent') THEN 'Agent'
+              ELSE 'Concept' END AS ontology_type,
+         c.canonical_ids
+  FROM cat c LEFT JOIN auth a
+    ON c.authority = a.authority AND c.identifier = a.identifier),
+fan AS (
+  SELECT unnest(canonical_ids) AS canonical_id, authority, identifier,
+         label, alternative_labels, ontology_type,
+         list_filter(canonical_ids, x -> x <> unnest(canonical_ids))
+           AS same_as
+  FROM merged)
+"""
+
+# IdentifierType display labels (ref: Identifier.scala:44-84), as SQL
+_AUTH_LABEL_SQL = """
+  CASE authority
+    WHEN 'fihrist' THEN 'Fihrist Authority'
+    WHEN 'label-derived' THEN 'Identifier derived from the label of the referent'
+    WHEN 'lc-names' THEN 'Library of Congress Name authority records'
+    WHEN 'lc-subjects' THEN 'Library of Congress Subject Headings (LCSH)'
+    WHEN 'nlm-mesh' THEN 'Medical Subject Headings (MeSH) identifier'
+    WHEN 'viaf' THEN 'VIAF: The Virtual International Authority File'
+  END
+"""
 
 
 # shared relational spec of what the extractor must find (DuckDB)
@@ -843,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concept_extraction": q_concept_extraction,
         "concept_accumulation": q_concept_accumulation,
         "record_concepts": q_record_concepts,
+        "record_concept_docs": q_record_concept_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "events_hourly": q_events_hourly,
@@ -1193,46 +1260,41 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "record_concepts": f"""
             WITH {_EXTRACT_CTE},
-            cat AS (
-              SELECT authority, identifier_value AS identifier,
-                     min_by(label, canonical_id) AS label,
-                     list_sort(list_distinct(list(canonical_id))) AS canonical_ids,
-                     list_sort(list_distinct(list(ontology_type))) AS ontology_types
-              FROM extracted GROUP BY authority, identifier_value),
-            auth AS (
-              SELECT 'lc-subjects' AS authority, 'sh' || doc_id AS identifier,
-                     'label ' || doc_id AS a_label,
-                     CASE CAST(doc_id % 4 AS INT)
-                          WHEN 0 THEN ['alt-a-' || doc_id, 'alt-b-' || doc_id]
-                          WHEN 1 THEN ['alt-' || doc_id]
-                          WHEN 3 THEN ['alt-' || doc_id]
-                          ELSE [] END AS a_alts
-              FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 0),
-            merged AS (
-              SELECT c.authority, c.identifier,
-                     COALESCE(a.a_label, c.label) AS label,
-                     COALESCE(a.a_alts, []) AS alternative_labels,
-                     CASE WHEN len(c.ontology_types) = 0 THEN NULL
-                          WHEN len(list_filter(c.ontology_types,
-                                               x -> x NOT IN ('Agent','Concept'))) > 0
-                               THEN list_filter(c.ontology_types,
-                                                x -> x NOT IN ('Agent','Concept'))[1]
-                          WHEN list_contains(c.ontology_types, 'Agent') THEN 'Agent'
-                          ELSE 'Concept' END AS ontology_type,
-                     c.canonical_ids
-              FROM cat c LEFT JOIN auth a
-                ON c.authority = a.authority AND c.identifier = a.identifier)
+            {_RECORD_FAN_CTE_TMPL}
             SELECT canonical_id, authority, identifier, label,
                    CAST(to_json(alternative_labels) AS VARCHAR)
                      AS alternative_labels,
                    ontology_type,
                    CAST(to_json(same_as) AS VARCHAR) AS same_as
-            FROM (
-              SELECT unnest(canonical_ids) AS canonical_id, authority, identifier,
-                     label, alternative_labels, ontology_type,
-                     list_filter(canonical_ids, x -> x <> unnest(canonical_ids))
-                       AS same_as
-              FROM merged)
+            FROM fan
+        """,
+        "record_concept_docs": f"""
+            WITH {_EXTRACT_CTE},
+            {_RECORD_FAN_CTE_TMPL}
+            SELECT canonical_id,
+                   CAST(to_json(struct_pack(
+                     query := struct_pack(
+                       id := canonical_id,
+                       identifiers := [struct_pack(value := identifier,
+                                                   identifierType := authority)],
+                       label := label,
+                       alternativeLabels := alternative_labels,
+                       "type" := ontology_type),
+                     display := struct_pack(
+                       id := canonical_id,
+                       identifiers := [struct_pack(
+                         identifierType := struct_pack(
+                           id := authority,
+                           label := {_AUTH_LABEL_SQL},
+                           "type" := 'IdentifierType'),
+                         value := identifier,
+                         "type" := 'Identifier')],
+                       label := label,
+                       alternativeLabels := alternative_labels,
+                       "type" := ontology_type,
+                       sameAs := same_as)
+                   )) AS VARCHAR) AS doc
+            FROM fan
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

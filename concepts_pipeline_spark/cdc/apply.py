@@ -197,8 +197,10 @@ class CdcPipeline:
             # downstream change outbox (ref: publishIds + TopicPublisher,
             # aggregator/ConceptsAggregator.scala:120-124): only keys whose merge
             # action was inserted/updated/deleted, appended per batch
+            # key cols nullable: the crash-recovery "outbox_hole" marker row
+            # (lake/merge.py fence-skip branch) carries NULL keys
             changes_schema = StructType(
-                [StructField(k, target_schema[k].dataType, False) for k in key_cols]
+                [StructField(k, target_schema[k].dataType, True) for k in key_cols]
                 + [
                     StructField("action", StringType(), False),
                     StructField("fence_token", StringType(), True),
@@ -229,6 +231,22 @@ class CdcPipeline:
                         "rows_in": 0, "quarantined": 0, "wall_ms": 0,
                     }],
                     fence_token=f"{fence_token}:l",
+                )
+            # same crash window for the outbox (appended after the target
+            # commit): close it with a fenced hole marker — the per-key diff
+            # cannot be recomputed once the merge has applied
+            if (
+                self.changes is not None
+                and self.strategy == "cow"
+                and not self.changes.has_fence_token(f"{fence_token}:c")
+            ):
+                self.changes.append_rows(
+                    [{
+                        **{k: None for k in self.key_cols},
+                        "action": "outbox_hole",
+                        "fence_token": fence_token,
+                    }],
+                    fence_token=f"{fence_token}:c",
                 )
             return ApplyResult(
                 stats=MergeStats(skipped=True, version=self.target.current_version()),

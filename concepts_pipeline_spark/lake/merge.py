@@ -149,6 +149,24 @@ def _merge_into_once(
     t0 = time.time()
     m = table.manifest()
     if fence_token and fence_token in m.fence_tokens:
+        # Replayed batch. The outbox is appended AFTER the target commit, so a
+        # crash in between leaves the target fenced but the outbox missing its
+        # rows; the per-key diff cannot be recomputed (the merge already
+        # applied), so close the hole with an explicit fenced marker — the same
+        # recovery shape as the lineage table (cdc/apply.py apply_batch).
+        if changes_table is not None:
+            ct_fence = f"{fence_token}:c"
+            if not changes_table.has_fence_token(ct_fence):
+                changes_table.append_rows(
+                    [
+                        {
+                            **{k: None for k in m.key_cols},
+                            "action": "outbox_hole",
+                            "fence_token": fence_token,
+                        }
+                    ],
+                    fence_token=ct_fence,
+                )
         return MergeStats(skipped=True, version=m.version)
 
     key_cols = m.key_cols
@@ -376,19 +394,6 @@ def _merge_into_once(
 
         new_files = table.write_data_files(keep, _with_schemas(m, schemas), schema_id)
 
-        if changes_table is not None:
-            changed = result.filter(
-                F.col(ACTION_COL).isin("inserted", "updated", "deleted")
-            ).select(
-                *key_cols,
-                F.col(ACTION_COL).alias("action"),
-                F.lit(fence_token).alias("fence_token"),
-            )
-            changes_table.append(
-                changed,
-                fence_token=f"{fence_token}:c" if fence_token else None,
-            )
-
         stats = MergeStats(version=m.version + 1)
         try:
             metrics = obs.get
@@ -430,6 +435,24 @@ def _merge_into_once(
                 "touched_buckets": stats.touched_buckets,
             },
         )
+
+        # Outbox AFTER the target commit: a CommitConflict above means no outbox
+        # row is ever written for the losing attempt (the retry recomputes both
+        # against the winner's snapshot), and the remaining crash window
+        # (commit landed, outbox didn't) is closed by the fenced hole marker on
+        # replay — see the fence-skip branch at the top.
+        if changes_table is not None:
+            changed_keys = result.filter(
+                F.col(ACTION_COL).isin("inserted", "updated", "deleted")
+            ).select(
+                *key_cols,
+                F.col(ACTION_COL).alias("action"),
+                F.lit(fence_token).alias("fence_token"),
+            )
+            changes_table.append(
+                changed_keys,
+                fence_token=f"{fence_token}:c" if fence_token else None,
+            )
     finally:
         if src_persisted:
             src.unpersist()
@@ -586,23 +609,37 @@ def read_for_keys(
     then drop files whose [min_key, max_key] range excludes every key — only the
     surviving files are scanned, with a residual IN filter. MoR deltas in the
     touched buckets are LWW-resolved."""
+    from pyspark.sql.types import StringType
+
     from ..operators.lww import lww_latest
 
     m = table.manifest(version)
+    if len(m.key_cols) != 1:
+        # the bucket probe and min/max stats below are single-key; silently
+        # probing on key_cols[0] alone would compute wrong buckets
+        raise NotImplementedError(
+            f"read_for_keys supports single-column keys only, table has {m.key_cols}"
+        )
     key0 = m.key_cols[0]
     one = spark.createDataFrame([(k,) for k in keys], f"{key0} {m.schema[key0].dataType.simpleString()}")
     buckets = {
         int(r[0])
         for r in one.select(bucket_expr(m.key_cols, m.num_buckets)).collect()
     }
+    # Manifest min/max stats are stored as strings (_parquet_stats), so the
+    # range comparison is only sound when the key column itself is a string —
+    # lexicographic order on stringified numbers drops matching rows (key 100
+    # vs file stats ['99','101']: '99' > '100' would prune the right file).
+    # Non-string keys keep bucket pruning only.
+    use_stats = isinstance(m.schema[key0].dataType, StringType)
     str_keys = sorted(str(k) for k in keys)
     lo, hi = str_keys[0], str_keys[-1]
 
     def file_may_contain(f: DataFileEntry) -> bool:
         if f.bucket not in buckets:
             return False
-        if f.min_key is None or f.max_key is None:
-            return True  # no stats → must read
+        if not use_stats or f.min_key is None or f.max_key is None:
+            return True  # no usable stats → must read
         return not (f.max_key < lo or f.min_key > hi) and any(
             f.min_key <= k <= f.max_key for k in str_keys
         )

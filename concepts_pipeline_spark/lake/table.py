@@ -388,30 +388,59 @@ class LakeTable:
     def has_fence_token(self, token: str) -> bool:
         return token in self.manifest().fence_tokens
 
-    def expire_snapshots(self, keep_last: int = 1) -> tuple[int, int]:
+    def expire_snapshots(
+        self, keep_last: int = 1, orphan_grace_seconds: float = 3600.0
+    ) -> tuple[int, int]:
         """Drop all but the newest ``keep_last`` manifests and delete data files
         no surviving snapshot references (Iceberg expire_snapshots + orphan-file
         vacuum in one step). Time travel remains available within the kept
-        window. Returns (manifests_removed, data_files_removed)."""
+        window. Returns (manifests_removed, data_files_removed).
+
+        Also performs a true orphan scan over ``data/``: files written by
+        losing/crashed commit attempts never appear in ANY manifest, so walking
+        dropped manifests alone would leak a full rewritten copy of every
+        touched bucket per lost attempt. Any data file referenced by no
+        surviving manifest AND older than ``orphan_grace_seconds`` is deleted —
+        the age grace keeps us from racing an in-flight commit that has staged
+        files but not yet swapped its manifest."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = self._manifest_versions()
-        drop = versions[:-keep_last]
-        if not drop:
-            return (0, 0)
         keep = versions[-keep_last:]
-        referenced = {
-            f.path for v in keep for f in self.manifest(v).files
-        }
+        drop = versions[:-keep_last]
+        live = {f.path for v in keep for f in self.manifest(v).files}
+        dropped_refs = {f.path for v in drop for f in self.manifest(v).files}
         removed_files = 0
-        for v in drop:
-            for f in self.manifest(v).files:
-                if f.path not in referenced:
-                    p = os.path.join(self.path, f.path)
-                    if os.path.exists(p):
-                        os.unlink(p)
-                        removed_files += 1
-                    referenced.add(f.path)  # count each orphan once
+        # files referenced only by dropped manifests: committed once, now
+        # unreachable — delete immediately
+        for rel in dropped_refs - live:
+            p = os.path.join(self.path, rel)
+            try:
+                os.unlink(p)
+                removed_files += 1
+            except FileNotFoundError:
+                pass
+        # files referenced by NO manifest at all (losing/crashed commit
+        # attempts): delete only past the age grace, to avoid racing an
+        # in-flight commit that has staged files but not yet swapped its
+        # manifest
+        now = time.time()
+        data_dir = os.path.join(self.path, DATA_DIR)
+        if os.path.isdir(data_dir):
+            for name in os.listdir(data_dir):
+                if not name.endswith(".parquet"):
+                    continue  # .stage-* dirs are handled by their writer
+                rel = os.path.join(DATA_DIR, name)
+                if rel in live or rel in dropped_refs:
+                    continue
+                p = os.path.join(data_dir, name)
+                try:
+                    if now - os.path.getmtime(p) < orphan_grace_seconds:
+                        continue
+                    os.unlink(p)
+                    removed_files += 1
+                except OSError:
+                    continue  # raced another cleaner
         for v in drop:
             os.unlink(os.path.join(self.path, MANIFEST_DIR, f"v{v:012d}.json"))
         return (len(drop), removed_files)

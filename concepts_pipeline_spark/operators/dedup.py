@@ -300,6 +300,15 @@ def connected_components(
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    else:
+        # never silently return unconverged labels: a chain with diameter >
+        # max_iter would split one true cluster into several and dedup would
+        # keep extra "survivors"
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — raise max_iter (rounds needed "
+            "grow with near-dup chain diameter)"
+        )
     return labels.select(F.col("a").alias(key_col), F.col("lbl").alias("cluster_rep"))
 
 

@@ -56,3 +56,67 @@ def record_concepts(
         # (ref: MergeConcepts.scala:47-50)
         F.array_remove(F.col("canonical_ids"), F.col("canonical_id")).alias("same_as"),
     )
+
+
+# The closed IdentifierType enum with its display labels
+# (ref: common/src/main/scala/weco/concepts/common/model/Identifier.scala:44-84).
+AUTHORITY_LABELS = {
+    "fihrist": "Fihrist Authority",
+    "label-derived": "Identifier derived from the label of the referent",
+    "lc-names": "Library of Congress Name authority records",
+    "lc-subjects": "Library of Congress Subject Headings (LCSH)",
+    "nlm-mesh": "Medical Subject Headings (MeSH) identifier",
+    "viaf": "VIAF: The Virtual International Authority File",
+}
+
+
+def record_concept_docs(records: DataFrame) -> DataFrame:
+    """Serialize merged concept rows into the final nested ``{query, display}``
+    document — the reference pipeline's end product
+    (ref: common/src/main/scala/weco/concepts/common/model/Concept.scala:20-51,
+    field-for-field: flat typed-id identifiers in ``query``, expanded
+    ``IdentifierType`` objects in ``display``, ``sameAs`` only in ``display``).
+
+    Input: the output of :func:`record_concepts`. Output: (canonical_id, doc)
+    where doc is the canonical JSON string (nulls kept, field order as in the
+    reference's ``toDoc``). One ``F.struct`` projection — pure JVM expressions.
+    """
+    auth_label = F.element_at(
+        F.create_map(*[F.lit(x) for kv in AUTHORITY_LABELS.items() for x in kv]),
+        F.col("authority"),
+    )
+    query = F.struct(
+        F.col("canonical_id").alias("id"),
+        F.array(
+            F.struct(
+                F.col("identifier").alias("value"),
+                F.col("authority").alias("identifierType"),
+            )
+        ).alias("identifiers"),
+        F.col("label").alias("label"),
+        F.col("alternative_labels").alias("alternativeLabels"),
+        F.col("ontology_type").alias("type"),
+    )
+    display = F.struct(
+        F.col("canonical_id").alias("id"),
+        F.array(
+            F.struct(
+                F.struct(
+                    F.col("authority").alias("id"),
+                    auth_label.alias("label"),
+                    F.lit("IdentifierType").alias("type"),
+                ).alias("identifierType"),
+                F.col("identifier").alias("value"),
+                F.lit("Identifier").alias("type"),
+            )
+        ).alias("identifiers"),
+        F.col("label").alias("label"),
+        F.col("alternative_labels").alias("alternativeLabels"),
+        F.col("ontology_type").alias("type"),
+        F.col("same_as").alias("sameAs"),
+    )
+    doc = F.to_json(
+        F.struct(query.alias("query"), display.alias("display")),
+        {"ignoreNullFields": "false"},
+    )
+    return records.select("canonical_id", doc.alias("doc"))

@@ -79,3 +79,68 @@ def test_replayed_batch_publishes_nothing_twice(spark, tmp_path):
     pipe.apply_batch(b, fence_token="t:1")  # fenced replay
     rows = pipe.changes.read(spark).collect()
     assert len(rows) == 1
+
+
+def test_outbox_written_after_target_commit_and_hole_marker(spark, tmp_path):
+    """Crash window between target commit and outbox append: the replayed batch
+    must close the hole with a fenced 'outbox_hole' marker instead of silently
+    losing (or duplicating) change rows."""
+    pipe = make_pipe(spark, tmp_path)
+    b1 = spark.createDataFrame([ev(1, "I", "a"), ev(2, "I", "b")], LOG_SCHEMA)
+    pipe.apply_batch(b1, fence_token="h:1")
+
+    # simulate the crash: batch 2 committed to the target but the outbox append
+    # never happened — rewind the outbox by dropping its newest manifest after
+    # applying, then replay the batch
+    b2 = spark.createDataFrame([ev(10, "U", "a", [9, 9])], LOG_SCHEMA)
+    pre_version = pipe.changes.current_version()
+    pipe.apply_batch(b2, fence_token="h:2")
+    import os
+
+    for v in pipe.changes._manifest_versions():
+        if v > pre_version:
+            os.unlink(os.path.join(pipe.changes.path, "_manifests", f"v{v:012d}.json"))
+    assert not pipe.changes.has_fence_token("h:2:c")
+
+    # replay: target fence short-circuits the merge, but the outbox hole closes
+    pipe.apply_batch(b2, fence_token="h:2")
+    rows = pipe.changes.read(spark).collect()
+    holes = [r for r in rows if r["action"] == "outbox_hole"]
+    assert len(holes) == 1
+    assert holes[0]["fence_token"] == "h:2"
+    assert holes[0]["doc_id"] is None
+    assert pipe.changes.has_fence_token("h:2:c")
+
+    # a second replay is a no-op (marker fenced)
+    pipe.apply_batch(b2, fence_token="h:2")
+    rows2 = pipe.changes.read(spark).collect()
+    assert len([r for r in rows2 if r["action"] == "outbox_hole"]) == 1
+
+
+def test_outbox_not_written_for_losing_commit_attempt(spark, tmp_path, monkeypatch):
+    """CommitConflict on the target must not leave outbox rows computed against
+    the losing snapshot: the outbox append happens only after a successful
+    commit, so the retry writes exactly one consistent set of change rows."""
+    from concepts_pipeline_spark.lake.table import CommitConflict, LakeTable
+
+    pipe = make_pipe(spark, tmp_path)
+    b1 = spark.createDataFrame([ev(1, "I", "a")], LOG_SCHEMA)
+    pipe.apply_batch(b1, fence_token="c:1")
+
+    real_commit = LakeTable.commit
+    fails = {"n": 1}
+
+    def flaky_commit(self, base, files, **kw):
+        if fails["n"] > 0 and self.path == pipe.target.path and kw.get("fence_token") == "c:2":
+            fails["n"] -= 1
+            raise CommitConflict("injected")
+        return real_commit(self, base, files, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit", flaky_commit)
+    b2 = spark.createDataFrame([ev(5, "U", "a", [7, 7]), ev(6, "I", "b")], LOG_SCHEMA)
+    pipe.apply_batch(b2, fence_token="c:2")
+    rows = [
+        (r["doc_id"], r["action"])
+        for r in pipe.changes.read(spark).filter(F.col("fence_token") == "c:2").collect()
+    ]
+    assert sorted(rows) == [("a", "updated"), ("b", "inserted")]  # exactly once

@@ -88,3 +88,61 @@ def test_mor_schema_evolution(spark, tmp_path):
     assert got["a"]["lang"] == "en" and got["a"]["tokens"] == [5]
     assert got["b"]["lang"] is None and got["b"]["n_tok"] == 1
     assert dict(pipe.final_state().dtypes)["n_tok"] == "bigint"  # widened
+
+
+def test_orphan_scan_reclaims_unreferenced_files(spark, tmp_path):
+    """Files written by losing/crashed commit attempts appear in NO manifest;
+    the orphan scan must reclaim them once past the age grace, and must leave
+    recent (possibly in-flight) files alone."""
+    import time
+
+    pipe = CdcPipeline(spark, str(tmp_path / "t"), SCHEMA, ["doc_id"], num_buckets=2)
+    b = spark.createDataFrame([(1, "I", "a", [1, 2], 2, "s")], LOG)
+    pipe.apply_batch(b, fence_token="o:1")
+    t = pipe.target
+    data = os.path.join(t.path, "data")
+
+    old_orphan = os.path.join(data, "deadbeef0000-b00000-0000.parquet")
+    new_orphan = os.path.join(data, "deadbeef0001-b00000-0000.parquet")
+    for p in (old_orphan, new_orphan):
+        with open(p, "wb") as fh:
+            fh.write(b"PAR1")
+    past = time.time() - 7200
+    os.utime(old_orphan, (past, past))
+
+    _, removed = t.expire_snapshots(keep_last=1, orphan_grace_seconds=3600)
+    assert not os.path.exists(old_orphan)  # past grace: reclaimed
+    assert os.path.exists(new_orphan)      # inside grace: kept
+    assert removed >= 1
+    # table still reads fine
+    assert pipe.final_state().count() == 1
+    os.unlink(new_orphan)
+
+
+def test_read_for_keys_numeric_key_not_string_pruned(spark, tmp_path):
+    """Regression: numeric keys must not be pruned by lexicographic string
+    min/max stats (key 100 vs file stats ['99','101'] would be dropped)."""
+    from pyspark.sql.types import LongType, StructField as SF, StructType as ST
+
+    from concepts_pipeline_spark.lake import LakeTable
+    from concepts_pipeline_spark.lake.merge import read_for_keys
+
+    schema = ST([SF("k", LongType(), False), SF("v", StringType(), True)])
+    t = LakeTable.create(str(tmp_path / "num"), schema, ["k"], num_buckets=1)
+    t.append(spark.createDataFrame([(99, "a"), (100, "b"), (101, "c")], schema))
+    got = {r["k"]: r["v"] for r in read_for_keys(spark, t, [100]).collect()}
+    assert got == {100: "b"}
+
+
+def test_read_for_keys_rejects_composite_keys(spark, tmp_path):
+    import pytest
+    from pyspark.sql.types import StructField as SF, StructType as ST
+
+    from concepts_pipeline_spark.lake import LakeTable
+    from concepts_pipeline_spark.lake.merge import read_for_keys
+
+    schema = ST([SF("a", StringType(), False), SF("b", StringType(), False)])
+    t = LakeTable.create(str(tmp_path / "comp"), schema, ["a", "b"], num_buckets=1)
+    t.append(spark.createDataFrame([("x", "y")], schema))
+    with pytest.raises(NotImplementedError):
+        read_for_keys(spark, t, ["x"])

@@ -81,3 +81,54 @@ def test_ontology_type_applied_in_merge(spark):
         [],
     )
     assert out["x"]["ontology_type"] == "Person"
+
+
+def test_concept_doc_golden(spark):
+    """Field-for-field golden doc vs the reference's Concept.toDoc shape
+    (ref: common/src/main/scala/weco/concepts/common/model/Concept.scala:20-51)."""
+    import json
+
+    from concepts_pipeline_spark.operators.record import record_concept_docs
+
+    c = spark.createDataFrame(
+        [cat_row(auth="viaf", ident="n1", ids=("idA", "idB"), types=("Person",))],
+        CAT_SCHEMA,
+    )
+    a = spark.createDataFrame(
+        [auth_row(auth="viaf", ident="n1", label="A. Uthor", alts=("Author, A.",))],
+        AUTH_SCHEMA,
+    )
+    docs = {r["canonical_id"]: r["doc"] for r in record_concept_docs(record_concepts(c, a)).collect()}
+    got = json.loads(docs["idA"])
+    assert got == {
+        "query": {
+            "id": "idA",
+            "identifiers": [{"value": "n1", "identifierType": "viaf"}],
+            "label": "A. Uthor",
+            "alternativeLabels": ["Author, A."],
+            "type": "Person",
+        },
+        "display": {
+            "id": "idA",
+            "identifiers": [
+                {
+                    "identifierType": {
+                        "id": "viaf",
+                        "label": "VIAF: The Virtual International Authority File",
+                        "type": "IdentifierType",
+                    },
+                    "value": "n1",
+                    "type": "Identifier",
+                }
+            ],
+            "label": "A. Uthor",
+            "alternativeLabels": ["Author, A."],
+            "type": "Person",
+            "sameAs": ["idB"],
+        },
+    }
+    # key order matches the reference's toDoc serialization order
+    assert list(got) == ["query", "display"]
+    assert list(got["display"]) == [
+        "id", "identifiers", "label", "alternativeLabels", "type", "sameAs",
+    ]
