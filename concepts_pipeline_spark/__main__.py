@@ -36,10 +36,24 @@ def cmd_ingest(args) -> dict:
     from pyspark.sql.types import StructType
 
     from .lake import LakeTable, merge_into
+    from .operators.framing import FrameOverflowError, bounded_frames
     from .operators.skos import filter_geographic_subdivisions, skos_transform
 
     spark = _spark("cps-ingest")
     lines = spark.read.text(list(args.input))
+    # frame bound BEFORE parsing (ref: Scroll.scala:8-18 — the reference fails
+    # the stream on overflow; strict mode mirrors that, otherwise overflowing
+    # lines are counted and dropped)
+    lines, overflow = bounded_frames(lines, "value", args.max_line_bytes)
+    n_overflow = overflow.count()
+    if n_overflow and args.on_overflow == "error":
+        sample = overflow.select("frame_bytes", "head").first()
+        raise FrameOverflowError(
+            f"{n_overflow} line(s) exceed the {args.max_line_bytes}-byte frame "
+            f"bound (largest starts: {sample['head'][:80]!r}, "
+            f"{sample['frame_bytes']} bytes); re-run with --on-overflow drop "
+            "to reject-and-count instead"
+        )
     concepts = filter_geographic_subdivisions(
         skos_transform(lines, "value", args.authority)
     )
@@ -56,7 +70,8 @@ def cmd_ingest(args) -> dict:
         fence_token=args.fence,
     )
     return {"inserted": stats.inserted, "updated": stats.updated,
-            "noop": stats.noop, "skipped": stats.skipped}
+            "noop": stats.noop, "skipped": stats.skipped,
+            "frame_overflow": n_overflow}
 
 
 def cmd_aggregate(args) -> dict:
@@ -200,6 +215,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--authority", default="lc-subjects")
     g.add_argument("--buckets", type=int, default=16)
     g.add_argument("--fence", default=None)
+    g.add_argument("--max-line-bytes", type=int, default=128 * 1024)
+    g.add_argument("--on-overflow", default="error", choices=["error", "drop"])
     g.set_defaults(fn=cmd_ingest)
 
     g = sub.add_parser("aggregate", help="works JSON → catalogue concepts (set-union accumulate)")

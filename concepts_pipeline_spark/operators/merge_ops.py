@@ -75,13 +75,23 @@ def merge_with_precedence(
     key_cols: list[str],
     primary_cols: list[str],
     secondary_cols: list[str],
+    violation_col: str | None = None,
 ) -> DataFrame:
     """Keyed merge where primary's fields win when present (coalesce per column);
     rows existing only in secondary pass through (the reference's (None, cat) arm).
-    Rows only in primary keep their fields with null secondary columns (the
-    reference hard-errors there, MergeConcepts.scala:29-33; we keep them visible)."""
-    p = primary.select(*key_cols, *[F.col(c).alias(f"__p_{c}") for c in primary_cols])
-    s = secondary.select(*key_cols, *secondary_cols)
+
+    Rows only in primary are the reference's hard-error arm
+    (MergeConcepts.scala:29-33 — an authoritative concept with no catalogue
+    counterpart "should never be recorded"): we keep them visible instead of
+    crashing the stream, and when ``violation_col`` is set the output carries a
+    boolean marking them so callers can count/quarantine the invariant breach
+    rather than silently dropping it."""
+    p = primary.select(
+        *key_cols,
+        F.lit(True).alias("__p_present"),
+        *[F.col(c).alias(f"__p_{c}") for c in primary_cols],
+    )
+    s = secondary.select(*key_cols, F.lit(True).alias("__s_present"), *secondary_cols)
     joined = s.join(p, on=key_cols, how="full_outer")
     out_cols = [F.col(k) for k in key_cols]
     for c in primary_cols:
@@ -90,7 +100,21 @@ def merge_with_precedence(
         else:
             out_cols.append(F.col(f"__p_{c}").alias(c))
     out_cols += [F.col(c) for c in secondary_cols if c not in primary_cols]
+    if violation_col is not None:
+        out_cols.append(
+            (
+                F.col("__p_present").isNotNull() & F.col("__s_present").isNull()
+            ).alias(violation_col)
+        )
     return joined.select(*out_cols)
+
+
+def merge_precedence_violations(
+    primary: DataFrame, secondary: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """The invariant-breach rows themselves (primary-only keys) — quarantine-style
+    output for the arm the reference hard-errors on (MergeConcepts.scala:29-39)."""
+    return primary.join(secondary.select(*key_cols), on=key_cols, how="left_anti")
 
 
 def most_specific_type(types_col) -> F.Column:

@@ -84,3 +84,49 @@ def test_gz_ndjson_ingest_end_to_end(spark, tmp_path):
     # re-ingest without fence: everything a noop (doc_as_upsert semantics)
     third = merge_into(spark, table, src, fence_token="ingest:2")
     assert third.inserted == 0 and third.updated == 0 and third.noop == 4
+
+
+def test_frame_overflow_guard(spark, tmp_path):
+    """Oversized lines are rejected with a counted reason (ref: Scroll frame
+    bound + FramingException, Scroll.scala:8-18 / ScrollTest.scala:14-63)."""
+    import pytest
+
+    from concepts_pipeline_spark.__main__ import main
+    from concepts_pipeline_spark.operators.framing import (
+        FrameOverflowError,
+        bounded_frames,
+    )
+
+    good = skos_line("sh100", "ok label")
+    huge = skos_line("sh200", "x" * 2048)  # > the 1 KiB test bound
+    path = tmp_path / "dump.ndjson.gz"
+    with gzip.open(path, "wt") as fh:
+        fh.write(good + "\n" + huge + "\n")
+
+    lines = spark.read.text(str(path))
+    ok, overflow = bounded_frames(lines, "value", max_bytes=1024)
+    assert ok.count() == 1
+    bad = overflow.collect()
+    assert len(bad) == 1
+    assert bad[0]["reject_reason"] == "frame_overflow"
+    assert bad[0]["frame_bytes"] > 1024
+
+    # CLI strict mode errors loudly (the reference's stream-failure semantics)
+    with pytest.raises(FrameOverflowError, match="frame bound"):
+        main([
+            "ingest", "--input", str(path), "--table", str(tmp_path / "t1"),
+            "--max-line-bytes", "1024",
+        ])
+    # drop mode counts and continues
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main([
+            "ingest", "--input", str(path), "--table", str(tmp_path / "t2"),
+            "--max-line-bytes", "1024", "--on-overflow", "drop",
+        ])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["frame_overflow"] == 1
+    assert out["inserted"] == 1

@@ -169,3 +169,31 @@ def test_merge_schema_evolution_add_and_widen(spark, tmp_path):
     rows = {r["doc_id"]: r for r in got.collect()}
     assert rows["b"]["lang"] is None and rows["b"]["n_tok"] == 1  # old file, conformed
     assert rows["a"]["lang"] == "en" and rows["c"]["lang"] == "de"
+
+
+def test_merge_precedence_violations_surfaced(spark):
+    """The reference hard-errors on (authoritative-only, None) merges
+    (MergeConcepts.scala:29-39); we keep the rows visible AND countable."""
+    from concepts_pipeline_spark.operators.merge_ops import (
+        merge_precedence_violations,
+        merge_with_precedence,
+    )
+
+    primary = spark.createDataFrame(
+        [("k1", "p-label"), ("k3", "orphan")], "key string, label string"
+    )
+    secondary = spark.createDataFrame(
+        [("k1", 10), ("k2", 20)], "key string, n long"
+    )
+    out = merge_with_precedence(
+        primary, secondary, ["key"], ["label"], ["n"], violation_col="violation"
+    )
+    rows = {r["key"]: r for r in out.collect()}
+    assert set(rows) == {"k1", "k2", "k3"}
+    assert rows["k3"]["violation"] is True      # primary-only: the error arm
+    assert rows["k1"]["violation"] is False
+    assert rows["k2"]["violation"] is False     # secondary-only passes through
+    assert out.filter(F.col("violation")).count() == 1
+
+    viol = merge_precedence_violations(primary, secondary, ["key"]).collect()
+    assert [(r["key"], r["label"]) for r in viol] == [("k3", "orphan")]
