@@ -114,6 +114,8 @@ def bench_queries(spark):
         "media_features": run_named("media_features"),
         "cosine_topk": run_named("cosine_topk"),
         "ann_lsh_topk": run_named("ann_lsh_topk"),
+        "embedding_neardup": run_named("embedding_neardup"),
+        "record_concept_docs": run_named("record_concept_docs"),
         "lookup_join": run_named("lookup_join"),
         "merge_precedence": run_named("merge_precedence"),
         "set_union_agg": run_named("set_union_agg"),

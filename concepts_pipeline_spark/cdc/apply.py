@@ -259,36 +259,57 @@ class CdcPipeline:
             "reject_reason", valid_event_expr(vocab_size=self.vocab_size)
         )
 
-        # Probe: rows_in + touched target buckets from a KEY-COLUMN-ONLY scan —
-        # Parquet column pruning means the (dominant) token arrays are never
-        # decoded here. Buckets are taken over all events (valid or not): a
-        # superset of the LWW winners' buckets, so pruning stays sound; a bucket
-        # touched only by invalid events merely rewrites unchanged ('carried').
+        # Probe (rows_in for lineage + touched target buckets for file pruning).
+        # Buckets are taken over all events (valid or not): a superset of the
+        # LWW winners' buckets, so pruning stays sound; a bucket touched only by
+        # invalid events merely rewrites unchanged ('carried').
+        #
+        # The probe RIDES THE QUARANTINE PASS as an Observation: the observe
+        # node sits below the reject filter, so every batch row flows through it
+        # during the quarantine write and the per-batch job count drops by one
+        # (the fixed cost that dominated small-batch replay). Fallbacks — no
+        # quarantine table, fenced replay, lost metrics — run the explicit
+        # KEY-COLUMN-ONLY probe job (Parquet pruning never decodes the token
+        # arrays there).
+        from pyspark.sql import Observation
+
         from ..lake.table import bucket_expr
 
-        probe = batch.agg(
-            F.count(F.lit(1)).alias("rows_in"),
-            F.collect_set(
-                bucket_expr(self.key_cols, self.target.manifest().num_buckets)
-            ).alias("buckets"),
-        ).first()
-        rows_in = probe["rows_in"]
-        touched_buckets = [int(b) for b in probe["buckets"]]
-
-        # Quarantine write: the reject count comes from the append's own commit
-        # summary (write_data_files already reads per-file row counts) — no
-        # Observation, no separate counting job over the batch.
+        num_buckets = self.target.manifest().num_buckets
+        bexpr = bucket_expr(self.key_cols, num_buckets)
+        probe_metrics = None
         n_rejects = 0
         valid = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
         if self.quarantine is not None:
-            rejects = tagged.filter(F.col("reject_reason").isNotNull())
+            obs = Observation()
+            observed = tagged.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_in"),
+                F.collect_set(bexpr).alias("buckets"),
+            )
+            rejects = observed.filter(F.col("reject_reason").isNotNull())
             committed = self.quarantine.append(rejects, fence_token=f"{fence_token}:q")
             if committed is not None:
+                # reject count from the append's own commit summary — no extra job
                 n_rejects = int(committed.summary.get("rows", 0))
+                try:
+                    probe_metrics = obs.get
+                except Exception:
+                    probe_metrics = None
             else:
                 # crash-recovery replay: quarantine already fenced — count the
                 # (tiny) reject set directly
-                n_rejects = rejects.count()
+                n_rejects = tagged.filter(F.col("reject_reason").isNotNull()).count()
+        if probe_metrics is not None:
+            rows_in = int(probe_metrics["rows_in"])
+            touched_buckets = [int(b) for b in probe_metrics["buckets"]]
+        else:
+            probe = batch.agg(
+                F.count(F.lit(1)).alias("rows_in"),
+                F.collect_set(bexpr).alias("buckets"),
+            ).first()
+            rows_in = probe["rows_in"]
+            touched_buckets = [int(b) for b in probe["buckets"]]
 
         deduped = lww_latest(
             valid,

@@ -653,6 +653,32 @@ def read_for_keys(
     return df
 
 
+def read_appended_since(
+    spark: SparkSession,
+    table: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Incremental read of an append-only table (changes outbox / lineage):
+    rows in data files added strictly after ``from_version`` up to
+    ``to_version`` (default: current snapshot). Returns (rows, to_version) —
+    the caller persists ``to_version`` as its cursor for exactly-once
+    downstream consumption, the engine-side analogue of the reference's SNS
+    subscribers (ref: aggregator/TopicPublisher.scala:23-58 — but replayable:
+    a crashed consumer re-reads the same version range and gets the same rows).
+    """
+    m_to = table.manifest(to_version)
+    if from_version < 0:
+        raise ValueError("from_version must be >= 0")
+    if from_version > m_to.version:
+        raise ValueError(
+            f"from_version {from_version} is newer than snapshot {m_to.version}"
+        )
+    seen = {f.path for f in table.manifest(from_version).files}
+    new_files = [f for f in m_to.files if f.path not in seen]
+    return table._read_files(spark, m_to, new_files), m_to.version
+
+
 def compact(
     spark: SparkSession,
     table: LakeTable,

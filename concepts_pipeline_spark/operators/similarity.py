@@ -2,12 +2,16 @@
 
 Brute-force cosine top-k as the exact baseline; random-hyperplane LSH bucketing as
 the scale path (candidates via equi-join on signature prefix, re-ranked exactly).
-All math is JVM-side higher-order functions (zip_with / aggregate) — no Python in
-the hot path.
+Scalar math is JVM-side higher-order functions (zip_with / aggregate); the one
+deliberate Python hop is IVF centroid assignment, where an Arrow-batched numpy
+matmul beats both a per-row expression fold and (decisively) a thousand-literal
+inlined centroid expression that Catalyst re-optimizes per plan.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -80,12 +84,17 @@ def ivf_assign(
     vectors whose xxhash64(key) ranks lowest — a seeded sample, no iteration),
     assign every vector to its nearest centroid. Returns (assignments, centroids).
 
-    Centroid metadata is O(num_lists) — collected once and inlined as a literal
-    array of structs, so the assignment is a MAP-ONLY scan (an argmin over a
-    constant array via higher-order functions): no join node, no shuffle. At
-    cluster scale the posting lists are then written bucketed by ``list_id`` so
-    a probe reads only its lists' files. Ties on distance break to the smaller
-    list_id (deterministic)."""
+    Centroid metadata is O(num_lists) — collected once and captured in an
+    Arrow-vectorized pandas UDF closure as a numpy matrix, so the assignment is
+    a MAP-ONLY scan (one batched matmul argmin per Arrow batch): no join node,
+    no shuffle. (A pure-expression alternative — the centroid matrix inlined as
+    ~num_lists×dim literal nodes — is measured 10×+ slower at dim 64: Catalyst
+    re-optimizes the thousand-literal tree on every plan using it.) At cluster
+    scale the posting lists are then written bucketed by ``list_id`` so a probe
+    reads only its lists' files. Ties on distance break to the smaller list_id
+    (argmin first occurrence over id-sorted centroids)."""
+    from pyspark.sql.types import StringType
+
     spark = df.sparkSession
     cents = (
         df.select(
@@ -96,38 +105,25 @@ def ivf_assign(
         .limit(num_lists)
         .collect()
     )
+    cent_rows = sorted(
+        (str(r[key_col]), [float(x) for x in r[vec_col]]) for r in cents
+    )
     centroids = spark.createDataFrame(
-        [(str(r[key_col]), [float(x) for x in r[vec_col]]) for r in cents],
-        "list_id string, centroid array<double>",
+        cent_rows, "list_id string, centroid array<double>"
     )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(str(r[key_col])).alias("list_id"),
-                F.array(*[F.lit(float(x)) for x in r[vec_col]]).alias("centroid"),
-            )
-            for r in cents
-        ]
-    )
-    # struct ordering compares fields left-to-right, so array_min over
-    # struct(d2, list_id) is "argmin by distance, min list_id on ties"
-    best = F.array_min(
-        F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col), c["centroid"], lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("__d2"),
-                c["list_id"].alias("list_id"),
-            ),
-        )
-    )
+    C = np.stack([v for _, v in cent_rows])
+    c_sq = (C * C).sum(axis=1)
+    ids = np.array([i for i, _ in cent_rows], dtype=object)
+
+    @F.pandas_udf(StringType())
+    def nearest(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.to_numpy())
+        # argmin ‖v−c‖² = argmin (−2 v·c + ‖c‖²); ‖v‖² is constant per row
+        d2 = -2.0 * (V @ C.T) + c_sq[None, :]
+        return pd.Series(ids[np.argmin(d2, axis=1)])
+
     assign = df.select(
-        F.col(key_col), F.col(vec_col), best["list_id"].alias("list_id")
+        F.col(key_col), F.col(vec_col), nearest(F.col(vec_col)).alias("list_id")
     )
     return assign, centroids
 

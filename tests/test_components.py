@@ -33,3 +33,21 @@ def test_two_components(spark):
 def test_no_edges(spark):
     got = run(spark, [], ["p", "q"])
     assert got == {"p": "p", "q": "q"}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter must fail loudly, not silently split."""
+    import pytest
+
+    from concepts_pipeline_spark.operators.dedup import connected_components
+
+    # path graph 0-1-2-...-7 has diameter 7; min-label needs ~7 rounds
+    pairs = spark.createDataFrame(
+        [(f"d{i}", f"d{i+1}") for i in range(7)], "key_a string, key_b string"
+    )
+    nodes = spark.createDataFrame([(f"d{i}",) for i in range(8)], "key string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, "key", max_iter=2)
+    # and with enough rounds it converges to one cluster
+    out = connected_components(pairs, nodes, "key", max_iter=10)
+    assert {r["cluster_rep"] for r in out.collect()} == {"d0"}

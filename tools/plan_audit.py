@@ -102,6 +102,32 @@ def main() -> None:
                          r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)[^\n]*LeftAnti"))
     sections.append(("existence anti-join — hash left anti", p))
 
+    # 6. embedding near-dup: metric blocking must plan as equi-joins, never a
+    #    Cartesian/nested-loop product (operators/dedup.embedding_neardup_pairs)
+    emb = entry.q_embedding_neardup(spark, SF)
+    p = explain_str(emb)
+    results.append(check("embedding near-dup has NO cartesian/nested-loop join", p,
+                         r"(CartesianProduct|BroadcastNestedLoopJoin)",
+                         must_match=False))
+    results.append(check("embedding near-dup list-pair join is hash-based", p,
+                         r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)"))
+    sections.append(("embedding near-dup — metric-blocked equi-joins", p))
+
+    # 7. IVF centroid assignment is MAP-ONLY (literal centroid array + struct
+    #    argmin: no join node, no Exchange in the assignment subplan)
+    from concepts_pipeline_spark.operators.similarity import ivf_assign
+
+    embdf = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assign, _cent = ivf_assign(embdf, "embedding", "vec_id", num_lists=8)
+    p = explain_str(assign)
+    results.append(check("IVF assignment has no Exchange (map-only)", p,
+                         r"Exchange", must_match=False))
+    results.append(check("IVF assignment has no join", p,
+                         r"Join", must_match=False))
+    sections.append(("IVF centroid assignment — map-only scan", p))
+
     with open("PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`python tools/plan_audit.py`)\n\n")
         fh.write("Asserted properties (see tool for the exact regexes):\n\n")

@@ -28,15 +28,30 @@ FEED_DIR = os.environ.get("SCALE_FEED_DIR", "/tmp/cps-scale-feed")
 
 
 def prep(num_events: int, num_keys: int, num_batches: int) -> None:
+    """Build the feed in a SUBPROCESS. The Py4J gateway JVM outlives
+    ``spark.stop()`` for as long as its Python process runs — doing prep
+    in-process would leave that JVM alive through every timed worker, stealing
+    pinned cores and polluting the all-java CPU accounting (observed: a
+    lingering prep JVM at ~90% CPU quadrupled a worker's measured jvm_cpu_sec)."""
+    marker = os.path.join(FEED_DIR, f".ready-{num_events}-{num_keys}-{num_batches}")
+    if os.path.exists(marker):
+        return
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--prep-worker",
+         "--events", str(num_events), "--keys", str(num_keys),
+         "--batches", str(num_batches)],
+        cwd=REPO, check=True,
+    )
+    open(marker, "w").close()
+
+
+def prep_worker(num_events: int, num_keys: int, num_batches: int) -> None:
     from concepts_pipeline_spark.cdc.generator import (
         generate_change_log,
         write_change_log,
     )
     from concepts_pipeline_spark.session import get_spark
 
-    marker = os.path.join(FEED_DIR, f".ready-{num_events}-{num_keys}-{num_batches}")
-    if os.path.exists(marker):
-        return
     spark = get_spark(app_name="cps-scale-prep", cpus=16)
     spark.sparkContext.setLogLevel("ERROR")
     # fixed parallelism => identical files regardless of the session's core count
@@ -47,7 +62,14 @@ def prep(num_events: int, num_keys: int, num_batches: int) -> None:
     )
     write_change_log(df, FEED_DIR)
     spark.stop()
-    open(marker, "w").close()
+
+
+def _comm(pid: str) -> str:
+    try:
+        with open(f"/proc/{pid}/comm") as fh:
+            return fh.read().strip()
+    except OSError:
+        return ""
 
 
 def _jvm_cpu_seconds() -> float:
@@ -80,8 +102,11 @@ def worker(cpus: int, num_batches: int, single_batch: bool = False,
 
     from __spark_entry__ import TOKENS_SCHEMA
 
+    # same task granularity PER CORE at every level (4 shuffle partitions per
+    # core): otherwise the 4N level runs 1 task/core and a single straggler
+    # stalls the whole stage tail, understating scaling efficiency
     spark = get_spark(app_name=f"cps-scale-{cpus}", cpus=cpus,
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(4 * cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
     feed = (
         spark.read.schema(CHANGE_LOG_SCHEMA)
@@ -155,14 +180,27 @@ def main() -> None:
                     help="apply per-segment micro-batches instead of one big batch")
     ap.add_argument("--strategy", default="cow", choices=["cow", "mor"])
     ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--prep-worker", action="store_true")
     args = ap.parse_args()
 
+    if args.prep_worker:
+        prep_worker(args.events, args.keys, args.batches)
+        return
     if args.worker is not None:
         worker(args.worker, args.batches, single_batch=not args.multi_batch,
                strategy=args.strategy)
         return
 
     prep(args.events, args.keys, args.batches)
+    # the all-java CPU accounting requires OUR worker to be the only JVM alive
+    stray = [
+        pid for pid in os.listdir("/proc") if pid.isdigit()
+        and _comm(pid) == "java"
+    ]
+    if stray:
+        print(f"WARNING: stray java process(es) {stray} will pollute "
+              "jvm_cpu_sec and steal pinned cores — kill them first",
+              file=sys.stderr)
     # interleave levels (A,B,A,B) so hypervisor-noise windows hit both levels
     # equally; best-of per level because noise is strictly additive
     runs: dict[int, list[dict]] = {c: [] for c in args.cpus}
