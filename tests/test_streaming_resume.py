@@ -102,3 +102,54 @@ def test_clean_stream_equals_bulk_replay(spark, log_dir, tmp_path):
     h = run_stream(spark, pipe, log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=3)
     h.query.awaitTermination()
     assert engine_state(pipe.final_state()) == oracle(log_dir)
+
+
+def test_kill_and_resume_mor_with_compaction(spark, log_dir, tmp_path):
+    """The same exactly-once guarantee under merge-on-read: crash mid-replay,
+    resume from checkpoint, compact mid-stream — final state still equals the
+    oracle, no duplicate fence tokens, deltas folded."""
+    from concepts_pipeline_spark.lake.merge import compact
+
+    def mor_pipe():
+        return CdcPipeline(
+            spark,
+            target_path=str(tmp_path / "target"),
+            target_schema=TARGET_SCHEMA,
+            key_cols=["doc_id"],
+            quarantine_path=str(tmp_path / "q"),
+            num_buckets=8,
+            salt_buckets=4,
+            strategy="mor",
+        )
+
+    pipe = mor_pipe()
+    ckpt = str(tmp_path / "ckpt")
+    state = {"seen": 0}
+
+    def crash_after_one(batch_id: int, df):
+        if state["seen"] >= 1:
+            raise InjectedCrash("injected failure mid-replay")
+        state["seen"] += 1
+
+    h1 = run_stream(
+        spark, pipe, log_dir, ckpt, name="mor-resume",
+        max_files_per_trigger=2, on_batch=crash_after_one,
+    )
+    with pytest.raises(Exception):
+        h1.query.awaitTermination()
+
+    # compaction between restart attempts must not disturb correctness
+    compact(spark, pipe.target, max_delta_files_per_bucket=0)
+
+    pipe2 = mor_pipe()
+    h2 = run_stream(spark, pipe2, log_dir, ckpt, name="mor-resume",
+                    max_files_per_trigger=2)
+    h2.query.awaitTermination()
+
+    assert engine_state(pipe2.final_state()) == oracle(log_dir)
+    tokens = pipe2.target.manifest().fence_tokens
+    assert len(tokens) == len(set(tokens))
+
+    # fold all remaining deltas and re-check (read path vs compacted base)
+    compact(spark, pipe2.target, max_delta_files_per_bucket=0)
+    assert engine_state(pipe2.final_state()) == oracle(log_dir)
