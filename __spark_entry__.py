@@ -246,6 +246,112 @@ def cdc_accumulate_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel (SURVEY §2.1 S7 — the reference's ES
+    point-in-time reads, recorder/IndexSource.scala:41-56, are real snapshot
+    manifests here): apply all four batches, then read the snapshot AS OF the
+    second commit — the result must equal the declarative spec over only the
+    first two batches' events, regardless of the later commits."""
+    log = derived_change_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cps-tt-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        num_buckets=16,
+        salt_buckets=4,
+    )
+    for b in range(4):
+        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
+        pipe.apply_batch(batch, fence_token=f"tt:{b}")
+    # target versions: v0 = create, v1..v4 = one per applied batch
+    from concepts_pipeline_spark.lake.merge import HIDDEN_DELETED
+
+    snap = pipe.target.read(spark, version=2)
+    live = snap.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+    return live.select("doc_id", _j("tokens"), "n_tok", "source")
+
+
+def cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR replay + full compaction: folding every delta back to base files must
+    preserve the exact final state (one declarative spec across write strategy
+    AND maintenance operations)."""
+    from concepts_pipeline_spark.lake.merge import compact
+
+    log = derived_change_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cps-compact-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        num_buckets=16,
+        salt_buckets=4,
+        strategy="mor",
+    )
+    for b in range(4):
+        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
+        pipe.apply_batch(batch, fence_token=f"cp:{b}")
+    compact(spark, pipe.target, max_delta_files_per_bucket=0)
+    assert not any(f.kind == "delta" for f in pipe.target.manifest().files)
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
+def cdc_replay_rescaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay into 8 buckets, then atomically rescale the physical layout to 32
+    buckets (lake/merge.rescale_buckets) — the 1000× growth answer. The rescaled
+    table must read back to the identical final state."""
+    from concepts_pipeline_spark.lake.merge import rescale_buckets
+
+    log = derived_change_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cps-rescale-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        num_buckets=8,
+        salt_buckets=4,
+    )
+    for b in range(4):
+        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
+        pipe.apply_batch(batch, fence_token=f"rs:{b}")
+    m = rescale_buckets(spark, pipe.target, 32)
+    assert m.num_buckets == 32
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
+def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched point lookup against the replayed table (SURVEY §2.1 S9 — the
+    reference's `_mget`, recorder/MultiGetFlow.scala:20-53): bucket pruning +
+    string-key min/max file-stat pruning via lake/merge.read_for_keys, misses
+    absent, tombstones filtered."""
+    from concepts_pipeline_spark.lake.merge import (
+        HIDDEN_DELETED,
+        HIDDEN_LSN,
+        read_for_keys,
+    )
+
+    log = derived_change_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cps-lookup-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        num_buckets=16,
+        salt_buckets=4,
+    )
+    pipe.apply_batch(log, fence_token="pl:all")
+    keys = [str(k) for k in range(1, 101)]  # mix of hits, misses, deleted keys
+    got = read_for_keys(spark, pipe.target, keys)
+    live = got.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+    return live.drop(HIDDEN_LSN, HIDDEN_DELETED).select(
+        "doc_id", _j("tokens"), "n_tok", "source"
+    )
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time sessionization with a 30-minute inactivity gap —
     F.session_window (SURVEY §2.8: absent in the reference, built-in here; the
@@ -884,6 +990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_accumulate_union": cdc_accumulate_union,
         "cdc_lww_latest": cdc_lww_latest,
         "cdc_quarantine_counts": cdc_quarantine_counts,
+        "cdc_time_travel": cdc_time_travel,
+        "cdc_replay_compacted": cdc_replay_compacted,
+        "cdc_replay_rescaled": cdc_replay_rescaled,
+        "cdc_point_lookup": cdc_point_lookup,
         "anti_join_new_keys": q_anti_join,
         "lookup_join": q_lookup_join,
         "classify_changes": q_classify_changes,
@@ -951,6 +1061,24 @@ def _oracle_sql_base() -> dict[str, str]:
         "cdc_replay_final_state": FINAL_STATE_JSON_SQL,
         "cdc_replay_mor": FINAL_STATE_JSON_SQL,
         "cdc_stream_final_state": FINAL_STATE_JSON_SQL,
+        "cdc_replay_compacted": FINAL_STATE_JSON_SQL,
+        "cdc_replay_rescaled": FINAL_STATE_JSON_SQL,
+        "cdc_time_travel": f"""
+            WITH {LOG_CTE_SQL},
+            tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
+            valid AS (SELECT * FROM tagged
+                      WHERE reject_reason IS NULL AND lsn % 4 <= 1),
+            latest AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+              FROM valid)
+            SELECT doc_id, CAST(to_json(tokens) AS VARCHAR) AS tokens,
+                   n_tok, source
+            FROM latest WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_point_lookup": f"""
+            SELECT * FROM ({FINAL_STATE_JSON_SQL})
+            WHERE doc_id IN ({", ".join(f"'{k}'" for k in range(1, 101))})
+        """,
         "cdc_schema_evolution": f"""
             WITH {LOG_CTE_SQL},
             tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
