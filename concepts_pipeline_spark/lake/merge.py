@@ -614,25 +614,39 @@ def read_for_keys(
     from ..operators.lww import lww_latest
 
     m = table.manifest(version)
-    if len(m.key_cols) != 1:
-        # the bucket probe and min/max stats below are single-key; silently
-        # probing on key_cols[0] alone would compute wrong buckets
-        raise NotImplementedError(
-            f"read_for_keys supports single-column keys only, table has {m.key_cols}"
+    multi = len(m.key_cols) > 1
+    if multi:
+        # composite key: each probe is a tuple over ALL key columns (a scalar
+        # probes only a prefix and would hash to the wrong bucket)
+        bad = [k for k in keys if not isinstance(k, (tuple, list))
+               or len(k) != len(m.key_cols)]
+        if bad:
+            raise ValueError(
+                f"composite-key table {m.key_cols} requires full key tuples, "
+                f"got {bad[:3]!r}"
+            )
+        probe_schema = ", ".join(
+            f"{c} {m.schema[c].dataType.simpleString()}" for c in m.key_cols
         )
-    key0 = m.key_cols[0]
-    one = spark.createDataFrame([(k,) for k in keys], f"{key0} {m.schema[key0].dataType.simpleString()}")
+        one = spark.createDataFrame([tuple(k) for k in keys], probe_schema)
+    else:
+        key0 = m.key_cols[0]
+        one = spark.createDataFrame(
+            [(k,) for k in keys], f"{key0} {m.schema[key0].dataType.simpleString()}"
+        )
     buckets = {
         int(r[0])
         for r in one.select(bucket_expr(m.key_cols, m.num_buckets)).collect()
     }
-    # Manifest min/max stats are stored as strings (_parquet_stats), so the
-    # range comparison is only sound when the key column itself is a string —
-    # lexicographic order on stringified numbers drops matching rows (key 100
-    # vs file stats ['99','101']: '99' > '100' would prune the right file).
-    # Non-string keys keep bucket pruning only.
+    # Manifest min/max stats cover the FIRST key column and are stored as
+    # strings (_parquet_stats), so the range comparison is only sound when that
+    # column itself is a string — lexicographic order on stringified numbers
+    # drops matching rows (key 100 vs file stats ['99','101']: '99' > '100'
+    # would prune the right file). Other key types keep bucket pruning only.
+    key0 = m.key_cols[0]
     use_stats = isinstance(m.schema[key0].dataType, StringType)
-    str_keys = sorted(str(k) for k in keys)
+    first_vals = [k[0] if multi else k for k in keys]
+    str_keys = sorted(str(k) for k in first_vals)
     lo, hi = str_keys[0], str_keys[-1]
 
     def file_may_contain(f: DataFileEntry) -> bool:
@@ -647,7 +661,24 @@ def read_for_keys(
     files = [f for f in m.files if file_may_contain(f)]
     if not files:
         return spark.createDataFrame([], m.schema)
-    df = table._read_files(spark, m, files).filter(F.col(key0).isin(list(keys)))
+    if multi:
+        # point-lookup key lists are small; an OR of per-tuple conjunctions
+        # stays a plain scan predicate (isin cannot build struct literals)
+        from functools import reduce as _reduce
+
+        residual = _reduce(
+            lambda a, b: a | b,
+            [
+                _reduce(
+                    lambda a, b: a & b,
+                    [F.col(c) == F.lit(v) for c, v in zip(m.key_cols, k)],
+                )
+                for k in keys
+            ],
+        )
+    else:
+        residual = F.col(key0).isin(list(keys))
+    df = table._read_files(spark, m, files).filter(residual)
     if any(f.kind == "delta" for f in files):
         df = lww_latest(df, m.key_cols, lsn_col=HIDDEN_LSN, op_col=None)
     return df

@@ -134,15 +134,23 @@ def test_read_for_keys_numeric_key_not_string_pruned(spark, tmp_path):
     assert got == {100: "b"}
 
 
-def test_read_for_keys_rejects_composite_keys(spark, tmp_path):
+def test_read_for_keys_composite_keys(spark, tmp_path):
+    """Composite-key lookups probe buckets over the FULL key tuple; scalar
+    probes (which would hash a key prefix to the wrong bucket) are rejected."""
     import pytest
     from pyspark.sql.types import StructField as SF, StructType as ST
 
     from concepts_pipeline_spark.lake import LakeTable
     from concepts_pipeline_spark.lake.merge import read_for_keys
 
-    schema = ST([SF("a", StringType(), False), SF("b", StringType(), False)])
-    t = LakeTable.create(str(tmp_path / "comp"), schema, ["a", "b"], num_buckets=1)
-    t.append(spark.createDataFrame([("x", "y")], schema))
-    with pytest.raises(NotImplementedError):
+    schema = ST([SF("a", StringType(), False), SF("b", StringType(), False),
+                 SF("v", StringType(), True)])
+    t = LakeTable.create(str(tmp_path / "comp"), schema, ["a", "b"], num_buckets=4)
+    t.append(spark.createDataFrame(
+        [("x", "y", "1"), ("x", "z", "2"), ("w", "y", "3")], schema
+    ))
+    got = {(r["a"], r["b"]): r["v"]
+           for r in read_for_keys(spark, t, [("x", "y"), ("w", "y"), ("q", "q")]).collect()}
+    assert got == {("x", "y"): "1", ("w", "y"): "3"}
+    with pytest.raises(ValueError, match="full key tuples"):
         read_for_keys(spark, t, ["x"])
