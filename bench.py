@@ -130,6 +130,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
+    # untimed JIT/codegen + Python-worker warmup (same practice as
+    # tools/scale_bench.py): the first queries otherwise absorb ~8-10 s of
+    # one-time JVM compilation that is not steady-state cost
+    qs = entry.queries()
+    materialize(qs["q1_pricing_summary"](spark, SF_DIR))
+    materialize(qs["cdc_lww_latest"](spark, SF_DIR))
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in bench_queries(spark).items():

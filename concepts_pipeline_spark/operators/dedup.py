@@ -269,6 +269,8 @@ def connected_components(
     driver-side control flow over fully distributed joins — no collected data —
     and each round localCheckpoints to truncate the lineage (at cluster scale:
   checkpoint to durable storage instead)."""
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     edges = (
         pairs.select(F.col("key_a").alias("a"), F.col("key_b").alias("b"))
         .unionByName(

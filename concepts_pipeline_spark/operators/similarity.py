@@ -117,6 +117,8 @@ def ivf_assign(
 
     @F.pandas_udf(StringType())
     def nearest(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # empty Arrow batch from an empty partition
+            return pd.Series([], dtype=object)
         V = np.stack(vs.to_numpy())
         # argmin ‖v−c‖² = argmin (−2 v·c + ‖c‖²); ‖v‖² is constant per row
         d2 = -2.0 * (V @ C.T) + c_sq[None, :]
