@@ -40,19 +40,35 @@ def cmd_ingest(args) -> dict:
     from .operators.skos import filter_geographic_subdivisions, skos_transform
 
     spark = _spark("cps-ingest")
-    lines = spark.read.text(list(args.input))
+    raw = spark.read.text(list(args.input))
     # frame bound BEFORE parsing (ref: Scroll.scala:8-18 — the reference fails
     # the stream on overflow; strict mode mirrors that, otherwise overflowing
     # lines are counted and dropped)
-    lines, overflow = bounded_frames(lines, "value", args.max_line_bytes)
-    n_overflow = overflow.count()
-    if n_overflow and args.on_overflow == "error":
-        sample = overflow.select("frame_bytes", "head").first()
-        raise FrameOverflowError(
-            f"{n_overflow} line(s) exceed the {args.max_line_bytes}-byte frame "
-            f"bound (largest starts: {sample['head'][:80]!r}, "
-            f"{sample['frame_bytes']} bytes); re-run with --on-overflow drop "
-            "to reject-and-count instead"
+    if args.on_overflow == "error":
+        # strict mode must know the verdict BEFORE applying: one pre-pass
+        # computing count + a sample together
+        lines, overflow = bounded_frames(raw, "value", args.max_line_bytes)
+        probe = overflow.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.struct("frame_bytes", "head")).alias("s"),
+        ).first()
+        n_overflow = int(probe["n"])
+        if n_overflow:
+            raise FrameOverflowError(
+                f"{n_overflow} line(s) exceed the {args.max_line_bytes}-byte "
+                f"frame bound (sample starts: {probe['s']['head'][:80]!r}, "
+                f"{probe['s']['frame_bytes']} bytes); re-run with "
+                "--on-overflow drop to reject-and-count instead"
+            )
+        obs = None
+    else:
+        # drop mode: the overflow count rides the merge's own scan of the ok
+        # side as an Observation — no extra pass over the raw input
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        lines, _overflow = bounded_frames(
+            raw, "value", args.max_line_bytes, observation=obs
         )
     concepts = filter_geographic_subdivisions(
         skos_transform(lines, "value", args.authority)
@@ -69,6 +85,11 @@ def cmd_ingest(args) -> dict:
         spark, table, concepts.withColumn("op", F.lit("U")),
         fence_token=args.fence,
     )
+    if obs is not None:
+        if stats.skipped:
+            n_overflow = 0  # fenced no-op merge never ran a job over the lines
+        else:
+            n_overflow = int(obs.get.get("frame_overflow") or 0)
     return {"inserted": stats.inserted, "updated": stats.updated,
             "noop": stats.noop, "skipped": stats.skipped,
             "frame_overflow": n_overflow}

@@ -239,6 +239,10 @@ def _merge_into_once(
             fence_token=fence_token,
             summary={"operation": "merge", "empty_batch": True},
         )
+        # fence the outbox too — otherwise a replay of this batch finds the
+        # target fenced but ':c' missing and writes a spurious hole marker
+        if changes_table is not None and fence_token:
+            changes_table.append_rows([], fence_token=f"{fence_token}:c")
         stats = MergeStats(version=m.version + 1)
         stats.wall_ms = int((time.time() - t0) * 1000)
         return stats
@@ -436,12 +440,21 @@ def _merge_into_once(
             },
         )
 
-        # Outbox AFTER the target commit: a CommitConflict above means no outbox
-        # row is ever written for the losing attempt (the retry recomputes both
-        # against the winner's snapshot), and the remaining crash window
-        # (commit landed, outbox didn't) is closed by the fenced hole marker on
-        # replay — see the fence-skip branch at the top.
+        # Outbox AFTER the target commit: a CommitConflict on the TARGET means
+        # no outbox row is ever written for the losing attempt (the retry
+        # recomputes both against the winner's snapshot), and the remaining
+        # crash window (commit landed, outbox didn't) is closed by the fenced
+        # hole marker on replay — see the fence-skip branch at the top.
+        #
+        # The outbox append gets its OWN retry loop: letting its
+        # CommitConflict escape to merge_into's wrapper would re-enter the
+        # whole merge, hit the (now-present) target fence, and degrade the
+        # still-recomputable diff into a spurious hole marker while suppressing
+        # the batch's lineage row (skipped=True). Here the diff rows are still
+        # at hand — re-append against the outbox's new snapshot.
         if changes_table is not None:
+            from .table import CommitConflict
+
             changed_keys = result.filter(
                 F.col(ACTION_COL).isin("inserted", "updated", "deleted")
             ).select(
@@ -449,10 +462,16 @@ def _merge_into_once(
                 F.col(ACTION_COL).alias("action"),
                 F.lit(fence_token).alias("fence_token"),
             )
-            changes_table.append(
-                changed_keys,
-                fence_token=f"{fence_token}:c" if fence_token else None,
-            )
+            for attempt in range(4):
+                try:
+                    changes_table.append(
+                        changed_keys,
+                        fence_token=f"{fence_token}:c" if fence_token else None,
+                    )
+                    break
+                except CommitConflict:
+                    if attempt == 3:
+                        raise
     finally:
         if src_persisted:
             src.unpersist()
@@ -614,6 +633,8 @@ def read_for_keys(
     from ..operators.lww import lww_latest
 
     m = table.manifest(version)
+    if not keys:
+        return spark.createDataFrame([], m.schema)
     multi = len(m.key_cols) > 1
     if multi:
         # composite key: each probe is a tuple over ALL key columns (a scalar

@@ -291,7 +291,13 @@ class LakeTable:
                     continue
                 src = os.path.join(bdir, fname)
                 rel = os.path.join(DATA_DIR, f"{commit_id}-b{bucket:05d}-{seq:04d}.parquet")
-                os.rename(src, os.path.join(self.path, rel))
+                dst = os.path.join(self.path, rel)
+                os.rename(src, dst)
+                # stamp NOW: rename preserves the Parquet write-time mtime, so a
+                # long multi-file write phase would make early files look older
+                # than expire_snapshots' orphan grace while still uncommitted —
+                # the grace must count from staging completion, not write start
+                os.utime(dst)
                 staged.append((rel, bucket))
                 seq += 1
 
@@ -402,7 +408,11 @@ class LakeTable:
         touched bucket per lost attempt. Any data file referenced by no
         surviving manifest AND older than ``orphan_grace_seconds`` is deleted —
         the age grace keeps us from racing an in-flight commit that has staged
-        files but not yet swapped its manifest."""
+        files but not yet swapped its manifest (write_data_files re-stamps each
+        file's mtime at staging time, so the grace counts from staging, and it
+        must exceed the worst-case stage→commit latency — footer stats plus the
+        manifest swap, seconds — with a wide margin; the 1 h default is that
+        margin, not a tuning knob to shrink)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = self._manifest_versions()

@@ -303,14 +303,29 @@ def connected_components(
         if changed == 0:
             break
     else:
-        # never silently return unconverged labels: a chain with diameter >
-        # max_iter would split one true cluster into several and dedup would
-        # keep extra "survivors"
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations "
-            f"({changed} labels still changing) — raise max_iter (rounds needed "
-            "grow with near-dup chain diameter)"
+        # the budget ran out while the last round still improved labels — that
+        # round may ALSO have been the one that reached the fixed point, so run
+        # one verification round before declaring non-convergence. Never
+        # silently return unconverged labels: a chain with diameter > max_iter
+        # would split one true cluster into several and dedup would keep extra
+        # "survivors".
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("a", "b2"), edges.b == F.col("b2"))
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        still = (
+            labels.join(nbr_min, on="a", how="left")
+            .filter(F.coalesce(F.col("nbr_lbl"), F.col("lbl")) < F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        if still > 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} iterations "
+                "— raise max_iter (rounds needed grow with near-dup chain "
+                "diameter)"
+            )
     return labels.select(F.col("a").alias(key_col), F.col("lbl").alias("cluster_rep"))
 
 

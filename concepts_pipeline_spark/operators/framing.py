@@ -24,14 +24,26 @@ def bounded_frames(
     lines: DataFrame,
     col: str = "value",
     max_bytes: int = DEFAULT_MAX_FRAME_BYTES,
+    observation=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split a line DataFrame into (ok, overflow).
 
     ``overflow`` rows carry ``frame_bytes`` and ``reject_reason`` plus a
     truncated ``head`` of the offending line (enough to identify it in logs
-    without shipping the whole frame around)."""
+    without shipping the whole frame around).
+
+    Pass an ``Observation`` to get the overflow count for free off whatever
+    action later consumes the ``ok`` side (metric key ``frame_overflow``) —
+    no second scan of the raw input in the common zero-overflow case."""
     size = F.octet_length(F.col(col))
     tagged = lines.withColumn("__frame_bytes", size)
+    if observation is not None:
+        tagged = tagged.observe(
+            observation,
+            F.coalesce(
+                F.sum((F.col("__frame_bytes") > max_bytes).cast("long")), F.lit(0)
+            ).alias("frame_overflow"),
+        )
     ok = tagged.filter(F.col("__frame_bytes") <= max_bytes).drop("__frame_bytes")
     overflow = tagged.filter(F.col("__frame_bytes") > max_bytes).select(
         F.col("__frame_bytes").alias("frame_bytes"),

@@ -108,6 +108,14 @@ def ivf_assign(
     cent_rows = sorted(
         (str(r[key_col]), [float(x) for x in r[vec_col]]) for r in cents
     )
+    if not cent_rows:  # empty input table (or all-zero-norm upstream filter)
+        empty_assign = df.select(
+            F.col(key_col), F.col(vec_col),
+            F.lit(None).cast("string").alias("list_id"),
+        ).limit(0)
+        return empty_assign, spark.createDataFrame(
+            [], "list_id string, centroid array<double>"
+        )
     centroids = spark.createDataFrame(
         cent_rows, "list_id string, centroid array<double>"
     )

@@ -173,3 +173,46 @@ def test_incremental_outbox_consumption(spark, tmp_path):
     # nothing new past the cursor
     d3, _ = read_appended_since(spark, pipe.changes, cursor2)
     assert d3.count() == 0
+
+
+def test_outbox_conflict_retried_in_place_not_hole(spark, tmp_path, monkeypatch):
+    """A CommitConflict on the OUTBOX append must be retried against the outbox's
+    new snapshot with the still-at-hand diff rows — not escape to the merge
+    retry wrapper, which would fence-skip and degrade the diff to a hole."""
+    from concepts_pipeline_spark.lake.table import CommitConflict, LakeTable
+
+    pipe = make_pipe(spark, tmp_path)
+    b1 = spark.createDataFrame([ev(1, "I", "a")], LOG_SCHEMA)
+    pipe.apply_batch(b1, fence_token="oc:1")
+
+    real_commit = LakeTable.commit
+    fails = {"n": 1}
+
+    def flaky_commit(self, base, files, **kw):
+        if fails["n"] > 0 and self.path == pipe.changes.path and kw.get("fence_token") == "oc:2:c":
+            fails["n"] -= 1
+            raise CommitConflict("injected outbox conflict")
+        return real_commit(self, base, files, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit", flaky_commit)
+    b2 = spark.createDataFrame([ev(5, "U", "a", [7, 7])], LOG_SCHEMA)
+    r = pipe.apply_batch(b2, fence_token="oc:2")
+    assert not r.stats.skipped  # the merge itself was NOT degraded to a skip
+    rows = [(x["doc_id"], x["action"]) for x in
+            pipe.changes.read(spark).filter(F.col("fence_token") == "oc:2").collect()]
+    assert rows == [("a", "updated")]  # real diff, exactly once, no hole marker
+    # lineage row present (skipped=True would have suppressed it)
+    lin = pipe.lineage.read(spark).filter(F.col("fence_token") == "oc:2")
+    assert lin.count() >= 1
+
+
+def test_empty_batch_replay_no_spurious_hole(spark, tmp_path):
+    """An empty batch fences the outbox too, so its replay is a clean no-op
+    rather than a spurious 'outbox_hole' marker."""
+    pipe = make_pipe(spark, tmp_path)
+    empty = spark.createDataFrame([], LOG_SCHEMA)
+    pipe.apply_batch(empty, fence_token="eb:1")
+    assert pipe.changes.has_fence_token("eb:1:c")
+    pipe.apply_batch(empty, fence_token="eb:1")  # replay
+    holes = pipe.changes.read(spark).filter(F.col("action") == "outbox_hole")
+    assert holes.count() == 0

@@ -113,8 +113,9 @@ def main() -> None:
                          r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)"))
     sections.append(("embedding near-dup — metric-blocked equi-joins", p))
 
-    # 7. IVF centroid assignment is MAP-ONLY (literal centroid array + struct
-    #    argmin: no join node, no Exchange in the assignment subplan)
+    # 7. IVF centroid assignment is MAP-ONLY (Arrow-batched numpy argmin over a
+    #    closure-captured centroid matrix: no join node, no Exchange in the
+    #    assignment subplan — the plan shows ArrowEvalPython, not a join)
     from concepts_pipeline_spark.operators.similarity import ivf_assign
 
     embdf = spark.read.parquet(f"{SF}/embeddings.parquet").select(
