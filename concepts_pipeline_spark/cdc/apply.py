@@ -329,6 +329,7 @@ class CdcPipeline:
             fence_token=fence_token,
             lsn_col=self.lsn_col,
             touched_buckets=touched_buckets,
+            touched_num_buckets=num_buckets,
             # MoR appends deltas without reading the target, so per-key action
             # classification (and thus the outbox) is only available under CoW
             changes_table=self.changes if self.strategy == "cow" else None,

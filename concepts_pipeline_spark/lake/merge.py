@@ -86,6 +86,7 @@ def merge_into(
     fence_token: str | None = None,
     lsn_col: str | None = None,
     touched_buckets: list[int] | None = None,
+    touched_num_buckets: int | None = None,
     changes_table: LakeTable | None = None,
     strategy: str = "cow",
     max_retries: int = 2,
@@ -104,7 +105,7 @@ def merge_into(
             return _merge_into_once(
                 spark, table, source, op_col, delete_op, update_mode,
                 array_union_cols, evolve, fence_token, lsn_col,
-                touched_buckets, changes_table, strategy,
+                touched_buckets, touched_num_buckets, changes_table, strategy,
             )
         except CommitConflict:
             if attempt >= max_retries:
@@ -124,6 +125,7 @@ def _merge_into_once(
     fence_token: str | None = None,
     lsn_col: str | None = None,
     touched_buckets: list[int] | None = None,
+    touched_num_buckets: int | None = None,
     changes_table: LakeTable | None = None,
     strategy: str = "cow",
 ) -> MergeStats:
@@ -219,6 +221,14 @@ def _merge_into_once(
     if strategy != "cow":
         raise ValueError(f"unknown merge strategy {strategy!r}")
 
+    # Caller-supplied bucket ids are only valid for the bucket count they were
+    # computed under: a concurrent rescale_buckets (including one winning a
+    # commit race before OUR retry) renumbers every bucket, and pruning with
+    # stale ids would skip files that hold matching keys — duplicate keys with
+    # no conflict. Rediscover from src whenever the numbering doesn't match.
+    if touched_buckets is not None and touched_num_buckets != m.num_buckets:
+        touched_buckets = None
+
     src_persisted = False
     if touched_buckets is None:
         src = src.persist()
@@ -248,8 +258,10 @@ def _merge_into_once(
         return stats
 
     tb = set(touched_buckets)
-    touched_files = [f for f in m.files if f.bucket in tb]
-    passthrough_files = [f for f in m.files if f.bucket not in tb]
+    # bucket == -1 marks driver-side appends whose keys were never hashed
+    # (LakeTable.append_rows) — they span all buckets and are always touched
+    touched_files = [f for f in m.files if f.bucket in tb or f.bucket == -1]
+    passthrough_files = [f for f in m.files if f.bucket not in tb and f.bucket != -1]
 
     target_sub = table._read_files(spark, m, touched_files)
     # manifest carries the old schema during this read; conform to the new one
@@ -283,7 +295,10 @@ def _merge_into_once(
                             F.coalesce(F.col(f"s.{c}"), F.array().cast(field_type[c])),
                         )
                     ),
-                ).otherwise(F.col(f"s.{c}"))
+                # INSERT arm sorts too: storing a raw unsorted array would make
+                # a later set-equal re-merge look changed (spurious 'updated'
+                # action + outbox publication for a no-op)
+                ).otherwise(F.array_sort(F.col(f"s.{c}")))
                 if c in union_cols
                 else F.col(f"s.{c}")
             )
@@ -367,8 +382,12 @@ def _merge_into_once(
     # TopicPublisher.scala:23-58) — here an appended outbox table partition the
     # next pipeline stage reads. Needs the per-row actions twice (outbox + main
     # write), so the merge result is cached only when the outbox is enabled.
+    cached = None
     if changes_table is not None:
-        result = result.persist()
+        # keep the persist handle: `result` is rebound to the observe() wrapper
+        # below, and unpersisting the CollectMetrics plan would not release the
+        # cached child — a per-batch storage leak on long streams
+        result = cached = result.persist()
 
     obs = Observation()
     count_aggs = [
@@ -475,8 +494,8 @@ def _merge_into_once(
     finally:
         if src_persisted:
             src.unpersist()
-        if changes_table is not None:
-            result.unpersist()
+        if cached is not None:
+            cached.unpersist()
     stats.wall_ms = int((time.time() - t0) * 1000)
     return stats
 
@@ -671,8 +690,8 @@ def read_for_keys(
     lo, hi = str_keys[0], str_keys[-1]
 
     def file_may_contain(f: DataFileEntry) -> bool:
-        if f.bucket not in buckets:
-            return False
+        if f.bucket != -1 and f.bucket not in buckets:
+            return False  # -1 = driver-side append spanning all buckets
         if not use_stats or f.min_key is None or f.max_key is None:
             return True  # no usable stats → must read
         return not (f.max_key < lo or f.min_key > hi) and any(

@@ -372,10 +372,13 @@ class LakeTable:
         )
         tbl = pa.Table.from_pylist(rows, schema=arrow_schema)
         commit_id = uuid.uuid4().hex[:12]
-        rel = os.path.join(DATA_DIR, f"{commit_id}-b00000-0000.parquet")
+        rel = os.path.join(DATA_DIR, f"{commit_id}-ball0-0000.parquet")
         pq.write_table(tbl, os.path.join(self.path, rel))
+        # bucket=-1 = "spans all buckets": the rows' keys are not hashed here
+        # (xxhash64 has no driver-side twin), so bucket pruning must never skip
+        # this file — read_for_keys and merge treat -1 as always-touched
         entry = DataFileEntry(
-            path=rel, bucket=0, rows=len(rows),
+            path=rel, bucket=-1, rows=len(rows),
             schema_id=self._current_schema_id(m),
         )
         return self.commit(
@@ -438,12 +441,22 @@ class LakeTable:
         data_dir = os.path.join(self.path, DATA_DIR)
         if os.path.isdir(data_dir):
             for name in os.listdir(data_dir):
+                p = os.path.join(data_dir, name)
+                if name.startswith(".stage-") and os.path.isdir(p):
+                    # a crashed writer never returns to rmtree its staging dir;
+                    # past the grace it is reclaimable wholesale
+                    try:
+                        if now - os.path.getmtime(p) >= orphan_grace_seconds:
+                            shutil.rmtree(p, ignore_errors=True)
+                            removed_files += 1
+                    except OSError:
+                        pass
+                    continue
                 if not name.endswith(".parquet"):
-                    continue  # .stage-* dirs are handled by their writer
+                    continue
                 rel = os.path.join(DATA_DIR, name)
                 if rel in live or rel in dropped_refs:
                     continue
-                p = os.path.join(data_dir, name)
                 try:
                     if now - os.path.getmtime(p) < orphan_grace_seconds:
                         continue

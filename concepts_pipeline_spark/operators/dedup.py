@@ -132,9 +132,13 @@ def minhash_lsh_pairs(
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
+    # ONE materialization of the expensive explode+aggregate: per_key feeds the
+    # signature/band branch AND both sides of the exact verify — without the
+    # persist the shingle aggregation would recompute up to 3× (the same reason
+    # ngram_jaccard_pairs persists its shingle table)
     per_key = sh.groupBy("key").agg(
         *mins, F.collect_set("shingle").alias("sh_set")
-    )
+    ).localCheckpoint()
     sig = per_key.select(
         "key",
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),

@@ -71,11 +71,17 @@ def lww_latest(
         # Arrow-batched applyInPandas per-key reduce (input_hint parity path):
         # the same total order evaluated in numpy/pandas per group. Slower than
         # 'agg' (no map-side combine, Python round-trip) — exists as the template
-        # for reductions that outgrow expressions.
+        # for reductions that outgrow expressions. The row-hash residual
+        # tiebreak is computed Spark-side (xxhash64 has no Python twin) and
+        # carried into the group as __h, so equal-(lsn, op) duplicates with
+        # different payloads resolve to the SAME winner as the other methods.
         import pandas as pd
 
         cols = list(df.columns)
         has_op = op_col is not None
+        tagged = df.withColumn(
+            "__h", F.bitwise_not(F.xxhash64(*[F.col(c) for c in cols]))
+        )
 
         def pick(pdf: pd.DataFrame) -> pd.DataFrame:
             rank = (
@@ -83,11 +89,13 @@ def lww_latest(
                 if has_op
                 else pd.Series(0, index=pdf.index)
             )
-            order = pd.DataFrame({"l": pdf[lsn_col], "r": rank})
-            idx = order.sort_values(["l", "r"], ascending=[False, False]).index[0]
+            order = pd.DataFrame({"l": pdf[lsn_col], "r": rank, "h": pdf["__h"]})
+            idx = order.sort_values(
+                ["l", "r", "h"], ascending=[False, False, False]
+            ).index[0]
             return pdf.loc[[idx], cols]
 
-        return df.groupBy(*key_cols).applyInPandas(pick, schema=df.schema)
+        return tagged.groupBy(*key_cols).applyInPandas(pick, schema=df.schema)
 
     order = _order_cols(lsn_col, op_col, delete_op, df.columns)
     if salt_buckets and salt_buckets > 1:

@@ -46,6 +46,15 @@ def cosine_topk(
     )
 
 
+def _hyperplane_component(seed: int, p: int, i: int) -> float:
+    """Deterministic "random" hyperplane component in [-1, 1] from
+    (seed, plane, dim index). SINGLE source of truth: the data-side signature
+    (hyperplane_signature) and the query-side signature (ann_lsh_topk) must use
+    bit-identical components or the hamming prune silently returns garbage."""
+    h = hash((seed, p, i)) & 0xFFFFFFFF
+    return (h / 0xFFFFFFFF) * 2.0 - 1.0
+
+
 def hyperplane_signature(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -58,14 +67,9 @@ def hyperplane_signature(
 
     Hyperplane components are deterministic xxhash64-derived values in [-1,1] —
     reproducible across sessions without shipping a matrix."""
-    def comp(p: int, i: int) -> float:
-        # deterministic "random" in [-1, 1] from (seed, plane, dim index)
-        h = hash((seed, p, i)) & 0xFFFFFFFF
-        return (h / 0xFFFFFFFF) * 2.0 - 1.0
-
     sig = None
     for p in range(planes):
-        plane = [comp(p, i) for i in range(dim)]
+        plane = [_hyperplane_component(seed, p, i) for i in range(dim)]
         d = _dot(F.col(vec_col), F.array(*[F.lit(c) for c in plane]))
         bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, p)
@@ -186,13 +190,9 @@ def ann_lsh_topk(
     dim = len(query_vec)
     sig_df = hyperplane_signature(df, vec_col, key_col, planes, dim, seed)
 
-    def comp(p: int, i: int) -> float:
-        h = hash((seed, p, i)) & 0xFFFFFFFF
-        return (h / 0xFFFFFFFF) * 2.0 - 1.0
-
     qsig = 0
     for p in range(planes):
-        d = sum(query_vec[i] * comp(p, i) for i in range(dim))
+        d = sum(query_vec[i] * _hyperplane_component(seed, p, i) for i in range(dim))
         if d > 0:
             qsig |= 1 << p
     candidates = sig_df.filter(
