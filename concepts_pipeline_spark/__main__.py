@@ -148,7 +148,9 @@ def cmd_replay(args) -> dict:
     from .cdc.apply import CdcPipeline
 
     spark = _spark("cps-replay")
-    feed = spark.read.parquet(args.feed)
+    from .cdc.feed import read_change_feed
+
+    feed = read_change_feed(spark, args.feed, feed_format=args.feed_format)
     pipe = CdcPipeline(
         spark,
         target_path=args.target,
@@ -265,6 +267,8 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--lineage", default=None)
         g.add_argument("--buckets", type=int, default=16)
         g.add_argument("--strategy", default="cow", choices=["cow", "mor"])
+        g.add_argument("--feed-format", default="parquet",
+                       choices=["parquet", "jsonl", "csv"])
         if name == "replay":
             g.add_argument("--changes", default=None)
             g.add_argument("--batch-col", default="batch_id")

@@ -49,11 +49,15 @@ def run_stream(
     available_now: bool = True,
     on_batch: Callable[[int, DataFrame], None] | None = None,
     schema=None,
+    feed_format: str = "parquet",
 ) -> StreamHandle:
     """Tail a landed change-log directory and apply each micro-batch exactly once.
 
     ``on_batch`` is a test hook invoked *before* apply (e.g. to inject a crash).
+    ``feed_format``: parquet (default), jsonl (NDJSON, .gz native), or csv.
     """
+    from ..cdc.feed import read_change_feed
+
     applied: list[tuple[int, ApplyResult]] = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -62,10 +66,13 @@ def run_stream(
         res = pipe.apply_batch(batch_df, fence_token=f"{name}:{batch_id}")
         applied.append((batch_id, res))
 
-    reader = (
-        spark.readStream.schema(schema or CHANGE_LOG_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(f"file://{source_path}")
+    reader = read_change_feed(
+        spark,
+        f"file://{source_path}",
+        feed_format=feed_format,
+        schema=schema or CHANGE_LOG_SCHEMA,
+        streaming=True,
+        options={"maxFilesPerTrigger": str(max_files_per_trigger)},
     )
     writer = (
         reader.writeStream.foreachBatch(handle)

@@ -197,3 +197,33 @@ def test_merge_precedence_violations_surfaced(spark):
 
     viol = merge_precedence_violations(primary, secondary, ["key"]).collect()
     assert [(r["key"], r["label"]) for r in viol] == [("k3", "orphan")]
+
+
+def test_incompatible_schema_evolution_rejected(spark):
+    """Narrowing and type-changing evolution must fail loudly, not corrupt
+    (additive columns + safe widening only — the inverse of the reference's
+    strict mappings, BulkUpdateFlowTest.scala:163-166)."""
+    import pytest
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField as SF, StructType as ST,
+    )
+
+    from concepts_pipeline_spark.lake.schema import (
+        SchemaEvolutionError,
+        evolve_schema,
+    )
+
+    table = ST([SF("k", StringType(), False), SF("n", LongType(), True)])
+    # a narrower source (int vs stored long) is NOT an error: the source
+    # conforms up to the table's type — the table never narrows
+    assert evolve_schema(table, ST([SF("n", IntegerType(), True)]))["n"].dataType == LongType()
+    # incompatible type change string -> long fails loudly
+    with pytest.raises(SchemaEvolutionError, match="cannot evolve"):
+        evolve_schema(table, ST([SF("k", LongType(), False)]))
+    # widening + additive still fine
+    out = evolve_schema(
+        ST([SF("k", StringType(), False), SF("n", IntegerType(), True)]),
+        ST([SF("n", LongType(), True), SF("extra", StringType(), True)]),
+    )
+    assert out["n"].dataType == LongType()
+    assert "extra" in out.fieldNames()
