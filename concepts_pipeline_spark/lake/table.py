@@ -42,6 +42,22 @@ from .schema import conform
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 
+# Sharded manifests: above this file count the root manifest stores
+# content-addressed shard refs instead of the inline file list, and a commit
+# rewrites ONLY the shards whose buckets changed. At 2^16 buckets × several
+# generations the inline list would make every commit rewrite O(table) metadata
+# — sharding makes commit metadata I/O O(touched buckets), the same asymptotic
+# story as the data files themselves (Iceberg's manifest-list design).
+INLINE_FILES_MAX = 256
+TARGET_SHARDS = 16
+
+
+def _shard_key(bucket: int, num_buckets: int) -> int:
+    if bucket < 0:
+        return -1  # unbucketed driver-side appends get their own shard
+    per = max(1, (num_buckets + TARGET_SHARDS - 1) // TARGET_SHARDS)
+    return bucket // per
+
 
 class CommitConflict(RuntimeError):
     """Another writer committed the same version first (optimistic concurrency)."""
@@ -79,6 +95,10 @@ class Manifest:
     fence_tokens: list[str] = field(default_factory=list)
     summary: dict = field(default_factory=dict)
     properties: dict = field(default_factory=dict)
+    # populated when this snapshot was loaded from / written as a sharded
+    # manifest: [{"path", "key", "n_files", "hash"}] — lets the next commit
+    # reuse unchanged shards by content hash without re-reading them
+    shard_refs: list[dict] | None = None
 
     @property
     def schema(self) -> StructType:
@@ -181,20 +201,76 @@ class LakeTable:
             raise FileNotFoundError(f"no manifests under {self.path}")
         return versions[-1]
 
+    def _manifest_raw(self, version: int) -> dict:
+        p = os.path.join(self.path, MANIFEST_DIR, f"v{version:012d}.json")
+        with open(p) as fh:
+            return json.load(fh)
+
     def manifest(self, version: int | None = None) -> Manifest:
         v = self.current_version() if version is None else version
-        p = os.path.join(self.path, MANIFEST_DIR, f"v{v:012d}.json")
-        with open(p) as fh:
-            return Manifest.from_json(json.load(fh))
+        d = self._manifest_raw(v)
+        m = Manifest.from_json(d)
+        refs = d.get("files_shards")
+        if refs:
+            files: list[DataFileEntry] = []
+            for r in refs:
+                with open(os.path.join(self.path, r["path"])) as fh:
+                    files.extend(DataFileEntry.from_json(x) for x in json.load(fh))
+            m.files = files
+            m.shard_refs = refs
+        return m
 
-    def _write_manifest(self, m: Manifest) -> None:
-        """Atomic exclusive commit: tmp write + link(2)."""
+    def _write_manifest(self, m: Manifest, base: Manifest | None = None) -> None:
+        """Atomic exclusive commit: tmp write + link(2).
+
+        Large file lists are sharded: files group by bucket-range shard, each
+        shard is an immutable content-addressed JSON file, and shards whose
+        content hash matches the base snapshot's ref are REUSED by reference —
+        a commit touching k buckets rewrites O(k/bucket_range) shard files,
+        not the whole list. Losing/crashed attempts leave orphan shard files
+        that expire_snapshots reclaims."""
         d = os.path.join(self.path, MANIFEST_DIR)
         os.makedirs(d, exist_ok=True)
+        payload = m.to_json()
+        if len(m.files) > INLINE_FILES_MAX:
+            import hashlib
+
+            groups: dict[int, list[DataFileEntry]] = {}
+            for f in m.files:
+                groups.setdefault(_shard_key(f.bucket, m.num_buckets), []).append(f)
+            base_refs = {
+                r["key"]: r for r in (base.shard_refs if base is not None and base.shard_refs else [])
+            }
+            refs: list[dict] = []
+            for k in sorted(groups):
+                content = [
+                    f.to_json() for f in sorted(groups[k], key=lambda f: f.path)
+                ]
+                blob = json.dumps(content, sort_keys=True).encode()
+                h = hashlib.sha256(blob).hexdigest()[:16]
+                br = base_refs.get(k)
+                if br is not None and br.get("hash") == h:
+                    refs.append(br)  # unchanged shard: carried by reference
+                    continue
+                rel = os.path.join(MANIFEST_DIR, f"s-{h}.json")
+                sp = os.path.join(self.path, rel)
+                if not os.path.exists(sp):  # content-addressed: write once
+                    stmp = sp + f".tmp-{uuid.uuid4().hex}"
+                    with open(stmp, "w") as fh:
+                        fh.write(blob.decode())
+                        fh.flush()
+                        os.fsync(fh.fileno())
+                    os.replace(stmp, sp)
+                refs.append(
+                    {"path": rel, "key": k, "n_files": len(content), "hash": h}
+                )
+            payload["files"] = []
+            payload["files_shards"] = refs
+            m.shard_refs = refs
         final = os.path.join(d, f"v{m.version:012d}.json")
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
-            json.dump(m.to_json(), fh)
+            json.dump(payload, fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:
@@ -227,7 +303,7 @@ class LakeTable:
             properties=base.properties,
         )
         m.summary.setdefault("committed_at_ms", int(time.time() * 1000))
-        self._write_manifest(m)
+        self._write_manifest(m, base=base)
         return m
 
     # ---------- read ----------
@@ -464,6 +540,38 @@ class LakeTable:
                     removed_files += 1
                 except OSError:
                     continue  # raced another cleaner
+        # manifest shard files: content-addressed s-*.json under _manifests/.
+        # Shards referenced only by dropped manifests die with them; shards
+        # referenced by NO manifest (losing commit attempts) die past the grace.
+        def shard_paths(vs: list[int]) -> set[str]:
+            out: set[str] = set()
+            for v in vs:
+                for r in self._manifest_raw(v).get("files_shards") or []:
+                    out.add(r["path"])
+            return out
+
+        live_shards = shard_paths(keep)
+        for rel in shard_paths(drop) - live_shards:
+            try:
+                os.unlink(os.path.join(self.path, rel))
+                removed_files += 1
+            except FileNotFoundError:
+                pass
+        mdir = os.path.join(self.path, MANIFEST_DIR)
+        all_shards = shard_paths(self._manifest_versions())
+        for name in os.listdir(mdir):
+            if not (name.startswith("s-") and name.endswith(".json")):
+                continue
+            rel = os.path.join(MANIFEST_DIR, name)
+            if rel in all_shards:
+                continue
+            p = os.path.join(mdir, name)
+            try:
+                if now - os.path.getmtime(p) >= orphan_grace_seconds:
+                    os.unlink(p)
+                    removed_files += 1
+            except OSError:
+                continue
         for v in drop:
             os.unlink(os.path.join(self.path, MANIFEST_DIR, f"v{v:012d}.json"))
         return (len(drop), removed_files)

@@ -33,7 +33,7 @@ def test_conflict_retry_applies_once(spark, tmp_path, monkeypatch):
     real_write = LakeTable._write_manifest
     fired = {"n": 0}
 
-    def racing_write(self, m: Manifest):
+    def racing_write(self, m: Manifest, base=None):
         if fired["n"] == 0:
             fired["n"] += 1
             racer = self.manifest()
@@ -41,7 +41,7 @@ def test_conflict_retry_applies_once(spark, tmp_path, monkeypatch):
             bumped.version = racer.version + 1
             bumped.fence_tokens = racer.fence_tokens + ["racer:x"]
             real_write(self, bumped)  # the racer wins this version
-        return real_write(self, m)
+        return real_write(self, m, base=base)
 
     monkeypatch.setattr(LakeTable, "_write_manifest", racing_write)
     stats = merge_into(spark, t, src(spark, [("a", 2, "U"), ("b", 9, "U")]),
@@ -59,7 +59,7 @@ def test_conflict_retry_applies_once(spark, tmp_path, monkeypatch):
 def test_conflict_exhausts_retries(spark, tmp_path, monkeypatch):
     t = make_table(spark, tmp_path)
 
-    def always_conflict(self, m):
+    def always_conflict(self, m, base=None):
         raise CommitConflict("busy")
 
     monkeypatch.setattr(LakeTable, "_write_manifest", always_conflict)
