@@ -377,19 +377,23 @@ class LakeTable:
                 staged.append((rel, bucket))
                 seq += 1
 
-        # footer stats in a driver-side thread pool: at cluster scale a commit
-        # stages thousands of files and sequential footer reads become the
-        # serial tail of every batch
-        from concurrent.futures import ThreadPoolExecutor
+        # footer stats: a driver-side thread pool for ordinary commits; past
+        # DISTRIBUTED_STATS_MIN files the reads fan out as a Spark job (one
+        # pyarrow footer read per file on the executors) so the stat phase is
+        # never the serial tail of a large commit
+        if len(staged) > DISTRIBUTED_STATS_MIN:
+            stats = _distributed_stats(df.sparkSession, self.path, staged, key0)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        def stat(item: tuple[str, int]):
-            rel, bucket = item
-            rows, kmin, kmax = _parquet_stats(os.path.join(self.path, rel), key0)
-            return rel, bucket, rows, kmin, kmax
+            def stat(item: tuple[str, int]):
+                rel, bucket = item
+                rows, kmin, kmax = _parquet_stats(os.path.join(self.path, rel), key0)
+                return rel, bucket, rows, kmin, kmax
 
-        workers = min(16, max(4, len(staged)))
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            stats = list(pool.map(stat, staged))
+            workers = min(16, max(4, len(staged)))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                stats = list(pool.map(stat, staged))
 
         entries: list[DataFileEntry] = []
         for rel, bucket, rows, kmin, kmax in stats:
@@ -575,6 +579,38 @@ class LakeTable:
         for v in drop:
             os.unlink(os.path.join(self.path, MANIFEST_DIR, f"v{v:012d}.json"))
         return (len(drop), removed_files)
+
+
+DISTRIBUTED_STATS_MIN = 64
+
+
+def _distributed_stats(
+    spark: SparkSession, table_path: str, staged: list[tuple[str, int]], key0: str
+) -> list[tuple[str, int, int, str | None, str | None]]:
+    """Footer stats as a Spark job: each task reads its files' parquet footers
+    with pyarrow on the executor. Requires the table path to be visible from
+    executors (true for shared storage on a real cluster and for local mode)."""
+    import pandas as pd
+
+    def read_stats(batches):
+        for pdf in batches:
+            rows_out = []
+            for rel, bucket in zip(pdf["rel"], pdf["bucket"]):
+                rows, kmin, kmax = _parquet_stats(
+                    os.path.join(table_path, rel), key0
+                )
+                rows_out.append((rel, int(bucket), rows, kmin, kmax))
+            yield pd.DataFrame(
+                rows_out, columns=["rel", "bucket", "rows", "kmin", "kmax"]
+            )
+
+    sdf = spark.createDataFrame(staged, "rel string, bucket int").repartition(
+        max(8, min(64, len(staged) // 8))
+    )
+    out = sdf.mapInPandas(
+        read_stats, schema="rel string, bucket int, rows long, kmin string, kmax string"
+    ).collect()
+    return [(r["rel"], r["bucket"], int(r["rows"]), r["kmin"], r["kmax"]) for r in out]
 
 
 def _arrow_type(dt):

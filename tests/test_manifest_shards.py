@@ -113,3 +113,26 @@ def test_expiry_reclaims_dead_shards(spark, tmp_path, monkeypatch):
     os.utime(orphan, (1, 1))
     t.expire_snapshots(keep_last=1, orphan_grace_seconds=3600)
     assert not os.path.exists(orphan)
+
+
+def test_distributed_footer_stats_match_driver_path(spark, tmp_path, monkeypatch):
+    """Past the threshold, footer stats fan out as a Spark job — the manifest
+    entries must be identical to the driver-threadpool path."""
+    from concepts_pipeline_spark.lake import LakeTable
+
+    def build(path, thresh):
+        monkeypatch.setattr(lt, "DISTRIBUTED_STATS_MIN", thresh)
+        t = LakeTable.create(str(tmp_path / path), SCHEMA, ["doc_id"],
+                             num_buckets=16)
+        df = spark.createDataFrame(
+            [(f"k{i:03d}", [i], 1, "s") for i in range(200)], SCHEMA
+        )
+        t.append(df)
+        return {
+            (f.path.split("-", 1)[1], f.bucket, f.rows, f.min_key, f.max_key)
+            for f in t.manifest().files
+        }
+
+    driver = build("drv", 10_000)   # always driver path
+    dist = build("dst", 0)          # always distributed path
+    assert driver == dist
