@@ -678,24 +678,44 @@ def read_for_keys(
         int(r[0])
         for r in one.select(bucket_expr(m.key_cols, m.num_buckets)).collect()
     }
-    # Manifest min/max stats cover the FIRST key column and are stored as
-    # strings (_parquet_stats), so the range comparison is only sound when that
-    # column itself is a string — lexicographic order on stringified numbers
-    # drops matching rows (key 100 vs file stats ['99','101']: '99' > '100'
-    # would prune the right file). Other key types keep bucket pruning only.
+    # Manifest min/max stats cover the FIRST key column, kept in their native
+    # domain (str for string stats, int/float for numeric — _parquet_stats).
+    # A file is range-prunable only when its stat type matches the key column's
+    # comparison domain; cross-domain comparison (e.g. lexicographic order on
+    # stringified numbers: '99' > '100') silently drops matching rows, so any
+    # mismatch — including stats from pre-typed-stats manifests — falls back
+    # to bucket pruning only for that file.
+    from pyspark.sql.types import (
+        ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+    )
+
     key0 = m.key_cols[0]
-    use_stats = isinstance(m.schema[key0].dataType, StringType)
+    key_dt = m.schema[key0].dataType
+    if isinstance(key_dt, StringType):
+        stat_domain: type | tuple = str
+    elif isinstance(key_dt, (ByteType, ShortType, IntegerType, LongType,
+                             FloatType, DoubleType)):
+        stat_domain = (int, float)
+    else:
+        stat_domain = ()  # no sound stat comparison for this key type
     first_vals = [k[0] if multi else k for k in keys]
-    str_keys = sorted(str(k) for k in first_vals)
-    lo, hi = str_keys[0], str_keys[-1]
+    cmp_keys = sorted(
+        str(k) for k in first_vals
+    ) if stat_domain is str else sorted(first_vals)
+    lo, hi = cmp_keys[0], cmp_keys[-1]
 
     def file_may_contain(f: DataFileEntry) -> bool:
         if f.bucket != -1 and f.bucket not in buckets:
             return False  # -1 = driver-side append spanning all buckets
-        if not use_stats or f.min_key is None or f.max_key is None:
-            return True  # no usable stats → must read
+        if (
+            not stat_domain
+            or not isinstance(f.min_key, stat_domain)
+            or not isinstance(f.max_key, stat_domain)
+            or isinstance(f.min_key, bool)
+        ):
+            return True  # no usable stats in the key's domain → must read
         return not (f.max_key < lo or f.min_key > hi) and any(
-            f.min_key <= k <= f.max_key for k in str_keys
+            f.min_key <= k <= f.max_key for k in cmp_keys
         )
 
     files = [f for f in m.files if file_may_contain(f)]

@@ -69,8 +69,10 @@ class DataFileEntry:
     bucket: int
     rows: int
     schema_id: int
-    min_key: str | None = None
-    max_key: str | None = None
+    # native-typed when the parquet stat is numeric (int/float), str otherwise —
+    # pruning compares only within the matching domain (lake/merge.read_for_keys)
+    min_key: str | int | float | None = None
+    max_key: str | int | float | None = None
     # 'base' = fully merged; 'delta' = merge-on-read increment (LWW over _lsn
     # resolves base∪delta at read time; compaction folds deltas back to base)
     kind: str = "base"
@@ -599,7 +601,13 @@ def _distributed_stats(
                 rows, kmin, kmax = _parquet_stats(
                     os.path.join(table_path, rel), key0
                 )
-                rows_out.append((rel, int(bucket), rows, kmin, kmax))
+                # stats may be native int/float (numeric keys) — JSON-encode to
+                # cross the fixed-type Arrow boundary without stringifying them
+                rows_out.append((
+                    rel, int(bucket), rows,
+                    None if kmin is None else json.dumps(kmin),
+                    None if kmax is None else json.dumps(kmax),
+                ))
             yield pd.DataFrame(
                 rows_out, columns=["rel", "bucket", "rows", "kmin", "kmax"]
             )
@@ -610,7 +618,14 @@ def _distributed_stats(
     out = sdf.mapInPandas(
         read_stats, schema="rel string, bucket int, rows long, kmin string, kmax string"
     ).collect()
-    return [(r["rel"], r["bucket"], int(r["rows"]), r["kmin"], r["kmax"]) for r in out]
+    return [
+        (
+            r["rel"], r["bucket"], int(r["rows"]),
+            None if r["kmin"] is None else json.loads(r["kmin"]),
+            None if r["kmax"] is None else json.loads(r["kmax"]),
+        )
+        for r in out
+    ]
 
 
 def _arrow_type(dt):
@@ -632,12 +647,22 @@ def _arrow_type(dt):
     raise TypeError(f"append_rows supports primitive columns only, got {dt}")
 
 
-def _parquet_stats(path: str, key_col: str) -> tuple[int, str | None, str | None]:
-    """Row count + min/max of the key column from the parquet footer (driver-side,
-    like Iceberg manifest stats)."""
+def _parquet_stats(path: str, key_col: str):
+    """Row count + min/max of the key column from the parquet footer (like
+    Iceberg manifest stats). Numeric stats keep their native type so numeric
+    keys can be range-pruned; byte stats decode to str; anything else is
+    stringified (and then only usable for string-typed keys)."""
     md = pq.ParquetFile(path).metadata
     rows = md.num_rows
     kmin = kmax = None
+
+    def norm(v):
+        if isinstance(v, bytes):
+            return v.decode()
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return v
+        return str(v)
+
     try:
         idx = md.schema.to_arrow_schema().get_field_index(key_col)
     except Exception:
@@ -648,9 +673,7 @@ def _parquet_stats(path: str, key_col: str) -> tuple[int, str | None, str | None
             st = col.statistics
             if st is None or not st.has_min_max:
                 continue
-            lo, hi = st.min, st.max
-            lo = lo.decode() if isinstance(lo, bytes) else str(lo)
-            hi = hi.decode() if isinstance(hi, bytes) else str(hi)
+            lo, hi = norm(st.min), norm(st.max)
             kmin = lo if kmin is None or lo < kmin else kmin
             kmax = hi if kmax is None or hi > kmax else kmax
     return rows, kmin, kmax

@@ -154,3 +154,35 @@ def test_read_for_keys_composite_keys(spark, tmp_path):
     assert got == {("x", "y"): "1", ("w", "y"): "3"}
     with pytest.raises(ValueError, match="full key tuples"):
         read_for_keys(spark, t, ["x"])
+
+
+def test_read_for_keys_numeric_stats_prune_files(spark, tmp_path, monkeypatch):
+    """Native-typed min/max stats make numeric keys range-prunable: a lookup
+    reads only the file whose [min,max] covers the key."""
+    from pyspark.sql.types import LongType, StructField as SF, StructType as ST
+
+    from concepts_pipeline_spark.lake import LakeTable
+    from concepts_pipeline_spark.lake.merge import read_for_keys
+
+    schema = ST([SF("k", LongType(), False), SF("v", StringType(), True)])
+    t = LakeTable.create(str(tmp_path / "numstat"), schema, ["k"], num_buckets=1)
+    for lo in (0, 100, 200):  # three files with disjoint key ranges
+        t.append(spark.createDataFrame(
+            [(lo + i, f"v{lo + i}") for i in range(10)], schema
+        ))
+    files = t.manifest().files
+    assert all(isinstance(f.min_key, int) for f in files), files
+
+    seen = {}
+    real = LakeTable._read_files
+
+    # capture the pruned file list without disturbing behavior
+    def spy2(self, spark_, m, files_arg):
+        seen["files"] = list(files_arg)
+        return real(self, spark_, m, files_arg)
+
+    monkeypatch.setattr(LakeTable, "_read_files", spy2)
+    got = {r["k"]: r["v"] for r in read_for_keys(spark, t, [105, 107]).collect()}
+    assert got == {105: "v105", 107: "v107"}
+    assert len(seen["files"]) == 1  # only the 100-109 file was scanned
+    assert seen["files"][0].min_key == 100
