@@ -352,6 +352,31 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_changes_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream change publication (SURVEY §2.6 W2/W3 — the reference routes
+    only updated-not-noop ids to SNS, ConceptsAggregator.scala:120-124 +
+    TopicPublisher.scala:23-58): replay the four out-of-order batches with the
+    outbox enabled and return its rows — per batch, exactly the keys whose
+    merge action was inserted/updated/deleted (noop/stale/delete_missing
+    suppressed), fenced per batch."""
+    log = derived_change_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cps-outbox-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        quarantine_path=f"{root}/quarantine",
+        changes_path=f"{root}/changes",
+        num_buckets=16,
+        salt_buckets=4,
+    )
+    for b in range(4):
+        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
+        pipe.apply_batch(batch, fence_token=f"cdcout:{b}")
+    return pipe.changes.read(spark).select("doc_id", "action", "fence_token")
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time sessionization with a 30-minute inactivity gap —
     F.session_window (SURVEY §2.8: absent in the reference, built-in here; the
@@ -994,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_compacted": cdc_replay_compacted,
         "cdc_replay_rescaled": cdc_replay_rescaled,
         "cdc_point_lookup": cdc_point_lookup,
+        "cdc_changes_outbox": cdc_changes_outbox,
         "anti_join_new_keys": q_anti_join,
         "lookup_join": q_lookup_join,
         "classify_changes": q_classify_changes,
@@ -1078,6 +1104,49 @@ def _oracle_sql_base() -> dict[str, str]:
         "cdc_point_lookup": f"""
             SELECT * FROM ({FINAL_STATE_JSON_SQL})
             WHERE doc_id IN ({", ".join(f"'{k}'" for k in range(1, 101))})
+        """,
+        # the outbox spec: per batch (lsn % 4, applied in order), the per-key
+        # batch winner applies iff its LSN beats the running max; its action
+        # classifies against the previously APPLIED state (tombstones count as
+        # matched); only inserted/updated/deleted publish
+        "cdc_changes_outbox": f"""
+            WITH {LOG_CTE_SQL},
+            tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
+            valid AS (SELECT *, CAST(lsn % 4 AS INT) AS batch FROM tagged
+                      WHERE reject_reason IS NULL),
+            w AS (SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id, batch
+                                                 ORDER BY lsn DESC) AS rn
+                    FROM valid) WHERE rn = 1),
+            seq AS (SELECT *, max(lsn) OVER (
+                        PARTITION BY doc_id ORDER BY batch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) AS prev_max FROM w),
+            applied AS (SELECT * FROM seq
+                        WHERE prev_max IS NULL OR lsn > prev_max),
+            hist AS (SELECT *,
+                lag(op) OVER win AS prev_op,
+                lag(tokens) OVER win AS prev_tokens,
+                lag(n_tok) OVER win AS prev_n_tok,
+                lag(source) OVER win AS prev_source,
+                row_number() OVER win AS apply_rank
+              FROM applied
+              WINDOW win AS (PARTITION BY doc_id ORDER BY batch)),
+            classified AS (SELECT doc_id, batch,
+                CASE WHEN apply_rank = 1 AND op = 'D' THEN 'delete_missing'
+                     WHEN apply_rank = 1 THEN 'inserted'
+                     WHEN op = 'D' AND prev_op = 'D' THEN 'noop'
+                     WHEN op = 'D' THEN 'deleted'
+                     WHEN prev_op = 'D' THEN 'updated'
+                     WHEN tokens IS NOT DISTINCT FROM prev_tokens
+                          AND n_tok IS NOT DISTINCT FROM prev_n_tok
+                          AND source IS NOT DISTINCT FROM prev_source
+                          THEN 'noop'
+                     ELSE 'updated' END AS action
+              FROM hist)
+            SELECT doc_id, action, 'cdcout:' || batch AS fence_token
+            FROM classified
+            WHERE action IN ('inserted', 'updated', 'deleted')
         """,
         "cdc_schema_evolution": f"""
             WITH {LOG_CTE_SQL},
