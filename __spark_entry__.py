@@ -377,6 +377,42 @@ def cdc_changes_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.changes.read(spark).select("doc_id", "action", "fence_token")
 
 
+def cdc_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch lineage/metrics totals (SURVEY §2.4 A3/A6 — the reference's
+    BulkUpdateResult created/updated/noop classification + running totals,
+    common/.../BulkUpdateFlow.scala:107-166): replay the four batches, then sum
+    the per-(bucket, action) lineage rows per fence token. Bucket-level rows
+    depend on xxhash64 (not SQL-expressible); the per-batch TOTALS are pure
+    merge semantics and are held to the declarative spec. 'carried' (rewritten
+    unchanged) is bucket-layout-dependent and excluded."""
+    log = derived_change_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cps-lineage-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        quarantine_path=f"{root}/quarantine",
+        lineage_path=f"{root}/lineage",
+        num_buckets=16,
+        salt_buckets=4,
+    )
+    for b in range(4):
+        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
+        pipe.apply_batch(batch, fence_token=f"lin:{b}")
+    lin = pipe.lineage.read(spark)
+    return lin.groupBy("fence_token").agg(
+        F.sum("inserted").alias("inserted"),
+        F.sum("updated").alias("updated"),
+        F.sum("deleted").alias("deleted"),
+        F.sum("noop").alias("noop"),
+        F.sum("stale").alias("stale"),
+        F.sum("delete_missing").alias("delete_missing"),
+        F.max("rows_in").alias("rows_in"),
+        F.max("quarantined").alias("quarantined"),
+    )
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time sessionization with a 30-minute inactivity gap —
     F.session_window (SURVEY §2.8: absent in the reference, built-in here; the
@@ -1020,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_rescaled": cdc_replay_rescaled,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_changes_outbox": cdc_changes_outbox,
+        "cdc_lineage_counts": cdc_lineage_counts,
         "anti_join_new_keys": q_anti_join,
         "lookup_join": q_lookup_join,
         "classify_changes": q_classify_changes,
@@ -1147,6 +1184,68 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, action, 'cdcout:' || batch AS fence_token
             FROM classified
             WHERE action IN ('inserted', 'updated', 'deleted')
+        """,
+        "cdc_lineage_counts": f"""
+            WITH {LOG_CTE_SQL},
+            tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
+            io AS (SELECT CAST(lsn % 4 AS INT) AS batch, count(*) AS rows_in,
+                          sum(CASE WHEN reject_reason IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS quarantined
+                   FROM tagged GROUP BY CAST(lsn % 4 AS INT)),
+            valid AS (SELECT *, CAST(lsn % 4 AS INT) AS batch FROM tagged
+                      WHERE reject_reason IS NULL),
+            w AS (SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id, batch
+                                                 ORDER BY lsn DESC) AS rn
+                    FROM valid) WHERE rn = 1),
+            seq AS (SELECT *, max(lsn) OVER (
+                        PARTITION BY doc_id ORDER BY batch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) AS prev_max FROM w),
+            stale_c AS (SELECT batch, count(*) AS stale FROM seq
+                        WHERE prev_max IS NOT NULL AND lsn <= prev_max
+                        GROUP BY batch),
+            applied AS (SELECT * FROM seq
+                        WHERE prev_max IS NULL OR lsn > prev_max),
+            hist AS (SELECT *,
+                lag(op) OVER win AS prev_op,
+                lag(tokens) OVER win AS prev_tokens,
+                lag(n_tok) OVER win AS prev_n_tok,
+                lag(source) OVER win AS prev_source,
+                row_number() OVER win AS apply_rank
+              FROM applied
+              WINDOW win AS (PARTITION BY doc_id ORDER BY batch)),
+            classified AS (SELECT doc_id, batch,
+                CASE WHEN apply_rank = 1 AND op = 'D' THEN 'delete_missing'
+                     WHEN apply_rank = 1 THEN 'inserted'
+                     WHEN op = 'D' AND prev_op = 'D' THEN 'noop'
+                     WHEN op = 'D' THEN 'deleted'
+                     WHEN prev_op = 'D' THEN 'updated'
+                     WHEN tokens IS NOT DISTINCT FROM prev_tokens
+                          AND n_tok IS NOT DISTINCT FROM prev_n_tok
+                          AND source IS NOT DISTINCT FROM prev_source
+                          THEN 'noop'
+                     ELSE 'updated' END AS action
+              FROM hist),
+            acts AS (SELECT batch,
+                sum(CASE WHEN action = 'inserted' THEN 1 ELSE 0 END) AS inserted,
+                sum(CASE WHEN action = 'updated' THEN 1 ELSE 0 END) AS updated,
+                sum(CASE WHEN action = 'deleted' THEN 1 ELSE 0 END) AS deleted,
+                sum(CASE WHEN action = 'noop' THEN 1 ELSE 0 END) AS noop,
+                sum(CASE WHEN action = 'delete_missing' THEN 1 ELSE 0 END)
+                  AS delete_missing
+              FROM classified GROUP BY batch)
+            SELECT 'lin:' || io.batch AS fence_token,
+                   COALESCE(a.inserted, 0) AS inserted,
+                   COALESCE(a.updated, 0) AS updated,
+                   COALESCE(a.deleted, 0) AS deleted,
+                   COALESCE(a.noop, 0) AS noop,
+                   COALESCE(s.stale, 0) AS stale,
+                   COALESCE(a.delete_missing, 0) AS delete_missing,
+                   io.rows_in AS rows_in,
+                   io.quarantined AS quarantined
+            FROM io LEFT JOIN acts a ON a.batch = io.batch
+                    LEFT JOIN stale_c s ON s.batch = io.batch
         """,
         "cdc_schema_evolution": f"""
             WITH {LOG_CTE_SQL},
