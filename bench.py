@@ -155,7 +155,7 @@ def main():
         "cdc_events": n_events,
         "cdc_events_per_sec": round(n_events / timings["cdc_replay_1batch"], 1),
         "cdc_events_per_sec_4batch": round(n_events / timings["cdc_replay"], 1),
-        "notes": "see BASELINE.md Measured: 271k events/s (MoR) / 245k (CoW) at 8 pinned cores on an 8.4M-event feed; N-to-4N scaling efficiency 0.818 (MoR) — methodology there",
+        "notes": "see BASELINE.md Measured: 325k events/s (MoR, micro-batched 17.6M-event feed) at 8 pinned cores; N-to-4N scaling efficiency 0.912 with JVM CPU conserved — methodology there",
         "rows": rows,
     }
     print(json.dumps(out))
