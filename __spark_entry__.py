@@ -88,6 +88,51 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Per-query scratch table root, reclaimed at process exit (the returned
+    DataFrames are lazy — the driver collects them after the query function
+    returns, so cleanup must not run earlier)."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
+def _replayed_pipe(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    n_batches: int = 4,
+    **pipe_kwargs,
+) -> CdcPipeline:
+    """The shared replay discipline behind every CDC gate query: derive the
+    change log, build a CdcPipeline in a scratch root, and apply it as
+    ``n_batches`` batches sliced by ``lsn % n_batches`` — every batch holds a
+    mix of old and new LSNs, so the apply order is maximally out-of-order and
+    LSN discipline must still win. One definition ⇒ every query that shares the
+    FINAL_STATE_SQL oracle shares the exact batching semantics."""
+    log = derived_change_log(spark, sf_dir)
+    root = _scratch_dir(f"cps-{prefix}-")
+    defaults = dict(num_buckets=16, salt_buckets=4)
+    defaults.update(pipe_kwargs)
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        **{
+            k: (f"{root}/{v}" if k.endswith("_path") else v)
+            for k, v in defaults.items()
+        },
+    )
+    for b in range(n_batches):
+        batch = log.filter(F.pmod(F.col("lsn"), F.lit(n_batches)) == b)
+        pipe.apply_batch(batch, fence_token=f"{prefix}:{b}")
+    return pipe
+
+
 # ---------------------------------------------------------------------------
 # CDC engine (the flagship): derived change log → full pipeline → final state
 # ---------------------------------------------------------------------------
@@ -101,23 +146,10 @@ def cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ref: aggregator/.../ConceptsAggregator.scala:50-75) and must equal the
     declarative SQL spec in cdc.derive.FINAL_STATE_SQL.
     """
-    log = derived_change_log(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cps-replay-")
-    pipe = CdcPipeline(
-        spark,
-        target_path=f"{root}/tokens",
-        target_schema=TOKENS_SCHEMA,
-        key_cols=["doc_id"],
-        quarantine_path=f"{root}/quarantine",
-        lineage_path=f"{root}/lineage",
-        num_buckets=16,
-        salt_buckets=4,
+    pipe = _replayed_pipe(
+        spark, sf_dir, "entry-replay",
+        quarantine_path="quarantine", lineage_path="lineage",
     )
-    # batches sliced by lsn % 4: every batch holds a mix of old and new LSNs, so
-    # the apply order is maximally out-of-order — LSN discipline must still win
-    for b in range(4):
-        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
-        pipe.apply_batch(batch, fence_token=f"entry-replay:{b}")
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
@@ -126,20 +158,7 @@ def cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     append LWW'd delta files (no target read, no bucket rewrite); the read
     resolves base∪delta by hidden LSN. Must equal the SAME FINAL_STATE_SQL
     oracle as copy-on-write — one declarative spec, two physical strategies."""
-    log = derived_change_log(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cps-mor-")
-    pipe = CdcPipeline(
-        spark,
-        target_path=f"{root}/tokens",
-        target_schema=TOKENS_SCHEMA,
-        key_cols=["doc_id"],
-        num_buckets=16,
-        salt_buckets=4,
-        strategy="mor",
-    )
-    for b in range(4):
-        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
-        pipe.apply_batch(batch, fence_token=f"mor-replay:{b}")
+    pipe = _replayed_pipe(spark, sf_dir, "mor-replay", strategy="mor")
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
@@ -152,7 +171,7 @@ def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concepts_pipeline_spark.streaming.runner import run_stream
 
     log = derived_change_log(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cps-stream-")
+    root = _scratch_dir("cps-stream-")
     log.repartition(4).write.mode("overwrite").parquet(f"file://{root}/feed")
     pipe = CdcPipeline(
         spark,
@@ -180,7 +199,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok (ref contrast: the reference's strict ES mappings would reject the new
     field — BulkUpdateFlowTest.scala:163-166 — we evolve instead, per north_rule)."""
     log = derived_change_log(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cps-evolve-")
+    root = _scratch_dir("cps-evolve-")
     pipe = CdcPipeline(
         spark,
         target_path=f"{root}/tokens",
@@ -216,7 +235,7 @@ def cdc_accumulate_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = derived_change_log(spark, sf_dir)
     valid, _ = validate_events(log.filter(F.col("op") != "D"))
-    root = tempfile.mkdtemp(prefix="cps-accum-")
+    root = _scratch_dir("cps-accum-")
     schema = StructType(
         [
             StructField("doc_id", StringType(), False),
@@ -252,19 +271,7 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifests here): apply all four batches, then read the snapshot AS OF the
     second commit — the result must equal the declarative spec over only the
     first two batches' events, regardless of the later commits."""
-    log = derived_change_log(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cps-tt-")
-    pipe = CdcPipeline(
-        spark,
-        target_path=f"{root}/tokens",
-        target_schema=TOKENS_SCHEMA,
-        key_cols=["doc_id"],
-        num_buckets=16,
-        salt_buckets=4,
-    )
-    for b in range(4):
-        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
-        pipe.apply_batch(batch, fence_token=f"tt:{b}")
+    pipe = _replayed_pipe(spark, sf_dir, "tt")
     # target versions: v0 = create, v1..v4 = one per applied batch
     from concepts_pipeline_spark.lake.merge import HIDDEN_DELETED
 
@@ -279,20 +286,7 @@ def cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND maintenance operations)."""
     from concepts_pipeline_spark.lake.merge import compact
 
-    log = derived_change_log(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cps-compact-")
-    pipe = CdcPipeline(
-        spark,
-        target_path=f"{root}/tokens",
-        target_schema=TOKENS_SCHEMA,
-        key_cols=["doc_id"],
-        num_buckets=16,
-        salt_buckets=4,
-        strategy="mor",
-    )
-    for b in range(4):
-        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
-        pipe.apply_batch(batch, fence_token=f"cp:{b}")
+    pipe = _replayed_pipe(spark, sf_dir, "cp", strategy="mor")
     compact(spark, pipe.target, max_delta_files_per_bucket=0)
     assert not any(f.kind == "delta" for f in pipe.target.manifest().files)
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
@@ -304,19 +298,7 @@ def cdc_replay_rescaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     table must read back to the identical final state."""
     from concepts_pipeline_spark.lake.merge import rescale_buckets
 
-    log = derived_change_log(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cps-rescale-")
-    pipe = CdcPipeline(
-        spark,
-        target_path=f"{root}/tokens",
-        target_schema=TOKENS_SCHEMA,
-        key_cols=["doc_id"],
-        num_buckets=8,
-        salt_buckets=4,
-    )
-    for b in range(4):
-        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
-        pipe.apply_batch(batch, fence_token=f"rs:{b}")
+    pipe = _replayed_pipe(spark, sf_dir, "rs", num_buckets=8)
     m = rescale_buckets(spark, pipe.target, 32)
     assert m.num_buckets == 32
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
@@ -333,17 +315,7 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_for_keys,
     )
 
-    log = derived_change_log(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cps-lookup-")
-    pipe = CdcPipeline(
-        spark,
-        target_path=f"{root}/tokens",
-        target_schema=TOKENS_SCHEMA,
-        key_cols=["doc_id"],
-        num_buckets=16,
-        salt_buckets=4,
-    )
-    pipe.apply_batch(log, fence_token="pl:all")
+    pipe = _replayed_pipe(spark, sf_dir, "pl", n_batches=1)
     keys = [str(k) for k in range(1, 101)]  # mix of hits, misses, deleted keys
     got = read_for_keys(spark, pipe.target, keys)
     live = got.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
@@ -359,21 +331,10 @@ def cdc_changes_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     outbox enabled and return its rows — per batch, exactly the keys whose
     merge action was inserted/updated/deleted (noop/stale/delete_missing
     suppressed), fenced per batch."""
-    log = derived_change_log(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cps-outbox-")
-    pipe = CdcPipeline(
-        spark,
-        target_path=f"{root}/tokens",
-        target_schema=TOKENS_SCHEMA,
-        key_cols=["doc_id"],
-        quarantine_path=f"{root}/quarantine",
-        changes_path=f"{root}/changes",
-        num_buckets=16,
-        salt_buckets=4,
+    pipe = _replayed_pipe(
+        spark, sf_dir, "cdcout",
+        quarantine_path="quarantine", changes_path="changes",
     )
-    for b in range(4):
-        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
-        pipe.apply_batch(batch, fence_token=f"cdcout:{b}")
     return pipe.changes.read(spark).select("doc_id", "action", "fence_token")
 
 
@@ -385,21 +346,10 @@ def cdc_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     depend on xxhash64 (not SQL-expressible); the per-batch TOTALS are pure
     merge semantics and are held to the declarative spec. 'carried' (rewritten
     unchanged) is bucket-layout-dependent and excluded."""
-    log = derived_change_log(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cps-lineage-")
-    pipe = CdcPipeline(
-        spark,
-        target_path=f"{root}/tokens",
-        target_schema=TOKENS_SCHEMA,
-        key_cols=["doc_id"],
-        quarantine_path=f"{root}/quarantine",
-        lineage_path=f"{root}/lineage",
-        num_buckets=16,
-        salt_buckets=4,
+    pipe = _replayed_pipe(
+        spark, sf_dir, "lin",
+        quarantine_path="quarantine", lineage_path="lineage",
     )
-    for b in range(4):
-        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
-        pipe.apply_batch(batch, fence_token=f"lin:{b}")
     lin = pipe.lineage.read(spark)
     return lin.groupBy("fence_token").agg(
         F.sum("inserted").alias("inserted"),
@@ -550,7 +500,13 @@ def q_dedup_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concepts_pipeline_spark.operators.dedup import dedup_survivors_lsh
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup_survivors_lsh(docs, "text", "doc_id", n=1, threshold=0.8)
+    # bands=16 (2 rows/band): at jaccard 0.8 a qualifying edge misses every
+    # band with probability (1-0.8²)¹⁶ ≈ 8e-8 — the candidate graph is
+    # effectively edge-complete, so the exact-path recursive-CTE oracle holds;
+    # false-positive candidates are removed by the exact verify
+    return dedup_survivors_lsh(
+        docs, "text", "doc_id", n=1, num_hashes=32, bands=16, threshold=0.8
+    )
 
 
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,6 +869,47 @@ fan AS (
   FROM merged)
 """
 
+# Shared spec of the per-batch merge classification (used by BOTH the
+# cdc_changes_outbox and cdc_lineage_counts oracles — one definition, two
+# views): per (doc_id, batch=lsn%4) the LWW winner applies iff its LSN beats
+# the running max of earlier batches' winners; the action classifies against
+# the previously APPLIED state (tombstones count as matched).
+_CLASSIFIED_CTE_TMPL = """
+valid AS (SELECT *, CAST(lsn % 4 AS INT) AS batch FROM tagged
+          WHERE reject_reason IS NULL),
+w AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, batch
+                                     ORDER BY lsn DESC) AS rn
+        FROM valid) WHERE rn = 1),
+seq AS (SELECT *, max(lsn) OVER (
+            PARTITION BY doc_id ORDER BY batch
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS prev_max FROM w),
+applied AS (SELECT * FROM seq
+            WHERE prev_max IS NULL OR lsn > prev_max),
+hist AS (SELECT *,
+    lag(op) OVER win AS prev_op,
+    lag(tokens) OVER win AS prev_tokens,
+    lag(n_tok) OVER win AS prev_n_tok,
+    lag(source) OVER win AS prev_source,
+    row_number() OVER win AS apply_rank
+  FROM applied
+  WINDOW win AS (PARTITION BY doc_id ORDER BY batch)),
+classified AS (SELECT doc_id, batch,
+    CASE WHEN apply_rank = 1 AND op = 'D' THEN 'delete_missing'
+         WHEN apply_rank = 1 THEN 'inserted'
+         WHEN op = 'D' AND prev_op = 'D' THEN 'noop'
+         WHEN op = 'D' THEN 'deleted'
+         WHEN prev_op = 'D' THEN 'updated'
+         WHEN tokens IS NOT DISTINCT FROM prev_tokens
+              AND n_tok IS NOT DISTINCT FROM prev_n_tok
+              AND source IS NOT DISTINCT FROM prev_source
+              THEN 'noop'
+         ELSE 'updated' END AS action
+  FROM hist)
+"""
+
+
 # IdentifierType display labels (ref: Identifier.scala:44-84), as SQL
 _AUTH_LABEL_SQL = """
   CASE authority
@@ -1149,38 +1146,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "cdc_changes_outbox": f"""
             WITH {LOG_CTE_SQL},
             tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
-            valid AS (SELECT *, CAST(lsn % 4 AS INT) AS batch FROM tagged
-                      WHERE reject_reason IS NULL),
-            w AS (SELECT * FROM (
-                    SELECT *, row_number() OVER (PARTITION BY doc_id, batch
-                                                 ORDER BY lsn DESC) AS rn
-                    FROM valid) WHERE rn = 1),
-            seq AS (SELECT *, max(lsn) OVER (
-                        PARTITION BY doc_id ORDER BY batch
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                    ) AS prev_max FROM w),
-            applied AS (SELECT * FROM seq
-                        WHERE prev_max IS NULL OR lsn > prev_max),
-            hist AS (SELECT *,
-                lag(op) OVER win AS prev_op,
-                lag(tokens) OVER win AS prev_tokens,
-                lag(n_tok) OVER win AS prev_n_tok,
-                lag(source) OVER win AS prev_source,
-                row_number() OVER win AS apply_rank
-              FROM applied
-              WINDOW win AS (PARTITION BY doc_id ORDER BY batch)),
-            classified AS (SELECT doc_id, batch,
-                CASE WHEN apply_rank = 1 AND op = 'D' THEN 'delete_missing'
-                     WHEN apply_rank = 1 THEN 'inserted'
-                     WHEN op = 'D' AND prev_op = 'D' THEN 'noop'
-                     WHEN op = 'D' THEN 'deleted'
-                     WHEN prev_op = 'D' THEN 'updated'
-                     WHEN tokens IS NOT DISTINCT FROM prev_tokens
-                          AND n_tok IS NOT DISTINCT FROM prev_n_tok
-                          AND source IS NOT DISTINCT FROM prev_source
-                          THEN 'noop'
-                     ELSE 'updated' END AS action
-              FROM hist)
+            {_CLASSIFIED_CTE_TMPL}
             SELECT doc_id, action, 'cdcout:' || batch AS fence_token
             FROM classified
             WHERE action IN ('inserted', 'updated', 'deleted')
@@ -1192,41 +1158,10 @@ def _oracle_sql_base() -> dict[str, str]:
                           sum(CASE WHEN reject_reason IS NOT NULL
                                    THEN 1 ELSE 0 END) AS quarantined
                    FROM tagged GROUP BY CAST(lsn % 4 AS INT)),
-            valid AS (SELECT *, CAST(lsn % 4 AS INT) AS batch FROM tagged
-                      WHERE reject_reason IS NULL),
-            w AS (SELECT * FROM (
-                    SELECT *, row_number() OVER (PARTITION BY doc_id, batch
-                                                 ORDER BY lsn DESC) AS rn
-                    FROM valid) WHERE rn = 1),
-            seq AS (SELECT *, max(lsn) OVER (
-                        PARTITION BY doc_id ORDER BY batch
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                    ) AS prev_max FROM w),
+            {_CLASSIFIED_CTE_TMPL},
             stale_c AS (SELECT batch, count(*) AS stale FROM seq
                         WHERE prev_max IS NOT NULL AND lsn <= prev_max
                         GROUP BY batch),
-            applied AS (SELECT * FROM seq
-                        WHERE prev_max IS NULL OR lsn > prev_max),
-            hist AS (SELECT *,
-                lag(op) OVER win AS prev_op,
-                lag(tokens) OVER win AS prev_tokens,
-                lag(n_tok) OVER win AS prev_n_tok,
-                lag(source) OVER win AS prev_source,
-                row_number() OVER win AS apply_rank
-              FROM applied
-              WINDOW win AS (PARTITION BY doc_id ORDER BY batch)),
-            classified AS (SELECT doc_id, batch,
-                CASE WHEN apply_rank = 1 AND op = 'D' THEN 'delete_missing'
-                     WHEN apply_rank = 1 THEN 'inserted'
-                     WHEN op = 'D' AND prev_op = 'D' THEN 'noop'
-                     WHEN op = 'D' THEN 'deleted'
-                     WHEN prev_op = 'D' THEN 'updated'
-                     WHEN tokens IS NOT DISTINCT FROM prev_tokens
-                          AND n_tok IS NOT DISTINCT FROM prev_n_tok
-                          AND source IS NOT DISTINCT FROM prev_source
-                          THEN 'noop'
-                     ELSE 'updated' END AS action
-              FROM hist),
             acts AS (SELECT batch,
                 sum(CASE WHEN action = 'inserted' THEN 1 ELSE 0 END) AS inserted,
                 sum(CASE WHEN action = 'updated' THEN 1 ELSE 0 END) AS updated,
@@ -1368,7 +1303,8 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM inter i
             JOIN sizes sa ON sa.key = i.key_a
             JOIN sizes sb ON sb.key = i.key_b
-            WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8
+            WHERE round(CAST(i.inter AS DOUBLE)
+                        / (sa.set_size + sb.set_size - i.inter), 6) >= 0.8
         """,
         "dedup_survivors": f"""
             WITH RECURSIVE {_WORDS_CTE},
@@ -1382,7 +1318,8 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT i.key_a, i.key_b FROM inter i
               JOIN sizes sa ON sa.key = i.key_a
               JOIN sizes sb ON sb.key = i.key_b
-              WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8),
+              WHERE round(CAST(i.inter AS DOUBLE)
+                          / (sa.set_size + sb.set_size - i.inter), 6) >= 0.8),
             edges AS (
               SELECT key_a AS a, key_b AS b FROM pairs
               UNION SELECT key_b, key_a FROM pairs
@@ -1409,7 +1346,8 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT i.key_a, i.key_b FROM inter i
               JOIN sizes sa ON sa.key = i.key_a
               JOIN sizes sb ON sb.key = i.key_b
-              WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8),
+              WHERE round(CAST(i.inter AS DOUBLE)
+                          / (sa.set_size + sb.set_size - i.inter), 6) >= 0.8),
             edges AS (
               SELECT key_a AS a, key_b AS b FROM pairs
               UNION SELECT key_b, key_a FROM pairs
@@ -1658,9 +1596,11 @@ def _oracle_sql_base() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_base()
     # The LSH-path dedup decision shares the (doc_id, cluster_rep, is_survivor)
-    # contract with the exact-jaccard path, and LSH-with-exact-verify at
-    # threshold 0.8 recovers the exact pair set on this data (verified: 100%
-    # cluster agreement at sf0.01) — so it is held to the same recursive-CTE
-    # oracle rather than the weaker rows-only check.
+    # contract with the exact-jaccard path and is held to the same
+    # recursive-CTE oracle. This is sound because (a) at bands=16 a qualifying
+    # edge escapes the candidate graph with probability ~8e-8 (see
+    # q_dedup_survivors_lsh), and (b) connected components are insensitive to
+    # missing REDUNDANT edges — only a cluster's sole connecting edge matters.
+    # Verified: identical cluster assignments at sf0.001/sf0.01/sf0.1.
     out["dedup_survivors_lsh"] = out["dedup_survivors"]
     return out

@@ -54,6 +54,12 @@ def main():
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently matching nothing would report success
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        print(f"known: {sorted(qs)}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -67,7 +67,9 @@ def main() -> None:
     lww = lww_latest(valid, ["doc_id"])
     p = explain_str(lww)
     results.append(check("LWW has map-side partial max_by", p, r"partial_max_by"))
-    results.append(check("LWW has final merge max_by", p, r"max_by"))
+    # negative lookbehind: plain r"max_by" would be satisfied by the same
+    # partial_max_by text and could never fail independently
+    results.append(check("LWW has final merge max_by", p, r"(?<!partial_)max_by"))
     # max_by with an array-bearing value struct uses SortAggregate (the buffer is
     # not unsafe-row-mutable); the partial (map-side) combine is what matters for
     # shuffle volume — hot keys reduce before the exchange either way

@@ -214,9 +214,17 @@ def main() -> None:
             if not args.no_pin and os.path.exists("/usr/bin/taskset"):
                 cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd
             out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            runs[c].append(json.loads(line))
-            print(line, flush=True)
+            lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+            if out.returncode != 0 or not lines:
+                # surface the worker's real failure instead of dying on an
+                # IndexError with its stderr discarded
+                sys.stderr.write(out.stderr[-4000:])
+                raise RuntimeError(
+                    f"worker (cpus={c}) exited rc={out.returncode} with no "
+                    "result line — stderr above"
+                )
+            runs[c].append(json.loads(lines[-1]))
+            print(lines[-1], flush=True)
 
     best = {c: max(rs, key=lambda r: r["events_per_sec"]) for c, rs in runs.items()}
     levels = sorted(best)
