@@ -228,6 +228,19 @@ def cmd_expire(args) -> dict:
     return {"manifests_removed": manifests, "data_files_removed": files}
 
 
+def cmd_rollback(args) -> dict:
+    from .lake import LakeTable
+
+    m = LakeTable(args.table).rollback(args.to_version)
+    return {"version": m.version, "rolled_back_to": args.to_version}
+
+
+def cmd_stats(args) -> dict:
+    from .lake import LakeTable
+
+    return LakeTable(args.table).table_stats(args.version)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="concepts_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -286,6 +299,16 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--table", required=True)
     g.add_argument("--keep-last", type=int, default=2)
     g.set_defaults(fn=cmd_expire)
+
+    g = sub.add_parser("rollback", help="roll the table back to an earlier snapshot")
+    g.add_argument("--table", required=True)
+    g.add_argument("--to-version", type=int, required=True)
+    g.set_defaults(fn=cmd_rollback)
+
+    g = sub.add_parser("stats", help="operational snapshot summary (files/rows/deltas)")
+    g.add_argument("--table", required=True)
+    g.add_argument("--version", type=int, default=None)
+    g.set_defaults(fn=cmd_stats)
     return p
 
 

@@ -479,6 +479,56 @@ class LakeTable:
     def has_fence_token(self, token: str) -> bool:
         return token in self.manifest().fence_tokens
 
+    def rollback(self, version: int) -> Manifest:
+        """Roll the table back to an earlier snapshot by committing a NEW
+        manifest that references the old snapshot's files and schema (Iceberg's
+        rollback shape: history moves forward, data files are immutable, and
+        the rolled-past snapshots remain time-travelable until expiry).
+
+        Fence tokens are restored to the target snapshot's set, so batches
+        applied after ``version`` can be replayed — a rollback is exactly
+        "rewind the exactly-once cursor"."""
+        cur = self.manifest()
+        if version >= cur.version:
+            raise ValueError(
+                f"rollback target {version} is not older than current {cur.version}"
+            )
+        old = self.manifest(version)
+        m = Manifest(
+            version=cur.version + 1,
+            schema_json=old.schema_json,
+            key_cols=old.key_cols,
+            num_buckets=old.num_buckets,
+            files=old.files,
+            schemas=dict(old.schemas),
+            fence_tokens=list(old.fence_tokens),
+            summary={"operation": "rollback", "to_version": version,
+                     "committed_at_ms": int(time.time() * 1000)},
+            properties=old.properties,
+        )
+        self._write_manifest(m, base=cur)
+        return m
+
+    def table_stats(self, version: int | None = None) -> dict:
+        """Operational summary of a snapshot: file/row/bucket counts, delta
+        ratio (MoR health — drives compaction), snapshot count, schema id."""
+        m = self.manifest(version)
+        deltas = [f for f in m.files if f.kind == "delta"]
+        buckets = {f.bucket for f in m.files}
+        return {
+            "version": m.version,
+            "snapshots": len(self._manifest_versions()),
+            "rows": sum(f.rows for f in m.files),
+            "files": len(m.files),
+            "delta_files": len(deltas),
+            "delta_rows": sum(f.rows for f in deltas),
+            "buckets_present": len(buckets),
+            "num_buckets": m.num_buckets,
+            "schema_versions": len(m.schemas),
+            "fence_tokens": len(m.fence_tokens),
+            "sharded_manifest": bool(m.shard_refs),
+        }
+
     def expire_snapshots(
         self, keep_last: int = 1, orphan_grace_seconds: float = 3600.0
     ) -> tuple[int, int]:

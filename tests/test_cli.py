@@ -91,3 +91,30 @@ def test_cli_replay_compact_expire(spark, tmp_path, capsys):
     out = run(capsys, ["expire", "--table", target, "--keep-last", "1"])
     assert out["manifests_removed"] > 0
     assert LakeTable(target).exists()
+
+
+def test_cli_rollback_and_stats(spark, tmp_path, capsys):
+    import json
+
+    from concepts_pipeline_spark.__main__ import main
+    from concepts_pipeline_spark.cdc.apply import CdcPipeline
+    from tests.test_cdc_apply import TARGET_SCHEMA
+
+    LOG = ("lsn long, op string, doc_id string, tokens array<int>, "
+           "n_tok int, source string")
+    pipe = CdcPipeline(spark, str(tmp_path / "t"), TARGET_SCHEMA, ["doc_id"],
+                       num_buckets=2, salt_buckets=2)
+    pipe.apply_batch(
+        spark.createDataFrame([(1, "I", "a", [1], 1, "s")], LOG), "c:1")
+    v1 = pipe.target.current_version()
+    pipe.apply_batch(
+        spark.createDataFrame([(2, "I", "b", [2], 1, "s")], LOG), "c:2")
+
+    main(["stats", "--table", str(tmp_path / "t")])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == 2 and stats["num_buckets"] == 2
+
+    main(["rollback", "--table", str(tmp_path / "t"), "--to-version", str(v1)])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rolled_back_to"] == v1
+    assert pipe.final_state().count() == 1

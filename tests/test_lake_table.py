@@ -98,3 +98,44 @@ def test_bucket_pruning_layout(spark, tmp_path):
         df = spark.read.parquet(f"{t.path}/{f.path}")
         buckets = df.select(bucket_expr(["doc_id"], 8).alias("b")).distinct().collect()
         assert [r.b for r in buckets] == [f.bucket]
+
+
+def test_rollback_rewinds_state_and_fences(spark, tmp_path):
+    """Rollback commits a NEW manifest referencing the old snapshot's files and
+    restores its fence set — batches applied after the target can be replayed."""
+    import pytest
+
+    from concepts_pipeline_spark.cdc.apply import CdcPipeline
+    from tests.test_cdc_apply import TARGET_SCHEMA, engine_state
+
+    LOG = ("lsn long, op string, doc_id string, tokens array<int>, "
+           "n_tok int, source string")
+    pipe = CdcPipeline(spark, str(tmp_path / "rb"), TARGET_SCHEMA, ["doc_id"],
+                       num_buckets=2, salt_buckets=2)
+    b1 = spark.createDataFrame([(1, "I", "a", [1], 1, "s")], LOG)
+    b2 = spark.createDataFrame([(2, "U", "a", [9, 9], 2, "s"),
+                                (3, "I", "b", [3], 1, "s")], LOG)
+    pipe.apply_batch(b1, fence_token="rb:1")
+    v_after_b1 = pipe.target.current_version()
+    state_after_b1 = engine_state(pipe.final_state())
+    pipe.apply_batch(b2, fence_token="rb:2")
+    assert engine_state(pipe.final_state()) != state_after_b1
+
+    m = pipe.target.rollback(v_after_b1)
+    assert m.version > v_after_b1 + 1          # history moves forward
+    assert engine_state(pipe.final_state()) == state_after_b1
+    assert pipe.target.has_fence_token("rb:1")
+    assert not pipe.target.has_fence_token("rb:2")  # cursor rewound
+
+    # the rolled-back batch replays cleanly and restores the newer state
+    r = pipe.apply_batch(b2, fence_token="rb:2")
+    assert not r.stats.skipped
+    got = engine_state(pipe.final_state())
+    assert got["a"][0] == [9, 9] and "b" in got
+    assert pipe.target.has_fence_token("rb:2")
+
+    with pytest.raises(ValueError, match="not older"):
+        pipe.target.rollback(pipe.target.current_version())
+
+    s = pipe.target.table_stats()
+    assert s["rows"] >= 2 and s["num_buckets"] == 2 and s["snapshots"] >= 4
