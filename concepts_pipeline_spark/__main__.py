@@ -128,7 +128,7 @@ def cmd_record(args) -> dict:
     from pyspark.sql import functions as F
 
     from .lake import LakeTable
-    from .operators.record import record_concepts
+    from .operators.record import record_concept_docs, record_concepts
 
     spark = _spark("cps-record")
     catalogue = LakeTable(args.catalogue).read(spark).select(
@@ -137,8 +137,12 @@ def cmd_record(args) -> dict:
     )
     authoritative = LakeTable(args.authoritative).read(spark)
     merged = record_concepts(catalogue, authoritative)
+    if args.docs:
+        # the reference recorder's actual sink format: one nested
+        # {query, display} JSON document per concept (Concept.scala:20-51)
+        merged = record_concept_docs(merged)
     merged.write.mode("overwrite").parquet(args.out)
-    return {"rows": spark.read.parquet(args.out).count()}
+    return {"rows": spark.read.parquet(args.out).count(), "docs": bool(args.docs)}
 
 
 def cmd_replay(args) -> dict:
@@ -268,6 +272,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--catalogue", required=True)
     g.add_argument("--authoritative", required=True)
     g.add_argument("--out", required=True)
+    g.add_argument("--docs", action="store_true",
+                   help="emit nested {query,display} JSON documents")
     g.set_defaults(fn=cmd_record)
 
     for name, fn in (("replay", cmd_replay), ("stream", cmd_stream)):

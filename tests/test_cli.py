@@ -71,6 +71,21 @@ def test_cli_ingest_aggregate_record(spark, tmp_path, capsys):
     assert final["c1"]["label"] == "Sanitation"  # authoritative label won
     assert sorted(final["c1"]["same_as"]) == ["c2"]
 
+    # --docs: the reference recorder's actual sink format
+    import json as _json
+
+    out = run(capsys, [
+        "record", "--catalogue", str(tmp_path / "cat"),
+        "--authoritative", str(tmp_path / "auth"),
+        "--out", f"file://{tmp_path}/final-docs", "--docs",
+    ])
+    assert out["rows"] == 3 and out["docs"]
+    docs = {r["canonical_id"]: _json.loads(r["doc"]) for r in
+            spark.read.parquet(f"file://{tmp_path}/final-docs").collect()}
+    assert docs["c1"]["display"]["label"] == "Sanitation"
+    assert docs["c1"]["display"]["sameAs"] == ["c2"]
+    assert list(docs["c1"]) == ["query", "display"]
+
 
 def test_cli_replay_compact_expire(spark, tmp_path, capsys):
     feed = derived_change_log(spark, SF).withColumn(
