@@ -7,9 +7,15 @@ Column names and value determinism are aligned on both sides (decimal-exact sums
 cast back to double, shared rounding, shared tie-breaks) so the driver's
 order-insensitive value-hash comparison holds.
 
+Array-typed output columns are serialized with ``to_json`` on BOTH sides (the
+driver's pandas canonicalizer requires hashable cells; Spark's ``to_json`` and
+DuckDB's ``CAST(to_json(..) AS VARCHAR)`` are byte-identical) — the engine
+keeps real ArrayType columns internally.
+
 Non-SQL-expressible entries (hash-based sketches: MinHash/SimHash/xxhash
-fingerprints, Arrow mapInPandas multimodal plumbing) intentionally omit oracles —
-the driver records the weaker rows-only check for those.
+fingerprints, hyperplane/IVF ANN, Arrow mapInPandas multimodal plumbing)
+intentionally omit oracles — the driver records the weaker rows-only check for
+those (6 of 44).
 """
 
 from __future__ import annotations
