@@ -1160,29 +1160,37 @@ def _oracle_sql_base() -> dict[str, str]:
         "cdc_lineage_counts": f"""
             WITH {LOG_CTE_SQL},
             tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
-            io AS (SELECT CAST(lsn % 4 AS INT) AS batch, count(*) AS rows_in,
-                          sum(CASE WHEN reject_reason IS NOT NULL
-                                   THEN 1 ELSE 0 END) AS quarantined
+            io AS (SELECT CAST(lsn % 4 AS INT) AS batch,
+                          CAST(count(*) AS BIGINT) AS rows_in,
+                          CAST(sum(CASE WHEN reject_reason IS NOT NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                            AS quarantined
                    FROM tagged GROUP BY CAST(lsn % 4 AS INT)),
             {_CLASSIFIED_CTE_TMPL},
-            stale_c AS (SELECT batch, count(*) AS stale FROM seq
+            stale_c AS (SELECT batch, CAST(count(*) AS BIGINT) AS stale
+                        FROM seq
                         WHERE prev_max IS NOT NULL AND lsn <= prev_max
                         GROUP BY batch),
             acts AS (SELECT batch,
-                sum(CASE WHEN action = 'inserted' THEN 1 ELSE 0 END) AS inserted,
-                sum(CASE WHEN action = 'updated' THEN 1 ELSE 0 END) AS updated,
-                sum(CASE WHEN action = 'deleted' THEN 1 ELSE 0 END) AS deleted,
-                sum(CASE WHEN action = 'noop' THEN 1 ELSE 0 END) AS noop,
-                sum(CASE WHEN action = 'delete_missing' THEN 1 ELSE 0 END)
-                  AS delete_missing
+                CAST(sum(CASE WHEN action = 'inserted' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS inserted,
+                CAST(sum(CASE WHEN action = 'updated' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS updated,
+                CAST(sum(CASE WHEN action = 'deleted' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS deleted,
+                CAST(sum(CASE WHEN action = 'noop' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS noop,
+                CAST(sum(CASE WHEN action = 'delete_missing' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS delete_missing
               FROM classified GROUP BY batch)
             SELECT 'lin:' || io.batch AS fence_token,
-                   COALESCE(a.inserted, 0) AS inserted,
-                   COALESCE(a.updated, 0) AS updated,
-                   COALESCE(a.deleted, 0) AS deleted,
-                   COALESCE(a.noop, 0) AS noop,
-                   COALESCE(s.stale, 0) AS stale,
-                   COALESCE(a.delete_missing, 0) AS delete_missing,
+                   CAST(COALESCE(a.inserted, 0) AS BIGINT) AS inserted,
+                   CAST(COALESCE(a.updated, 0) AS BIGINT) AS updated,
+                   CAST(COALESCE(a.deleted, 0) AS BIGINT) AS deleted,
+                   CAST(COALESCE(a.noop, 0) AS BIGINT) AS noop,
+                   CAST(COALESCE(s.stale, 0) AS BIGINT) AS stale,
+                   CAST(COALESCE(a.delete_missing, 0) AS BIGINT)
+                     AS delete_missing,
                    io.rows_in AS rows_in,
                    io.quarantined AS quarantined
             FROM io LEFT JOIN acts a ON a.batch = io.batch

@@ -24,23 +24,46 @@ TABLES = [
 
 
 def norm_cell(v):
-    # The driver's gate canonicalizes with pandas sort_values + value hashing,
-    # which crashes on unhashable cells (lists/dicts). Mirror that strictly:
-    # a query emitting raw array/map columns must FAIL here, not be silently
-    # tuple-normalized (that masking is what broke round 1's gate).
-    if isinstance(v, (list, dict)):
+    # The driver's gate canonicalizes via PANDAS (sort columns by name, then
+    # hash cell values), so dtype-level divergence matters: DuckDB HUGEINT
+    # (sum over CASE) reaches pandas as float64 while Spark's bigint stays
+    # int64 — numerically equal, hash-different. Round 2 shipped exactly that
+    # bug because the old fetchall() path coerced both to Python int. Mirror
+    # the driver: normalize ints and floats to DISTINCT reprs so int-vs-float
+    # divergence fails locally too.
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, (list, dict, np.ndarray)):
         raise TypeError(
             f"unhashable cell {type(v).__name__} — the driver gate would crash; "
             "serialize array/map output columns with to_json on both sides"
         )
-    if isinstance(v, float):
-        return repr(v)
-    return v
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", bool(v))
+    if isinstance(v, (np.floating, float)):
+        return ("float", repr(float(v)))
+    if isinstance(v, (np.integer, int)):
+        return ("int", int(v))
+    return str(v)
 
 
-def norm_rows(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(norm_cell(r[i]) for i in order) for r in rows)
+def norm_pdf(pdf):
+    """Canonicalize a pandas DataFrame the way the driver's gate does:
+    columns sorted by name, order-insensitive multiset of dtype-tagged rows."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    return cols, Counter(
+        tuple(norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
 
 
 def main():
@@ -66,8 +89,7 @@ def main():
             continue
         try:
             df = fn(spark, sf_dir)
-            s_cols = df.columns
-            s_rows = [tuple(r) for r in df.collect()]
+            s_pdf = df.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -76,31 +98,32 @@ def main():
             # rows-only queries still pass through the driver's canonicalizer —
             # their cells must be hashable too
             try:
-                norm_rows(s_rows, s_cols)
+                norm_pdf(s_pdf)
             except TypeError as e:
                 failures.append(name)
                 print(f"FAIL  {name}: {e}")
                 continue
-            print(f"ok*   {name}: rows-only ({len(s_rows)} rows)")
+            print(f"ok*   {name}: rows-only ({len(s_pdf)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
-        if sorted(s_cols) != sorted(d_cols):
+        if sorted(s_pdf.columns) != sorted(d_pdf.columns):
             failures.append(name)
-            print(f"FAIL  {name}: cols spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+            print(
+                f"FAIL  {name}: cols spark={sorted(s_pdf.columns)} "
+                f"duckdb={sorted(d_pdf.columns)}"
+            )
             continue
-        if len(s_rows) != len(d_rows):
+        if len(s_pdf) != len(d_pdf):
             failures.append(name)
-            print(f"FAIL  {name}: rows spark={len(s_rows)} duckdb={len(d_rows)}")
+            print(f"FAIL  {name}: rows spark={len(s_pdf)} duckdb={len(d_pdf)}")
             continue
         try:
-            sn, dn = norm_rows(s_rows, s_cols), norm_rows(d_rows, d_cols)
+            (_, sn), (_, dn) = norm_pdf(s_pdf), norm_pdf(d_pdf)
         except TypeError as e:
             failures.append(name)
             print(f"FAIL  {name}: {e}")
@@ -109,11 +132,11 @@ def main():
             failures.append(name)
             diff_s = list((sn - dn).items())[:3]
             diff_d = list((dn - sn).items())[:3]
-            print(f"FAIL  {name}: value mismatch ({len(s_rows)} rows)")
+            print(f"FAIL  {name}: value mismatch ({len(s_pdf)} rows)")
             print(f"      spark-only: {diff_s}")
             print(f"      duckdb-only: {diff_d}")
         else:
-            print(f"ok    {name}: {len(s_rows)} rows match")
+            print(f"ok    {name}: {len(s_pdf)} rows match")
     spark.stop()
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
