@@ -42,6 +42,7 @@ from concepts_pipeline_spark.operators.dedup import (
 from concepts_pipeline_spark.operators.lww import lww_latest
 from concepts_pipeline_spark.operators.merge_ops import (
     anti_join_new_keys,
+    anti_join_new_multi_keys,
     classify_changes,
     lookup_join,
     merge_with_precedence,
@@ -421,6 +422,35 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("c_custkey")
     )
     return anti_join_new_keys(customer, keys, ["c_custkey"])
+
+
+def q_anti_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's multi-id survival rule (NotInIndexFlow.scala:143): a customer row
+    carries 1-2 canonical ids; it survives if ANY id has no events. The
+    fixture forces both failure directions: keys %3==0 get a second id far
+    outside the seen domain (seen own key + unseen extra ⇒ must SURVIVE —
+    catches drop-if-any-seen inversions), keys %3==1 get a second id folded
+    into the dense seen range (unseen own key + seen extra ⇒ must still
+    survive — catches require-all-unseen inversions)."""
+    customer = _t(spark, sf_dir, "customer")
+    c = F.col("c_custkey")
+    inc = customer.select(
+        "c_custkey",
+        "c_name",
+        F.when(c % 3 == 0, F.array(c, c + 1000000))
+        .when(c % 3 == 1, F.array(c, c % 150))
+        .otherwise(F.array(c))
+        .alias("canonical_ids"),
+    )
+    seen = _t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    out = anti_join_new_multi_keys(
+        inc, seen, ["c_custkey"], "canonical_ids", "id"
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        F.to_json("canonical_ids").alias("canonical_ids"),
+    )
 
 
 def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_outbox": cdc_changes_outbox,
         "cdc_lineage_counts": cdc_lineage_counts,
         "anti_join_new_keys": q_anti_join,
+        "anti_join_new_multi_keys": q_anti_join_multi,
         "lookup_join": q_lookup_join,
         "classify_changes": q_classify_changes,
         "merge_precedence": q_merge_precedence,
@@ -1239,6 +1270,22 @@ def _oracle_sql_base() -> dict[str, str]:
         "anti_join_new_keys": """
             SELECT c.* FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        """,
+        "anti_join_new_multi_keys": """
+            WITH inc AS (
+              SELECT c_custkey, c_name,
+                     CASE WHEN c_custkey % 3 = 0
+                          THEN [c_custkey, c_custkey + 1000000]
+                          WHEN c_custkey % 3 = 1
+                          THEN [c_custkey, c_custkey % 150]
+                          ELSE [c_custkey] END AS ids
+              FROM customer)
+            SELECT c_custkey, c_name,
+                   CAST(to_json(ids) AS VARCHAR) AS canonical_ids
+            FROM inc
+            WHERE EXISTS (
+              SELECT 1 FROM unnest(ids) AS u(id)
+              WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = u.id))
         """,
         "lookup_join": """
             SELECT e.user_id, e.event_id, e.event_type, e.value,

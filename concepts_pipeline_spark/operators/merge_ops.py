@@ -5,6 +5,8 @@ Each is the Spark-first re-expression of a reference stream stage:
 - anti_join_new_keys   — NotInIndexFlow existence pre-filter (J1): keep incoming rows
                          none of whose keys are already in the target
                          (ref: aggregator/NotInIndexFlow.scala:39-149)
+- anti_join_new_multi_keys — J1's multi-id survival rule: keep rows where ANY id in
+                         the id-array is unseen (ref: NotInIndexFlow.scala:143)
 - lookup_join          — MultiGetFlow batched keyed lookup (S9): left join, null = miss
                          (ref: recorder/MultiGetFlow.scala:20-53)
 - classify_changes     — BulkUpdateFlow per-item result classification (K3):
@@ -39,6 +41,38 @@ def anti_join_new_keys(
     (1h → 6min, NotInIndexFlow.scala:35-38). Catalyst broadcast-hashes the smaller
     side automatically; at scale prefer passing a pre-projected key-only target."""
     return incoming.join(target_keys.select(*key_cols), on=key_cols, how="left_anti")
+
+
+def anti_join_new_multi_keys(
+    incoming: DataFrame,
+    target_keys: DataFrame,
+    row_key_cols: list[str],
+    ids_col: str,
+    target_key_col: str,
+) -> DataFrame:
+    """Multi-id existence pre-filter: keep incoming rows where ANY id in the
+    ``ids_col`` array is absent from the target.
+
+    This is the reference's actual survival rule — a concept with several
+    canonicalIds is kept when at least one of them is not yet indexed
+    (ref: aggregator/NotInIndexFlow.scala:143 `exists(id => !seen(id))`;
+    ConceptsAggregator.scala:59-70), which a plain scalar anti-join inverts
+    into drop-if-any-seen.
+
+    Shape: explode ids → hash anti-join on id → distinct surviving row keys →
+    left-semi original rows back. Two key-hashed shuffles, no row data moves
+    through the explode (only ``row_key_cols``), target side should be
+    pre-projected to its key column — all broadcast-eligible when small."""
+    exploded = incoming.select(
+        *row_key_cols, F.explode(ids_col).alias("__probe_id")
+    )
+    unseen = exploded.join(
+        target_keys.select(F.col(target_key_col).alias("__probe_id")),
+        on="__probe_id",
+        how="left_anti",
+    )
+    survivor_keys = unseen.select(*row_key_cols).distinct()
+    return incoming.join(survivor_keys, on=row_key_cols, how="left_semi")
 
 
 def lookup_join(

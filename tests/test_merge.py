@@ -227,3 +227,29 @@ def test_incompatible_schema_evolution_rejected(spark):
     )
     assert out["n"].dataType == LongType()
     assert "extra" in out.fieldNames()
+
+
+def test_anti_join_new_multi_keys_any_unseen_survives(spark):
+    # ref survival rule (NotInIndexFlow.scala:143): keep a row if ANY of its
+    # ids is unseen; drop only when ALL ids are already in the target.
+    from concepts_pipeline_spark.operators.merge_ops import anti_join_new_multi_keys
+
+    incoming = spark.createDataFrame(
+        [
+            ("all_seen", ["k1", "k2"]),
+            ("partly_seen", ["k1", "kx"]),
+            ("all_unseen", ["ka", "kb"]),
+            ("single_seen", ["k3"]),
+            ("single_unseen", ["kz"]),
+        ],
+        "row_id string, ids array<string>",
+    )
+    target = spark.createDataFrame(
+        [("k1",), ("k2",), ("k3",)], "id string"
+    )
+    out = anti_join_new_multi_keys(incoming, target, ["row_id"], "ids", "id")
+    got = sorted(r["row_id"] for r in out.collect())
+    assert got == ["all_unseen", "partly_seen", "single_unseen"]
+    # surviving rows come back intact (semi-join preserves the original row)
+    row = {r["row_id"]: r["ids"] for r in out.collect()}
+    assert row["partly_seen"] == ["k1", "kx"]
