@@ -51,3 +51,45 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and with enough rounds it converges to one cluster
     out = connected_components(pairs, nodes, "key", max_iter=10)
     assert {r["cluster_rep"] for r in out.collect()} == {"d0"}
+
+
+def test_long_path_converges_in_log_rounds(spark, tmp_path):
+    """Pointer doubling: a 200-node path (diameter 199) converges within 12
+    rounds — plain propagation would need 199 and abort. Zero-padded keys keep
+    lexicographic min == numeric min."""
+    pairs = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(199)],
+        "key_a string, key_b string",
+    )
+    nodes = spark.createDataFrame(
+        [(f"d{i:03d}",) for i in range(200)], "key string"
+    )
+    out = connected_components(pairs, nodes, "key", max_iter=12)
+    reps = {r["cluster_rep"] for r in out.collect()}
+    assert reps == {"d000"}
+
+
+def test_durable_checkpoint_identical_output(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint → reliable checkpoint; output
+    must be identical."""
+    edges = [("b", "a"), ("c", "b"), ("x", "y")]
+    nodes = ["a", "b", "c", "x", "y", "solo"]
+    p = spark.createDataFrame(edges, "key_a string, key_b string")
+    n = spark.createDataFrame([(k,) for k in nodes], "key string")
+    base = {
+        r["key"]: r["cluster_rep"]
+        for r in connected_components(p, n, "key").collect()
+    }
+    durable = {
+        r["key"]: r["cluster_rep"]
+        for r in connected_components(
+            p, n, "key", checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert durable == base == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "solo": "solo"
+    }
+    # the reliable checkpoint actually wrote to the requested directory
+    import os
+
+    assert any(os.scandir(tmp_path / "ckpt"))
