@@ -630,6 +630,60 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, QUERY_VEC, "embedding", "vec_id", k=10)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible bounded-correctness row for the ANN paths: recall@10 of
+    IVF and hyperplane-LSH vs the exact cosine top-k, bucketed against pinned
+    floors. The exact id set rides along as JSON so the oracle re-derives it
+    independently (DuckDB list_dot_product top-k); the booleans hash-match
+    only while ANN recall stays at or above the floor — a recall regression
+    flips the row red at the gate instead of hiding behind rows-only."""
+    from concepts_pipeline_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    k = 10
+    exact = cosine_topk(emb, QUERY_VEC, "embedding", "vec_id", k=k)
+    # n_probe=8/16 measured: recall 1.0 @ sf0.01, 0.8 @ sf0.1 — comfortable
+    # margin over the 0.5 floor at both gate and bench scales (n_probe=4 sat
+    # at 0.3 @ sf0.1, a knife-edge bound not worth pinning)
+    ivf = ann_ivf_topk(
+        emb, QUERY_VEC, "embedding", "vec_id", k=k, num_lists=16, n_probe=8
+    )
+    lsh = ann_lsh_topk(
+        emb, QUERY_VEC, "embedding", "vec_id", k=k, planes=16, max_hamming=8
+    )
+    ex_ids = exact.select("vec_id")
+    ann_all = ivf.select(F.lit("ivf").alias("method"), "vec_id").unionByName(
+        lsh.select(F.lit("lsh").alias("method"), "vec_id")
+    )
+    matched = (
+        ann_all.join(ex_ids, "vec_id", "left_semi")
+        .groupBy("method")
+        .agg(F.count("*").alias("__hits"))
+    )
+    floors = spark.createDataFrame(
+        [("ivf", 0.5), ("lsh", 0.6)], "method string, recall_floor double"
+    )
+    exact_json = ex_ids.agg(
+        F.to_json(F.array_sort(F.collect_list("vec_id"))).alias("exact_ids")
+    )
+    return (
+        floors.join(matched, "method", "left")
+        .crossJoin(exact_json)
+        .select(
+            "method",
+            F.lit(k).alias("k"),
+            "exact_ids",
+            "recall_floor",
+            (
+                F.coalesce(F.col("__hits"), F.lit(0)) / k
+                >= F.col("recall_floor")
+            ).alias("recall_ge_floor"),
+        )
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return quality_features(docs, "text").select(
@@ -1108,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall": q_ann_recall,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1476,6 +1531,23 @@ def _oracle_sql_base() -> dict[str, str]:
                                   * sqrt(list_dot_product(qv, qv))), 6) AS cosine
                   FROM embeddings, q)
             SELECT vec_id, cosine FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "ann_recall": f"""
+            WITH q AS (SELECT CAST({_QVEC_SQL} AS DOUBLE[]) AS qv),
+            s AS (SELECT vec_id,
+                         round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                        CAST(embedding AS DOUBLE[])))
+                                  * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+                  FROM embeddings, q),
+            top AS (SELECT vec_id FROM s ORDER BY cosine DESC, vec_id LIMIT 10),
+            ej AS (SELECT CAST(to_json(list_sort(list(vec_id))) AS VARCHAR)
+                     AS exact_ids FROM top)
+            SELECT 'ivf' AS method, 10 AS k, exact_ids,
+                   0.5 AS recall_floor, TRUE AS recall_ge_floor FROM ej
+            UNION ALL
+            SELECT 'lsh' AS method, 10 AS k, exact_ids,
+                   0.6 AS recall_floor, TRUE AS recall_ge_floor FROM ej
         """,
         "text_quality": f"""
             WITH {_WORDS_CTE},

@@ -50,8 +50,18 @@ def _hyperplane_component(seed: int, p: int, i: int) -> float:
     """Deterministic "random" hyperplane component in [-1, 1] from
     (seed, plane, dim index). SINGLE source of truth: the data-side signature
     (hyperplane_signature) and the query-side signature (ann_lsh_topk) must use
-    bit-identical components or the hamming prune silently returns garbage."""
-    h = hash((seed, p, i)) & 0xFFFFFFFF
+    bit-identical components or the hamming prune silently returns garbage.
+
+    Derived from blake2b over the struct-packed key — spec'd bytes, identical
+    on every Python version/build (unlike the previous tuple ``hash()``, which
+    is CPython-implementation-defined)."""
+    import hashlib
+    import struct
+
+    digest = hashlib.blake2b(
+        struct.pack("<qqq", seed, p, i), digest_size=4
+    ).digest()
+    h = int.from_bytes(digest, "little")
     return (h / 0xFFFFFFFF) * 2.0 - 1.0
 
 
@@ -65,8 +75,8 @@ def hyperplane_signature(
 ) -> DataFrame:
     """Sign-bit signature under `planes` pseudo-random hyperplanes.
 
-    Hyperplane components are deterministic xxhash64-derived values in [-1,1] —
-    reproducible across sessions without shipping a matrix."""
+    Hyperplane components are deterministic blake2b-derived values in [-1,1] —
+    reproducible across sessions and Python builds without shipping a matrix."""
     sig = None
     for p in range(planes):
         plane = [_hyperplane_component(seed, p, i) for i in range(dim)]

@@ -58,3 +58,20 @@ def test_ann_lsh_recall(spark, emb):
     # feed: r=6→4/10, r=7→5/10, r=8→7/10, r=9→9/10)
     approx = set(ids(ann_lsh_topk(emb, QUERY, k=10, planes=16, max_hamming=8)))
     assert len(exact & approx) >= 6
+
+
+def test_hyperplane_components_are_spec_pinned():
+    """blake2b-derived components are part of the signature spec: data-side and
+    query-side signatures must agree across sessions and Python builds, so the
+    first components are pinned exactly."""
+    from concepts_pipeline_spark.operators.similarity import _hyperplane_component
+
+    got = [
+        round(_hyperplane_component(7, p, i), 12)
+        for p in range(2)
+        for i in range(4)
+    ]
+    assert got == [
+        0.188468760156, -0.628852188501, -0.439853271805, -0.814387849955,
+        0.781645620191, -0.683755745572, -0.103071259592, 0.826521730941,
+    ]
