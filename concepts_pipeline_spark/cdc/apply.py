@@ -122,6 +122,23 @@ class ApplyResult:
     quarantined: int
 
 
+class BatchRejectedError(RuntimeError):
+    """Raised by apply_batch(on_reject='fail') when the batch contains any
+    invalid event — the reference's all-or-nothing contract (BulkUpdateFlow
+    throws on any item error and aborts the whole bulk request,
+    ref: common/.../BulkUpdateFlow.scala:93-105). Nothing is committed:
+    no target merge, no quarantine append, no lineage row."""
+
+    def __init__(self, fence_token: str, reasons: dict[str, int]):
+        self.fence_token = fence_token
+        self.reasons = reasons
+        total = sum(reasons.values())
+        super().__init__(
+            f"batch {fence_token!r} rejected: {total} invalid event(s) "
+            f"{reasons} (on_reject='fail')"
+        )
+
+
 class CdcPipeline:
     """Owns the three tables (target, quarantine, lineage) and applies batches.
 
@@ -213,8 +230,21 @@ class CdcPipeline:
 
     # ------------------------------------------------------------------
 
-    def apply_batch(self, batch: DataFrame, fence_token: str) -> ApplyResult:
-        """Validate + LWW + fenced merge + lineage for one change batch."""
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        fence_token: str,
+        on_reject: str = "quarantine",
+    ) -> ApplyResult:
+        """Validate + LWW + fenced merge + lineage for one change batch.
+
+        ``on_reject``: 'quarantine' (default) routes invalid events to the
+        quarantine table and applies the rest — the data-pipeline-friendly
+        contract; 'fail' raises :class:`BatchRejectedError` before ANY commit
+        when the batch holds even one invalid event — the reference's
+        abort-the-bulk-request behavior (BulkUpdateFlow.scala:93-105)."""
+        if on_reject not in ("quarantine", "fail"):
+            raise ValueError("on_reject must be 'quarantine' or 'fail'")
         if self.target.has_fence_token(fence_token):
             # replayed batch (foreachBatch retry / restart): already applied.
             # A crash BETWEEN the target commit and the lineage append would
@@ -258,6 +288,19 @@ class CdcPipeline:
         tagged = batch.withColumn(
             "reject_reason", valid_event_expr(vocab_size=self.vocab_size)
         )
+
+        if on_reject == "fail":
+            # strict mode checks BEFORE any write: one aggregation over the
+            # reject reasons (tiny result), raise if non-empty
+            reasons = {
+                r["reject_reason"]: r["n"]
+                for r in tagged.filter(F.col("reject_reason").isNotNull())
+                .groupBy("reject_reason")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if reasons:
+                raise BatchRejectedError(fence_token, reasons)
 
         # Probe (rows_in for lineage + touched target buckets for file pruning).
         # Buckets are taken over all events (valid or not): a superset of the

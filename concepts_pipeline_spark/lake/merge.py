@@ -74,6 +74,13 @@ class MergeStats:
         return self.inserted + self.updated + self.deleted
 
 
+class OutboxAppendError(RuntimeError):
+    """Outbox append exhausted its commit-conflict retries AFTER the target
+    merge committed. Deliberately not a CommitConflict: merge_into's optimistic
+    retry wrapper must not re-enter the merge (the fence would turn a healthy
+    applied batch into a spurious hole marker with skipped stats)."""
+
+
 def merge_into(
     spark: SparkSession,
     table: LakeTable,
@@ -470,7 +477,11 @@ def _merge_into_once(
         # whole merge, hit the (now-present) target fence, and degrade the
         # still-recomputable diff into a spurious hole marker while suppressing
         # the batch's lineage row (skipped=True). Here the diff rows are still
-        # at hand — re-append against the outbox's new snapshot.
+        # at hand — re-append against the outbox's new snapshot. On retry
+        # exhaustion raise OutboxAppendError (NOT CommitConflict) so the
+        # wrapper can't silently convert this healthy applied merge into a
+        # hole marker + skipped stats: the caller sees a distinct, retryable
+        # failure while the target commit stands.
         if changes_table is not None:
             from .table import CommitConflict
 
@@ -488,9 +499,14 @@ def _merge_into_once(
                         fence_token=f"{fence_token}:c" if fence_token else None,
                     )
                     break
-                except CommitConflict:
+                except CommitConflict as e:
                     if attempt == 3:
-                        raise
+                        raise OutboxAppendError(
+                            f"outbox append for fence {fence_token!r} lost "
+                            "the commit race 4 times; target merge IS "
+                            "committed — re-run to land the outbox rows (the "
+                            "fence-skip branch writes them or a hole marker)"
+                        ) from e
     finally:
         if src_persisted:
             src.unpersist()
@@ -654,6 +670,34 @@ def read_for_keys(
     m = table.manifest(version)
     if not keys:
         return spark.createDataFrame([], m.schema)
+
+    # Coerce probe values into each key column's native domain up front:
+    # before typed stats, both sides were stringified, so callers passing
+    # '42' against a bigint key silently worked — now that stats compare in
+    # the column's domain, an uncoerced str-vs-int comparison would raise
+    # mid-prune. Parseable values are converted; garbage gets a clear error
+    # naming the column instead of a TypeError from a stat comparison.
+    from pyspark.sql.types import (
+        ByteType as _B, DoubleType as _D, FloatType as _F,
+        IntegerType as _I, LongType as _L, ShortType as _S,
+    )
+
+    def _coerce_probe(v, col):
+        dt = m.schema[col].dataType
+        try:
+            if isinstance(dt, StringType):
+                return v if isinstance(v, str) else str(v)
+            if isinstance(dt, (_B, _S, _I, _L)):
+                return v if isinstance(v, int) and not isinstance(v, bool) else int(v)
+            if isinstance(dt, (_F, _D)):
+                return v if isinstance(v, float) else float(v)
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"probe value {v!r} is not coercible to key column "
+                f"{col!r} ({dt.simpleString()})"
+            ) from e
+        return v
+
     multi = len(m.key_cols) > 1
     if multi:
         # composite key: each probe is a tuple over ALL key columns (a scalar
@@ -665,12 +709,17 @@ def read_for_keys(
                 f"composite-key table {m.key_cols} requires full key tuples, "
                 f"got {bad[:3]!r}"
             )
+        keys = [
+            tuple(_coerce_probe(v, c) for v, c in zip(k, m.key_cols))
+            for k in keys
+        ]
         probe_schema = ", ".join(
             f"{c} {m.schema[c].dataType.simpleString()}" for c in m.key_cols
         )
         one = spark.createDataFrame([tuple(k) for k in keys], probe_schema)
     else:
         key0 = m.key_cols[0]
+        keys = [_coerce_probe(k, key0) for k in keys]
         one = spark.createDataFrame(
             [(k,) for k in keys], f"{key0} {m.schema[key0].dataType.simpleString()}"
         )

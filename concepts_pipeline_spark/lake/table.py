@@ -263,6 +263,16 @@ class LakeTable:
                         fh.flush()
                         os.fsync(fh.fileno())
                     os.replace(stmp, sp)
+                else:
+                    # reusing a shard left by a crashed/losing attempt: restart
+                    # its orphan-grace window so a concurrent expire_snapshots
+                    # (whose all_shards scan predates this manifest) can't
+                    # unlink it between this exists-check and the commit —
+                    # mirrors the os.utime re-stamp for staged data files
+                    try:
+                        os.utime(sp)
+                    except OSError:
+                        pass
                 refs.append(
                     {"path": rel, "key": k, "n_files": len(content), "hash": h}
                 )
@@ -449,8 +459,14 @@ class LakeTable:
                 summary={"operation": "append", "rows": 0},
             )
         schema = m.schema
+        # every field EXPLICITLY nullable at the storage layer, regardless of
+        # the logical schema's nullability: crash-recovery marker rows (the
+        # outbox_hole row) carry NULL keys, and must land even on tables whose
+        # stored schema predates nullable keys — don't rely on pyarrow's
+        # tuple-form default staying nullable
         arrow_schema = pa.schema(
-            [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+            [pa.field(f.name, _arrow_type(f.dataType), nullable=True)
+             for f in schema.fields]
         )
         tbl = pa.Table.from_pylist(rows, schema=arrow_schema)
         commit_id = uuid.uuid4().hex[:12]

@@ -148,3 +148,47 @@ def test_replay_matches_oracle(spark, change_log, tmp_path):
     reasons = {r[0] for r in q.select("reject_reason").distinct().collect()}
     assert reasons <= {"null_tokens", "n_tok_mismatch", "token_out_of_vocab", "empty_tokens", "unknown_op"}
     assert len(reasons) >= 2
+
+
+def test_on_reject_fail_aborts_batch_without_commit(spark, change_log, tmp_path):
+    """Strict mode (ref: BulkUpdateFlow.scala:93-105 abort-on-any-item-error):
+    a batch containing any invalid event commits NOTHING — no target version,
+    no quarantine rows, no lineage — and raises with the reject reasons."""
+    from concepts_pipeline_spark.cdc.apply import BatchRejectedError
+
+    pipe = CdcPipeline(
+        spark,
+        target_path=str(tmp_path / "target"),
+        target_schema=TARGET_SCHEMA,
+        key_cols=["doc_id"],
+        quarantine_path=str(tmp_path / "quarantine"),
+        lineage_path=str(tmp_path / "lineage"),
+        num_buckets=4,
+        salt_buckets=2,
+    )
+    v0 = pipe.target.current_version()
+    # the generated log's batch 0 contains malformed events (malformed_pct=5)
+    batch = read_batch(spark, change_log, 0)
+    with pytest.raises(BatchRejectedError) as exc:
+        pipe.apply_batch(batch, fence_token="strict:0", on_reject="fail")
+    assert exc.value.fence_token == "strict:0"
+    assert sum(exc.value.reasons.values()) > 0
+    assert pipe.target.current_version() == v0
+    assert pipe.quarantine.read(spark).count() == 0
+    assert pipe.lineage.read(spark).count() == 0
+    assert not pipe.target.has_fence_token("strict:0")
+
+    # an all-valid batch applies normally in strict mode
+    clean = batch.filter(
+        (F.col("op") == "D")
+        | (
+            F.col("tokens").isNotNull()
+            & (F.size("tokens") > 0)
+            & (F.col("n_tok") == F.size("tokens"))
+            & ~F.exists("tokens", lambda t: t.isNull() | (t < 0) | (t >= VOCAB_SIZE))
+        )
+    )
+    res = pipe.apply_batch(clean, fence_token="strict:0", on_reject="fail")
+    assert not res.stats.skipped
+    assert res.quarantined == 0
+    assert pipe.target.current_version() > v0

@@ -216,3 +216,30 @@ def test_empty_batch_replay_no_spurious_hole(spark, tmp_path):
     pipe.apply_batch(empty, fence_token="eb:1")  # replay
     holes = pipe.changes.read(spark).filter(F.col("action") == "outbox_hole")
     assert holes.count() == 0
+
+
+def test_hole_marker_lands_on_legacy_nonnullable_outbox(spark, tmp_path):
+    """An outbox created before key columns went nullable must still accept
+    the NULL-key outbox_hole crash-recovery marker (append_rows forces
+    storage-layer nullability) and serve it through both read paths."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from concepts_pipeline_spark.lake import LakeTable
+    from concepts_pipeline_spark.lake.merge import read_appended_since
+
+    legacy = StructType(
+        [
+            StructField("doc_id", StringType(), False),  # pre-change: non-null
+            StructField("action", StringType(), False),
+            StructField("fence_token", StringType(), True),
+        ]
+    )
+    t = LakeTable.create(str(tmp_path / "legacy_outbox"), legacy, ["doc_id"], 4)
+    t.append_rows(
+        [{"doc_id": None, "action": "outbox_hole", "fence_token": "b7"}],
+        fence_token="b7:c",
+    )
+    got = t.read(spark).collect()
+    assert [(r["doc_id"], r["action"]) for r in got] == [(None, "outbox_hole")]
+    incr, _ = read_appended_since(spark, t, 0)
+    assert incr.count() == 1

@@ -75,3 +75,29 @@ def test_read_for_keys_resolves_mor_deltas(spark, tmp_path):
     out = read_for_keys(spark, pipe.target, [k])
     rows = out.collect()
     assert len(rows) == 1  # LWW-resolved, no duplicate generations
+
+
+def test_read_for_keys_coerces_probe_domain(spark, tmp_path):
+    """String probes against a numeric-keyed table are coerced into the key
+    column's domain before bucket hashing and stat comparison (pre-typed-stats
+    behavior, restored deliberately); garbage probes get a clear error instead
+    of a TypeError mid-prune."""
+    import pytest
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from concepts_pipeline_spark.lake import LakeTable
+
+    sch = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("v", StringType(), True),
+        ]
+    )
+    t = LakeTable.create(str(tmp_path / "numkey"), sch, ["k"], num_buckets=4)
+    t.overwrite(spark.createDataFrame([(i, f"v{i}") for i in range(50)], sch))
+    got = {r["k"]: r["v"] for r in read_for_keys(spark, t, ["7", 9]).collect()}
+    assert got == {7: "v7", 9: "v9"}
+    with pytest.raises(ValueError, match="not coercible"):
+        read_for_keys(spark, t, ["not-a-number"])
