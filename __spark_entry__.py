@@ -236,7 +236,9 @@ def cdc_accumulate_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the stored row instead of replacing it. Events are pre-reduced per key
     within each batch (union is commutative/associative, so no LSN ordering is
     needed) and applied with merge update_mode='array_union' across three
-    batches."""
+    batches. n_events rides the merge itself via sum_cols (the painless
+    script's counter-accumulate generality) — the engine owns the running
+    total; no second pass over the log."""
     from concepts_pipeline_spark.lake import LakeTable, merge_into
     from pyspark.sql.types import LongType
 
@@ -261,15 +263,10 @@ def cdc_accumulate_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_into(
             spark, table, pre,
             update_mode="array_union", array_union_cols=["tokens"],
+            sum_cols=["n_events"],
             fence_token=f"accum:{b}",
         )
-    out = table.read(spark)
-    # n_events replace-updates per batch; re-derive the true total per key so the
-    # output is order-independent: sum arrives via a second pass over the log
-    totals = valid.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_events"))
-    return out.drop("n_events").join(totals, "doc_id").select(
-        "doc_id", _j("tokens"), "n_events"
-    )
+    return table.read(spark).select("doc_id", _j("tokens"), "n_events")
 
 
 def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:

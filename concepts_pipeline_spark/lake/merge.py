@@ -97,6 +97,7 @@ def merge_into(
     changes_table: LakeTable | None = None,
     strategy: str = "cow",
     max_retries: int = 2,
+    sum_cols: list[str] | None = None,
 ) -> MergeStats:
     """Optimistic-concurrency wrapper: on CommitConflict (another writer won the
     manifest swap) the merge re-reads the NEW snapshot and re-runs — correct
@@ -113,6 +114,7 @@ def merge_into(
                 spark, table, source, op_col, delete_op, update_mode,
                 array_union_cols, evolve, fence_token, lsn_col,
                 touched_buckets, touched_num_buckets, changes_table, strategy,
+                sum_cols,
             )
         except CommitConflict:
             if attempt >= max_retries:
@@ -135,6 +137,7 @@ def _merge_into_once(
     touched_num_buckets: int | None = None,
     changes_table: LakeTable | None = None,
     strategy: str = "cow",
+    sum_cols: list[str] | None = None,
 ) -> MergeStats:
     """Apply a deduplicated change batch (≤1 row per key, see operators.lww) to table.
 
@@ -214,11 +217,12 @@ def _merge_into_once(
     if strategy == "mor":
         if lsn_col is None:
             raise ValueError("merge-on-read requires lsn_col (LWW read resolution)")
-        if update_mode != "replace":
-            # deferred set-union would need union (not LWW) read resolution —
-            # refuse loudly rather than silently replacing
+        if update_mode != "replace" or sum_cols:
+            # deferred set-union/sum would need union/sum (not LWW) read
+            # resolution — refuse loudly rather than silently replacing
             raise ValueError(
-                f"update_mode={update_mode!r} is not supported under merge-on-read; "
+                f"update_mode={update_mode!r}/sum_cols={sum_cols!r} is not "
+                "supported under merge-on-read; "
                 "use strategy='cow' for accumulate semantics"
             )
         return _mor_append(
@@ -289,6 +293,7 @@ def _merge_into_once(
     is_matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
     is_delete = F.col(f"s.{op_col}") == F.lit(delete_op)
 
+    acc_cols = set(sum_cols or [])
     if update_mode == "array_union":
         union_cols = set(array_union_cols or [])
         field_type = {f.name: f.dataType for f in new_schema.fields}
@@ -315,6 +320,18 @@ def _merge_into_once(
         new_val = {c: F.col(f"s.{c}") for c in val_cols}
     else:
         raise ValueError(f"unknown update_mode {update_mode!r}")
+    # sum-accumulate numeric columns on match (the painless script's generality
+    # over params.entrySet(): arrays union, counters ADD — ref: aggregator/
+    # src/main/resources/append-fields.json iterates every param field). The
+    # engine owns running totals; callers no longer re-derive them with a
+    # second pass over the log.
+    for c in acc_cols:
+        if c not in val_cols:
+            raise ValueError(f"sum_cols entry {c!r} is not a payload column")
+        new_val[c] = F.when(
+            is_matched,
+            F.coalesce(F.col(f"t.{c}"), F.lit(0)) + F.coalesce(F.col(f"s.{c}"), F.lit(0)),
+        ).otherwise(F.col(f"s.{c}"))
 
     old_struct = F.struct(*[F.col(f"t.{c}").alias(c) for c in val_cols])
     new_struct = F.struct(*[new_val[c].alias(c) for c in val_cols])

@@ -253,3 +253,42 @@ def test_anti_join_new_multi_keys_any_unseen_survives(spark):
     # surviving rows come back intact (semi-join preserves the original row)
     row = {r["row_id"]: r["ids"] for r in out.collect()}
     assert row["partly_seen"] == ["k1", "kx"]
+
+
+def test_merge_sum_cols_accumulates_counters(spark, tmp_path):
+    """sum_cols: numeric payload columns ADD on match (the painless script's
+    counter-accumulate arm) while array_union_cols union; inserts seed the
+    running total; a column outside the payload is rejected."""
+    import pytest
+    from pyspark.sql.types import LongType
+
+    sch = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("tokens", ArrayType(IntegerType()), True),
+            StructField("n_events", LongType(), True),
+        ]
+    )
+    t = LakeTable.create(str(tmp_path / "acc"), sch, ["doc_id"], num_buckets=4)
+    batch = StructType(list(sch.fields) + [StructField("op", StringType(), False)])
+    b1 = spark.createDataFrame(
+        [("a", [1, 2], 2, "U"), ("b", [5], 1, "U")], batch
+    )
+    merge_into(spark, t, b1, update_mode="array_union",
+               array_union_cols=["tokens"], sum_cols=["n_events"])
+    b2 = spark.createDataFrame(
+        [("a", [2, 3], 3, "U"), ("c", [9], 4, "U")], batch
+    )
+    merge_into(spark, t, b2, update_mode="array_union",
+               array_union_cols=["tokens"], sum_cols=["n_events"])
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_events"]) for r in t.read(spark).collect()
+    }
+    assert got == {
+        "a": ([1, 2, 3], 5),  # union {1,2}∪{2,3}, counters 2+3
+        "b": ([5], 1),
+        "c": ([9], 4),
+    }
+    with pytest.raises(ValueError, match="not a payload column"):
+        merge_into(spark, t, b2, update_mode="array_union",
+                   array_union_cols=["tokens"], sum_cols=["nope"])
