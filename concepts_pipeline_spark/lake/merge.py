@@ -396,11 +396,6 @@ def _merge_into_once(
             .select(*out_key, *out_val, F.col(ACTION_COL))
             .withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets))
         )
-    # per-(bucket, action) lineage counts ride the write action as an Observation —
-    # metrics come out of the same single pass that rewrites the touched buckets,
-    # so the whole merge is ONE job over the data (no counting re-scan, no cache)
-    from pyspark.sql import Observation
-
     # downstream change publication (ref: aggregator publishIds routes only
     # updated-not-noop ids to SNS, ConceptsAggregator.scala:120-124 +
     # TopicPublisher.scala:23-58) — here an appended outbox table partition the
@@ -408,48 +403,78 @@ def _merge_into_once(
     # write), so the merge result is cached only when the outbox is enabled.
     cached = None
     if changes_table is not None:
-        # keep the persist handle: `result` is rebound to the observe() wrapper
-        # below, and unpersisting the CollectMetrics plan would not release the
-        # cached child — a per-batch storage leak on long streams
         result = cached = result.persist()
 
-    obs = Observation()
-    count_aggs = [
-        # coalesce: sum() over an empty merge result is NULL and Observation.get
-        # cannot convert null metric rows
-        F.coalesce(
-            F.sum(
-                F.when(
-                    (F.col(BUCKET_COL) == b) & (F.col(ACTION_COL) == a), F.lit(1)
-                ).otherwise(F.lit(0))
-            ),
-            F.lit(0),
-        ).alias(f"c_{b}_{a}")
-        for b in touched_buckets
-        for a in _ACTIONS
-    ] or [F.count(F.lit(1)).alias("c_none")]
-    result = result.observe(obs, count_aggs[0], *count_aggs[1:])
-
     try:
+        stats = MergeStats(version=m.version + 1)
         if lsn_col is not None:
-            # tombstones persist (LSN memory survives the delete); readers filter them
-            keep = result.select(*data_cols)
+            # tombstones persist (LSN memory survives the delete); readers
+            # filter them — so EVERY result row lands in the staged files, and
+            # exact per-(bucket, action) lineage counts fall out of the write
+            # itself: one 1-or-NULL tinyint indicator column per action rides
+            # the staged parquet (RLE ≈ free, invisible to readers — reads use
+            # the manifest schema), and the counts are recovered from the
+            # footer null_counts the stat phase opens anyway. Zero observation
+            # aggregates — the previous design's touched_buckets × 7 observe
+            # metrics made Catalyst analysis the dominant per-batch cost
+            # (measured at sf0.1/16 buckets: ~5 s/batch with the observation
+            # vs ~2.3 s without; agg STYLE didn't matter, metric COUNT did).
+            ind_cols = [f"__m_{a}" for a in _ACTIONS]
+            keep = result.select(
+                *data_cols,
+                *[
+                    F.when(F.col(ACTION_COL) == a, F.lit(1).cast("tinyint"))
+                    .alias(f"__m_{a}")
+                    for a in _ACTIONS
+                ],
+            )
+            new_files, ind_counts = table.write_data_files(
+                keep, _with_schemas(m, schemas), schema_id,
+                metric_cols=ind_cols,
+            )
+            metrics = {
+                f"c_{b}_{c[4:]}": n for (b, c), n in ind_counts.items()
+            }
         else:
+            # plain mode physically drops delete rows from the write, so their
+            # counts cannot come from the staged files — keep a (small) packed
+            # count_if observation for this path; it is not the CDC hot path
+            from pyspark.sql import Observation
+
+            n_act = len(_ACTIONS)
+            act_pos = F.array_position(
+                F.array(*[F.lit(a) for a in _ACTIONS]), F.col(ACTION_COL)
+            )
+            result = result.withColumn(
+                "__mcode", (F.col(BUCKET_COL) * n_act + (act_pos - 1)).cast("long")
+            )
+            obs = Observation()
+            count_aggs = [
+                # coalesce: aggregates over an empty merge result yield NULL
+                # and Observation.get cannot convert null metric rows
+                F.coalesce(
+                    F.count_if(F.col("__mcode") == (b * n_act + ai)), F.lit(0)
+                ).alias(f"c_{b}_{_ACTIONS[ai]}")
+                for b in touched_buckets
+                for ai in range(n_act)
+            ] or [F.count(F.lit(1)).alias("c_none")]
+            result = result.observe(obs, count_aggs[0], *count_aggs[1:])
             keep = result.filter(
                 ~F.col(ACTION_COL).isin("deleted", "delete_missing")
             ).select(*data_cols)
+            new_files = table.write_data_files(
+                keep, _with_schemas(m, schemas), schema_id
+            )
+            try:
+                metrics = obs.get
+            except Exception:
+                # Spark quirk: observe + repartition + EMPTY result + AQE
+                # loses the metrics row (verified: non-empty or AQE-off is
+                # fine). The only reachable empty-result case here is
+                # all-invalid events against never-written buckets — every
+                # count is zero.
+                metrics = {}
 
-        new_files = table.write_data_files(keep, _with_schemas(m, schemas), schema_id)
-
-        stats = MergeStats(version=m.version + 1)
-        try:
-            metrics = obs.get
-        except Exception:
-            # Spark quirk: observe + repartition + EMPTY result + AQE loses the
-            # metrics row (verified: non-empty or AQE-off is fine). The only
-            # reachable empty-result case here is all-invalid events against
-            # never-written buckets — every count is zero.
-            metrics = {}
         per_bucket: dict[int, dict] = {}
         for b in touched_buckets:
             pb = {"bucket": b, "inserted": 0, "updated": 0, "deleted": 0,

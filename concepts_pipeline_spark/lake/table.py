@@ -350,18 +350,42 @@ class LakeTable:
         schema_id: int,
         repartition: bool = True,
         kind: str = "base",
-    ) -> list[DataFileEntry]:
+        metric_cols: list[str] | None = None,
+    ):
         """Write df as bucketed immutable parquet files under data/; return entries.
 
         One shuffle by bucket id so each output file holds exactly one bucket; the
         bucket id is carried in the file *name* (metadata), not stored in the rows.
+
+        ``metric_cols``: extra indicator columns of ``df`` (nullable, 1-or-NULL)
+        carried into the staged files; the return becomes ``(entries, counts)``
+        where counts maps (bucket, col) → number of NON-NULL values, recovered
+        from the parquet footers' null_count that the stat phase opens anyway.
+        This is how the merge gets exact per-(bucket, action) lineage as a
+        BY-PRODUCT of the write — zero extra jobs, zero observation aggregates,
+        no extra files (an RLE'd 1/NULL tinyint column costs ~nothing), and the
+        columns are invisible to readers (_read_files reads with the manifest
+        schema explicitly).
         """
         physical = m.schema_for(schema_id)
         commit_id = uuid.uuid4().hex[:12]
         tmp = os.path.join(self.path, DATA_DIR, f".stage-{commit_id}")
-        out = conform(df, physical).withColumn(
-            "__bucket", bucket_expr(m.key_cols, m.num_buckets)
-        )
+        if not metric_cols:
+            out = conform(df, physical)
+        else:
+            # metric cols must ride the conform projection (conform() is a
+            # select, so a later df[col] can't resolve across it)
+            have = set(df.columns)
+            out = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in physical.fields
+                ],
+                *[F.col(c) for c in metric_cols],
+            )
+        out = out.withColumn("__bucket", bucket_expr(m.key_cols, m.num_buckets))
         if repartition:
             out = out.repartition(m.num_buckets, "__bucket")
         out.write.partitionBy("__bucket").mode("overwrite").parquet(f"file://{tmp}")
@@ -394,24 +418,32 @@ class LakeTable:
         # pyarrow footer read per file on the executors) so the stat phase is
         # never the serial tail of a large commit
         if len(staged) > DISTRIBUTED_STATS_MIN:
-            stats = _distributed_stats(df.sparkSession, self.path, staged, key0)
+            stats = _distributed_stats(
+                df.sparkSession, self.path, staged, key0, metric_cols
+            )
         else:
             from concurrent.futures import ThreadPoolExecutor
 
             def stat(item: tuple[str, int]):
                 rel, bucket = item
-                rows, kmin, kmax = _parquet_stats(os.path.join(self.path, rel), key0)
-                return rel, bucket, rows, kmin, kmax
+                rows, kmin, kmax, mc = _parquet_stats(
+                    os.path.join(self.path, rel), key0, metric_cols
+                )
+                return rel, bucket, rows, kmin, kmax, mc
 
             workers = min(16, max(4, len(staged)))
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 stats = list(pool.map(stat, staged))
 
         entries: list[DataFileEntry] = []
-        for rel, bucket, rows, kmin, kmax in stats:
+        counts: dict[tuple[int, str], int] = {}
+        for rel, bucket, rows, kmin, kmax, mc in stats:
             if rows == 0:
                 os.unlink(os.path.join(self.path, rel))
                 continue
+            for c, n in (mc or {}).items():
+                key = (bucket, c)
+                counts[key] = counts.get(key, 0) + n
             entries.append(
                 DataFileEntry(
                     path=rel, bucket=bucket, rows=rows, schema_id=schema_id,
@@ -419,6 +451,8 @@ class LakeTable:
                 )
             )
         shutil.rmtree(tmp, ignore_errors=True)
+        if metric_cols is not None:
+            return entries, counts
         return entries
 
     # ---------- convenience ops ----------
@@ -653,8 +687,12 @@ DISTRIBUTED_STATS_MIN = 64
 
 
 def _distributed_stats(
-    spark: SparkSession, table_path: str, staged: list[tuple[str, int]], key0: str
-) -> list[tuple[str, int, int, str | None, str | None]]:
+    spark: SparkSession,
+    table_path: str,
+    staged: list[tuple[str, int]],
+    key0: str,
+    metric_cols: list[str] | None = None,
+) -> list[tuple[str, int, int, str | None, str | None, dict | None]]:
     """Footer stats as a Spark job: each task reads its files' parquet footers
     with pyarrow on the executor. Requires the table path to be visible from
     executors (true for shared storage on a real cluster and for local mode)."""
@@ -664,8 +702,8 @@ def _distributed_stats(
         for pdf in batches:
             rows_out = []
             for rel, bucket in zip(pdf["rel"], pdf["bucket"]):
-                rows, kmin, kmax = _parquet_stats(
-                    os.path.join(table_path, rel), key0
+                rows, kmin, kmax, mc = _parquet_stats(
+                    os.path.join(table_path, rel), key0, metric_cols
                 )
                 # stats may be native int/float (numeric keys) — JSON-encode to
                 # cross the fixed-type Arrow boundary without stringifying them
@@ -673,22 +711,26 @@ def _distributed_stats(
                     rel, int(bucket), rows,
                     None if kmin is None else json.dumps(kmin),
                     None if kmax is None else json.dumps(kmax),
+                    None if mc is None else json.dumps(mc),
                 ))
             yield pd.DataFrame(
-                rows_out, columns=["rel", "bucket", "rows", "kmin", "kmax"]
+                rows_out,
+                columns=["rel", "bucket", "rows", "kmin", "kmax", "mc"],
             )
 
     sdf = spark.createDataFrame(staged, "rel string, bucket int").repartition(
         max(8, min(64, len(staged) // 8))
     )
     out = sdf.mapInPandas(
-        read_stats, schema="rel string, bucket int, rows long, kmin string, kmax string"
+        read_stats,
+        schema="rel string, bucket int, rows long, kmin string, kmax string, mc string",
     ).collect()
     return [
         (
             r["rel"], r["bucket"], int(r["rows"]),
             None if r["kmin"] is None else json.loads(r["kmin"]),
             None if r["kmax"] is None else json.loads(r["kmax"]),
+            None if r["mc"] is None else json.loads(r["mc"]),
         )
         for r in out
     ]
@@ -713,11 +755,12 @@ def _arrow_type(dt):
     raise TypeError(f"append_rows supports primitive columns only, got {dt}")
 
 
-def _parquet_stats(path: str, key_col: str):
+def _parquet_stats(path: str, key_col: str, metric_cols: list[str] | None = None):
     """Row count + min/max of the key column from the parquet footer (like
-    Iceberg manifest stats). Numeric stats keep their native type so numeric
-    keys can be range-pruned; byte stats decode to str; anything else is
-    stringified (and then only usable for string-typed keys)."""
+    Iceberg manifest stats), plus non-null counts of ``metric_cols`` when
+    requested. Numeric stats keep their native type so numeric keys can be
+    range-pruned; byte stats decode to str; anything else is stringified
+    (and then only usable for string-typed keys)."""
     md = pq.ParquetFile(path).metadata
     rows = md.num_rows
     kmin = kmax = None
@@ -729,8 +772,9 @@ def _parquet_stats(path: str, key_col: str):
             return v
         return str(v)
 
+    arrow_schema = md.schema.to_arrow_schema()
     try:
-        idx = md.schema.to_arrow_schema().get_field_index(key_col)
+        idx = arrow_schema.get_field_index(key_col)
     except Exception:
         idx = -1
     if idx >= 0:
@@ -742,4 +786,31 @@ def _parquet_stats(path: str, key_col: str):
             lo, hi = norm(st.min), norm(st.max)
             kmin = lo if kmin is None or lo < kmin else kmin
             kmax = hi if kmax is None or hi > kmax else kmax
-    return rows, kmin, kmax
+    if metric_cols is None:
+        return rows, kmin, kmax, None
+    # non-null count per indicator column from footer null_count — exact and
+    # already in the footer this function opened; a (rare) writer that omitted
+    # null_count falls back to reading just that column
+    mc: dict[str, int] = {}
+    for c in metric_cols:
+        try:
+            cidx = arrow_schema.get_field_index(c)
+        except Exception:
+            cidx = -1
+        if cidx < 0:
+            mc[c] = 0
+            continue
+        nn, ok = 0, True
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            st = rgm.column(cidx).statistics
+            if st is None or st.null_count is None:
+                ok = False
+                break
+            nn += rgm.num_rows - st.null_count
+        if ok:
+            mc[c] = nn
+        else:
+            tbl = pq.read_table(path, columns=[c])
+            mc[c] = len(tbl) - tbl.column(0).null_count
+    return rows, kmin, kmax, mc
