@@ -15,7 +15,7 @@ keeps real ArrayType columns internally.
 Non-SQL-expressible entries (hash-based sketches: MinHash/SimHash/xxhash
 fingerprints, hyperplane/IVF ANN, Arrow mapInPandas multimodal plumbing)
 intentionally omit oracles — the driver records the weaker rows-only check for
-those (6 of 44).
+those (6 of 50).
 """
 
 from __future__ import annotations
@@ -55,6 +55,12 @@ from concepts_pipeline_spark.operators.textstats import (
     STOPWORDS,
     lang_id,
     quality_features,
+)
+from concepts_pipeline_spark.operators.tokenops import (
+    ngram_decontaminate,
+    pack_sequences,
+    pack_token_stream,
+    token_vocab_topk,
 )
 from concepts_pipeline_spark.operators import textstats
 from pyspark.sql.types import (
@@ -708,6 +714,56 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-stream operators (sequence packing / decontamination / vocab)
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 512
+
+
+def _bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents tokenized with the BPE-ish lexical pattern: the token stream
+    the packing queries run over (tokens as strings so DuckDB can mirror)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.col("text"), F.lit(textstats.BPE_ISH_PATTERN), 0
+    )
+    return docs.select(
+        "doc_id", toks.alias("tokens"), F.size(toks).alias("n_tok")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing plan: global token offset + sequence span per
+    doc via the distributed prefix sum (no global single-partition window)."""
+    return pack_sequences(
+        _bpe_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN, num_partitions=8
+    )
+
+
+def q_pack_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed fixed-length training sequences themselves."""
+    out = pack_token_stream(
+        _bpe_docs(spark, sf_dir), seq_len=PACK_SEQ_LEN, num_partitions=8
+    )
+    return out.select("seq_id", _j("tokens"), "n_tok")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark 3-gram contamination: the deterministic doc_id % 13
+    split plays the held-out benchmark set."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 13 != 0)
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    return ngram_decontaminate(train, bench, "text", "doc_id", n=3)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary (count desc, token asc — total order)."""
+    docs = _t(spark, sf_dir, "documents")
+    return token_vocab_topk(docs, "text", "doc_id", k=50)
+
+
+# ---------------------------------------------------------------------------
 # Recursive JSON concept extraction (SURVEY §2.2 P4/P5/P6)
 # ---------------------------------------------------------------------------
 
@@ -1160,6 +1216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_recall": q_ann_recall,
+        "pack_sequences": q_pack_sequences,
+        "pack_token_stream": q_pack_token_stream,
+        "decontaminate": q_decontaminate,
+        "vocab_topk": q_vocab_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1188,6 +1248,21 @@ _WORDS_CTE = (
 )
 
 _QVEC_SQL = "[" + ", ".join(str(x) for x in QUERY_VEC) + "]"
+
+# BPE-ish lexical tokens (same pattern as textstats.BPE_ISH_PATTERN) — the
+# token stream the packing queries run over
+_BPE_TOKS_CTE = (
+    "t AS (SELECT doc_id, regexp_extract_all(text, "
+    "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS toks FROM documents)"
+)
+
+# word 3-gram shingles, mirroring operators.dedup.word_ngrams(n=3): distinct
+# full-window shingles when the doc has >= 3 words, else the whole-doc string
+_NGRAM3_EXPR = (
+    "CASE WHEN len(words) >= 3 THEN list_distinct(list_transform("
+    "range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' ')))"
+    " ELSE [array_to_string(words, ' ')] END"
+)
 
 # Gate-surface form of the final-state spec: token arrays serialized to their
 # canonical JSON string (byte-identical to Spark's F.to_json) so the driver's
@@ -1545,6 +1620,68 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 'lsh' AS method, 10 AS k, exact_ids,
                    0.6 AS recall_floor, TRUE AS recall_ge_floor FROM ej
+        """,
+        "pack_sequences": f"""
+            WITH {_BPE_TOKS_CTE},
+            c AS (SELECT doc_id, len(toks) AS n_tok FROM t WHERE len(toks) > 0),
+            s AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                    CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS tok_start
+                  FROM c)
+            SELECT doc_id, n_tok, tok_start,
+                   CAST(tok_start // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+                   CAST(tok_start % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset,
+                   CAST((tok_start + n_tok - 1) // {PACK_SEQ_LEN}
+                        - tok_start // {PACK_SEQ_LEN} + 1 AS BIGINT) AS seqs_spanned
+            FROM s
+        """,
+        "pack_token_stream": f"""
+            WITH {_BPE_TOKS_CTE},
+            g AS (SELECT flatten(list(toks ORDER BY doc_id)) AS allt FROM t),
+            s AS (SELECT unnest(range(0,
+                    CAST(ceil(len(allt) / {PACK_SEQ_LEN}.0) AS BIGINT))) AS seq_id,
+                  allt FROM g),
+            sl AS (SELECT seq_id,
+                     allt[CAST(seq_id * {PACK_SEQ_LEN} + 1 AS BIGINT)
+                          : CAST(least(len(allt), (seq_id + 1) * {PACK_SEQ_LEN})
+                                 AS BIGINT)] AS piece
+                   FROM s)
+            SELECT CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(to_json(piece) AS VARCHAR) AS tokens,
+                   CAST(len(piece) AS BIGINT) AS n_tok
+            FROM sl
+        """,
+        "decontaminate": f"""
+            WITH wd AS (SELECT doc_id, string_split_regex(trim(lower(
+                   regexp_replace(text, '[^\\w\\s]', ' ', 'g'))), '\\s+') AS words
+                 FROM documents),
+            tr AS (SELECT doc_id, unnest({_NGRAM3_EXPR}) AS shingle
+                   FROM wd WHERE doc_id % 13 <> 0),
+            be AS (SELECT doc_id AS bench_key, unnest({_NGRAM3_EXPR}) AS shingle
+                   FROM wd WHERE doc_id % 13 = 0),
+            j AS (SELECT tr.doc_id, tr.shingle, be.bench_key
+                  FROM tr LEFT JOIN be ON tr.shingle = be.shingle)
+            SELECT doc_id,
+                   CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles,
+                   CAST(count(DISTINCT CASE WHEN bench_key IS NOT NULL
+                        THEN shingle END) AS BIGINT) AS n_contaminated,
+                   CAST(count(DISTINCT bench_key) AS BIGINT) AS n_bench_docs,
+                   round(CAST(count(DISTINCT CASE WHEN bench_key IS NOT NULL
+                         THEN shingle END) AS DOUBLE)
+                         / count(DISTINCT shingle), 6) AS contamination_ratio,
+                   count(DISTINCT CASE WHEN bench_key IS NOT NULL
+                        THEN shingle END) > 0 AS contaminated
+            FROM j GROUP BY doc_id
+        """,
+        "vocab_topk": """
+            WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token FROM documents),
+            a AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                  FROM tok GROUP BY token)
+            SELECT token, n_occurrences, n_docs FROM a
+            ORDER BY n_occurrences DESC, token ASC LIMIT 50
         """,
         "text_quality": f"""
             WITH {_WORDS_CTE},

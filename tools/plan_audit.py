@@ -131,6 +131,21 @@ def main() -> None:
                          r"Join", must_match=False))
     sections.append(("IVF centroid assignment — map-only scan", p))
 
+    # 8. sequence packing: the distributed prefix sum must broadcast the
+    #    O(num_partitions) offset table (never shuffle the data against it),
+    #    reassembly must partial-aggregate before the seq_id exchange, and the
+    #    token arrays must not enter the offset subplan (pruned scan)
+    pk = entry.q_pack_token_stream(spark, SF)
+    p = explain_str(pk)
+    results.append(check("packing has NO cartesian/nested-loop join", p,
+                         r"(CartesianProduct|BroadcastNestedLoopJoin)",
+                         must_match=False))
+    results.append(check("packing broadcasts the per-partition offsets", p,
+                         r"BroadcastHashJoin"))
+    results.append(check("packing reassembly partial-aggregates before the seq_id exchange", p,
+                         r"ObjectHashAggregate[\s\S]*Exchange[\s\S]*ObjectHashAggregate"))
+    sections.append(("sequence packing — broadcast offsets + partial reassembly", p))
+
     with open("PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`python tools/plan_audit.py`)\n\n")
         fh.write("Asserted properties (see tool for the exact regexes):\n\n")
