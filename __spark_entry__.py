@@ -763,6 +763,47 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_vocab_topk(docs, "text", "doc_id", k=50)
 
 
+INGEST_FRAME_BYTES = 400
+
+
+def q_ingest_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 end-to-end at the gate: land a gzipped NDJSON feed (one JSON
+    document per line, written by Spark's text writer with gzip codec),
+    re-read it through the native gunzip + line framing path, and apply the
+    frame bound (operators/framing.bounded_frames — ref Scroll.scala:8-18).
+
+    Lines over the bound are rejected with a counted reason and identified
+    from the truncated head (the operator ships only a 256-byte head of an
+    oversized frame, exactly so logs can name the offender without shipping
+    it). Output: every feed line as (doc_id, frame_bytes, status)."""
+    from concepts_pipeline_spark.operators.framing import bounded_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    line = F.to_json(F.struct(F.col("doc_id"), F.col("source"), F.col("text")))
+    feed_dir = _scratch_dir("cps-ingest-") + "/feed"
+    docs.select(line.alias("value")).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).text(feed_dir)
+    lines = spark.read.text(feed_dir)
+    ok, overflow = bounded_frames(lines, max_bytes=INGEST_FRAME_BYTES)
+    parsed = ok.select(
+        F.from_json(
+            "value", "doc_id bigint, source string, text string"
+        ).alias("r"),
+        F.octet_length("value").alias("frame_bytes"),
+    ).select(
+        F.col("r.doc_id").alias("doc_id"),
+        "frame_bytes",
+        F.lit("ok").alias("status"),
+    )
+    over = overflow.select(
+        F.regexp_extract("head", r'"doc_id":(\d+)', 1).cast("bigint").alias("doc_id"),
+        F.col("frame_bytes").cast("int").alias("frame_bytes"),
+        F.col("reject_reason").alias("status"),
+    )
+    return parsed.unionByName(over)
+
+
 # ---------------------------------------------------------------------------
 # Recursive JSON concept extraction (SURVEY §2.2 P4/P5/P6)
 # ---------------------------------------------------------------------------
@@ -1216,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_recall": q_ann_recall,
+        "ingest_frames": q_ingest_frames,
         "pack_sequences": q_pack_sequences,
         "pack_token_stream": q_pack_token_stream,
         "decontaminate": q_decontaminate,
@@ -1620,6 +1662,17 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 'lsh' AS method, 10 AS k, exact_ids,
                    0.6 AS recall_floor, TRUE AS recall_ge_floor FROM ej
+        """,
+        "ingest_frames": f"""
+            WITH l AS (SELECT doc_id,
+                   CAST(strlen(CAST(to_json(struct_pack(
+                       doc_id := doc_id, source := source, text := text))
+                       AS VARCHAR)) AS INT) AS frame_bytes
+                 FROM documents)
+            SELECT doc_id, frame_bytes,
+                   CASE WHEN frame_bytes <= {INGEST_FRAME_BYTES} THEN 'ok'
+                        ELSE 'frame_overflow' END AS status
+            FROM l
         """,
         "pack_sequences": f"""
             WITH {_BPE_TOKS_CTE},
