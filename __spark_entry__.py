@@ -15,7 +15,7 @@ keeps real ArrayType columns internally.
 Non-SQL-expressible entries (hash-based sketches: MinHash/SimHash/xxhash
 fingerprints, hyperplane/IVF ANN, Arrow mapInPandas multimodal plumbing)
 intentionally omit oracles — the driver records the weaker rows-only check for
-those (6 of 50).
+those (6 of 51).
 """
 
 from __future__ import annotations
