@@ -15,7 +15,7 @@ keeps real ArrayType columns internally.
 Non-SQL-expressible entries (hash-based sketches: MinHash/SimHash/xxhash
 fingerprints, hyperplane/IVF ANN, Arrow mapInPandas multimodal plumbing)
 intentionally omit oracles — the driver records the weaker rows-only check for
-those (6 of 51).
+those (6 of 53).
 """
 
 from __future__ import annotations
@@ -288,6 +288,20 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = pipe.target.read(spark, version=2)
     live = snap.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
     return live.select("doc_id", _j("tokens"), "n_tok", "source")
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-style incremental read (lake/diff.py — the changed-rows surface the
+    reference lacks entirely: its TopicPublisher emits ids for the live batch
+    only, ref aggregator/.../TopicPublisher.scala:18-33): apply all four
+    batches, then ask AFTER THE FACT what changed between snapshot v2 and v4.
+    Must equal the declarative diff of the two prefix states. Only buckets
+    whose file set changed between the manifests are read on either side."""
+    from concepts_pipeline_spark.lake.diff import snapshot_diff
+
+    pipe = _replayed_pipe(spark, sf_dir, "sdiff")
+    d = snapshot_diff(spark, pipe.target, 2, 4)
+    return d.select("doc_id", "change_type", _j("tokens"), "n_tok", "source")
 
 
 def cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,6 +712,17 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return lang_id(docs, "text").select("doc_id", "detected_lang")
+
+
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 table A1, count-based
+    variant — see operators/textstats.repetition_features): top n-gram
+    fraction, duplicate n-gram fraction, word repetition ratio, composite flag."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_features(docs, "text", "doc_id").select(
+        "doc_id", "word_rep_ratio", "top_2gram_frac", "top_3gram_frac",
+        "dup_5gram_frac", "is_repetitive",
+    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1233,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_latest": cdc_lww_latest,
         "cdc_quarantine_counts": cdc_quarantine_counts,
         "cdc_time_travel": cdc_time_travel,
+        "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_replay_compacted": cdc_replay_compacted,
         "cdc_replay_rescaled": cdc_replay_rescaled,
         "cdc_point_lookup": cdc_point_lookup,
@@ -1263,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "vocab_topk": q_vocab_topk,
         "text_quality": q_text_quality,
+        "repetition_quality": q_repetition_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "media_features": q_media_features,
@@ -1356,6 +1383,37 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, action, 'cdcout:' || batch AS fence_token
             FROM classified
             WHERE action IN ('inserted', 'updated', 'deleted')
+        """,
+        # diff of the two prefix states (batches {{0,1}} vs all four): key in
+        # s2 only = insert, s1 only = delete, both-but-different = update;
+        # identical rows are absent. Payload = new side, old side for deletes.
+        "cdc_snapshot_diff": f"""
+            WITH {LOG_CTE_SQL},
+            tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
+            valid AS (SELECT * FROM tagged WHERE reject_reason IS NULL),
+            s1 AS (SELECT doc_id, tokens, n_tok, source FROM (
+                     SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY lsn DESC) AS rn
+                     FROM valid WHERE lsn % 4 <= 1)
+                   WHERE rn = 1 AND op <> 'D'),
+            s2 AS (SELECT doc_id, tokens, n_tok, source FROM (
+                     SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY lsn DESC) AS rn
+                     FROM valid)
+                   WHERE rn = 1 AND op <> 'D')
+            SELECT COALESCE(s2.doc_id, s1.doc_id) AS doc_id,
+                   CASE WHEN s1.doc_id IS NULL THEN 'insert'
+                        WHEN s2.doc_id IS NULL THEN 'delete'
+                        ELSE 'update' END AS change_type,
+                   CAST(to_json(COALESCE(s2.tokens, s1.tokens)) AS VARCHAR)
+                     AS tokens,
+                   COALESCE(s2.n_tok, s1.n_tok) AS n_tok,
+                   COALESCE(s2.source, s1.source) AS source
+            FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
+            WHERE s1.doc_id IS NULL OR s2.doc_id IS NULL
+               OR to_json(s1.tokens) IS DISTINCT FROM to_json(s2.tokens)
+               OR s1.n_tok IS DISTINCT FROM s2.n_tok
+               OR s1.source IS DISTINCT FROM s2.source
         """,
         "cdc_lineage_counts": f"""
             WITH {LOG_CTE_SQL},
@@ -1768,6 +1826,45 @@ def _oracle_sql_base() -> dict[str, str]:
                          - CASE WHEN n_words < 5 THEN 0.25 ELSE 0.0 END, 6)
                      AS quality_score
             FROM r
+        """,
+        # mirrors textstats.repetition_features: ALL positional n-grams (not
+        # distinct shingles), count-based fractions, flags over the ROUNDED
+        # values (Spark computes the flag after rounding the frac columns)
+        "repetition_quality": """
+            WITH wd AS (SELECT doc_id, string_split_regex(trim(lower(
+                   regexp_replace(text, '[^\\w\\s]', ' ', 'g'))), '\\s+') AS words
+                 FROM documents),
+            g AS (SELECT doc_id, ns.n AS n,
+                         unnest(list_transform(range(1, len(words) - ns.n + 2),
+                                i -> array_to_string(words[i:i+ns.n-1], ' ')))
+                           AS gram
+                  FROM wd, (VALUES (2), (3), (5)) AS ns(n)
+                  WHERE len(words) >= ns.n),
+            c AS (SELECT doc_id, n, gram, count(*) AS cnt
+                  FROM g GROUP BY doc_id, n, gram),
+            p AS (SELECT doc_id, n, max(cnt) AS top_cnt, sum(cnt) AS total,
+                         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+                  FROM c GROUP BY doc_id, n),
+            piv AS (SELECT doc_id,
+                      round(COALESCE(max(CASE WHEN n = 2
+                        THEN CAST(top_cnt AS DOUBLE) / total END), 0.0), 6) AS t2,
+                      round(COALESCE(max(CASE WHEN n = 3
+                        THEN CAST(top_cnt AS DOUBLE) / total END), 0.0), 6) AS t3,
+                      round(COALESCE(max(CASE WHEN n = 5
+                        THEN CAST(dup_cnt AS DOUBLE) / total END), 0.0), 6) AS d5
+                    FROM p GROUP BY doc_id),
+            wr AS (SELECT doc_id, CASE WHEN len(words) > 0
+                      THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                                 / len(words)
+                      ELSE 0.0 END AS wrr FROM wd)
+            SELECT wr.doc_id,
+                   round(wrr, 6) AS word_rep_ratio,
+                   COALESCE(t2, 0.0) AS top_2gram_frac,
+                   COALESCE(t3, 0.0) AS top_3gram_frac,
+                   COALESCE(d5, 0.0) AS dup_5gram_frac,
+                   (COALESCE(t2, 0.0) > 0.20 OR COALESCE(t3, 0.0) > 0.18
+                    OR COALESCE(d5, 0.0) > 0.15) AS is_repetitive
+            FROM wr LEFT JOIN piv ON wr.doc_id = piv.doc_id
         """,
         "lang_id": f"""
             WITH {_WORDS_CTE},

@@ -109,6 +109,7 @@ def bench_queries(spark):
         "concept_extraction": run_named("concept_extraction"),
         "skos_transform": run_named("skos_transform"),
         "text_quality": run_named("text_quality"),
+        "repetition_quality": run_named("repetition_quality"),
         "lang_id": run_named("lang_id"),
         "doc_fingerprint": run_named("doc_fingerprint"),
         "pack_token_stream": run_named("pack_token_stream"),
@@ -121,6 +122,7 @@ def bench_queries(spark):
         "record_concept_docs": run_named("record_concept_docs"),
         "lookup_join": run_named("lookup_join"),
         "merge_precedence": run_named("merge_precedence"),
+        "cdc_snapshot_diff": run_named("cdc_snapshot_diff"),
         "set_union_agg": run_named("set_union_agg"),
         "q1_pricing_summary": run_named("q1_pricing_summary"),
         "q3_top_revenue": run_named("q3_top_revenue"),

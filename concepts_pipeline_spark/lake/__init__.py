@@ -19,5 +19,8 @@ an Iceberg-style table format built from scratch:
 
 from .table import LakeTable, CommitConflict
 from .merge import merge_into, MergeStats
+from .diff import snapshot_diff
 
-__all__ = ["LakeTable", "CommitConflict", "merge_into", "MergeStats"]
+__all__ = [
+    "LakeTable", "CommitConflict", "merge_into", "MergeStats", "snapshot_diff",
+]

@@ -1,0 +1,135 @@
+"""Snapshot diff — CDF-style incremental read between two table snapshots.
+
+The reference has no changed-rows surface at all: downstream consumers re-read
+the whole ES index or listen to the live topic (ref: aggregator/.../
+TopicPublisher.scala:18-33 publishes ids only, and only for the batch that just
+ran). The lake layer can do strictly better: any two committed snapshots are
+immutable manifests, so "what changed between v_from and v_to" is answerable
+after the fact, exactly — the analogue of Delta's Change Data Feed / Iceberg's
+incremental read, derived from snapshots rather than logged at write time.
+
+Scale shape (the 100 TB question): the diff NEVER scans the whole table. A
+bucket whose file set (path list) is identical in both manifests cannot
+contain a changed row — data files are immutable and content-addressed by the
+commit that wrote them — so both sides read only the buckets whose file lists
+differ. Cost is O(changed buckets), not O(table); the single shuffle is the
+key-hash full-outer join of those buckets, which is exactly the data a
+downstream incremental consumer must receive anyway.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import HIDDEN_DELETED, HIDDEN_LSN
+from .schema import conform
+from .table import LakeTable, Manifest
+
+
+def _changed_buckets(m_from: Manifest, m_to: Manifest) -> set[int]:
+    """Buckets whose file set differs between the two manifests."""
+
+    def sig(m: Manifest) -> dict[int, tuple]:
+        by: dict[int, list[str]] = {}
+        for f in m.files:
+            by.setdefault(f.bucket, []).append(f.path)
+        return {b: tuple(sorted(ps)) for b, ps in by.items()}
+
+    a, b = sig(m_from), sig(m_to)
+    return {k for k in set(a) | set(b) if a.get(k) != b.get(k)}
+
+
+def _read_live(
+    spark: SparkSession, table: LakeTable, m: Manifest, buckets: set[int]
+) -> DataFrame:
+    """Resolved live rows (MoR-aware, tombstones dropped) for a bucket subset."""
+    from ..operators.lww import lww_latest
+
+    files = [f for f in m.files if f.bucket in buckets]
+    if not files:
+        return spark.createDataFrame([], m.schema)
+    delta_buckets = {f.bucket for f in files if f.kind == "delta"}
+    clean = [f for f in files if f.bucket not in delta_buckets]
+    dirty = [f for f in files if f.bucket in delta_buckets]
+    parts = []
+    if clean:
+        parts.append(table._read_files(spark, m, clean))
+    if dirty:
+        parts.append(
+            lww_latest(
+                table._read_files(spark, m, dirty),
+                m.key_cols,
+                lsn_col=HIDDEN_LSN,
+                op_col=None,
+            )
+        )
+    df = reduce(lambda x, y: x.unionByName(y), parts)
+    if HIDDEN_DELETED in df.columns:
+        df = df.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+    drop = [c for c in df.columns if c.startswith("_")]
+    return df.drop(*drop)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: LakeTable,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Classified row changes between two snapshots of a lake table.
+
+    Returns one row per key whose live value differs between the snapshots:
+    the key columns, ``change_type`` ('insert' | 'update' | 'delete'), and the
+    payload columns (to-side for insert/update, from-side for delete). Rows
+    identical in both snapshots never appear. The from-side is conformed to
+    the to-side schema first, so a diff across a schema-evolution commit
+    compares under the evolved schema (added columns read as NULL on the old
+    side — an added column value is an 'update' like any other).
+    """
+    from pyspark.sql.types import StructType
+
+    m_from = table.manifest(from_version)
+    m_to = table.manifest(to_version)
+    keys = m_to.key_cols
+    buckets = _changed_buckets(m_from, m_to)
+    # user-visible schema: the stored table schema minus hidden engine columns
+    # (_lsn / _deleted) — a diff is a statement about logical rows
+    visible = StructType(
+        [f for f in m_to.schema.fields if not f.name.startswith("_")]
+    )
+
+    old = conform(_read_live(spark, table, m_from, buckets), visible)
+    new = _read_live(spark, table, m_to, buckets)
+
+    payload = [c for c in visible.fieldNames() if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        F.struct(*payload).alias("__old"),
+    )
+    n = new.select(*keys, F.struct(*payload).alias("__new"))
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k) == F.col(f"__ok_{k}") for k in keys],
+    )
+    j = n.join(o, on=cond, how="full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update"))
+    )
+    winner = F.coalesce(F.col("__new"), F.col("__old"))
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(k), F.col(f"__ok_{k}")).alias(k)
+                for k in keys
+            ],
+            "change_type",
+            *[winner[c].alias(c) for c in payload],
+        )
+    )

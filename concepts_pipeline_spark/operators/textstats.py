@@ -108,6 +108,108 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("__words")
 
 
+def _positional_ngrams(words, n: int):
+    """ALL word n-grams in order (NOT distinct — frequency matters here, unlike
+    dedup.word_ngrams' shingle sets). Empty array when the doc is shorter than n."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    top_ns: tuple = (2, 3),
+    dup_ns: tuple = (5,),
+) -> DataFrame:
+    """Repetition-based quality features per document, after the published
+    Gopher/MassiveText repetition filters (Rae et al. 2021, table A1):
+
+    - ``word_rep_ratio``    1 − distinct_words/total_words (pure expression)
+    - ``top_{n}gram_frac``  occurrences of the most frequent word n-gram over
+                            total n-gram occurrences, for n in ``top_ns``
+    - ``dup_{n}gram_frac``  fraction of n-gram occurrences belonging to grams
+                            seen more than once, for n in ``dup_ns``
+    - ``is_repetitive``     composite flag at the Gopher-style thresholds
+                            (top-2 > 0.20, top-3 > 0.18, dup-5 > 0.15)
+
+    Fractions are occurrence-count based (the paper weights by characters; the
+    count variant keeps the whole computation in integer space and is the
+    documented spec here).
+
+    Scale shape: ONE explode over all requested n sizes tagged by n, then two
+    hash aggregations — (key, n, gram) counts and a per-(key, n) max/sum fold —
+    both with map-side partial aggregation; the per-doc pivot is a conditional
+    agg, not a join. No window over the exploded stream, no per-row Python.
+    Docs shorter than n contribute no rows for that n and coalesce to 0.0.
+    """
+    t = F.col(text_col)
+    base = df.select(F.col(key_col), t.alias("__text")).withColumn(
+        "__words", normalized_words(F.col("__text"))
+    )
+    words = F.col("__words")
+
+    def _tag(n: int):
+        # NB: must be a ONE-argument lambda — transform() treats a second
+        # lambda parameter as the element index, not a closure default
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(_positional_ngrams(words, n), _tag(n))
+                for n in (*top_ns, *dup_ns)
+            ]
+        )
+    )
+    ex = base.select(key_col, F.explode(tagged).alias("g")).select(
+        key_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    counts = ex.groupBy(key_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_n = counts.groupBy(key_col, "n").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("total"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_cnt"
+        ),
+    )
+    frac_cols = {}
+    for n in top_ns:
+        frac_cols[f"top_{n}gram_frac"] = F.max(
+            F.when(F.col("n") == n, F.col("top_cnt") / F.col("total"))
+        )
+    for n in dup_ns:
+        frac_cols[f"dup_{n}gram_frac"] = F.max(
+            F.when(F.col("n") == n, F.col("dup_cnt") / F.col("total"))
+        )
+    pivoted = per_n.groupBy(key_col).agg(
+        *[c.alias(name) for name, c in frac_cols.items()]
+    )
+
+    wr = F.when(
+        F.size(words) > 0,
+        1.0 - F.size(F.array_distinct(words)) / F.size(words),
+    ).otherwise(F.lit(0.0))
+    out = (
+        base.withColumn("word_rep_ratio", F.round(wr, 6))
+        .drop("__text", "__words")
+        .join(pivoted, on=key_col, how="left")
+    )
+    for name in frac_cols:
+        out = out.withColumn(name, F.round(F.coalesce(F.col(name), F.lit(0.0)), 6))
+    flag = F.lit(False)
+    if 2 in top_ns:
+        flag = flag | (F.col("top_2gram_frac") > 0.20)
+    if 3 in top_ns:
+        flag = flag | (F.col("top_3gram_frac") > 0.18)
+    if 5 in dup_ns:
+        flag = flag | (F.col("dup_5gram_frac") > 0.15)
+    return out.withColumn("is_repetitive", flag)
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling fingerprint: polynomial fold of word hashes mod 2^31-1.
 
