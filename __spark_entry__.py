@@ -15,7 +15,7 @@ keeps real ArrayType columns internally.
 Non-SQL-expressible entries (hash-based sketches: MinHash/SimHash/xxhash
 fingerprints, hyperplane/IVF ANN, Arrow mapInPandas multimodal plumbing)
 intentionally omit oracles — the driver records the weaker rows-only check for
-those (6 of 53).
+those (6 of 55).
 """
 
 from __future__ import annotations
@@ -725,6 +725,32 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test assignment (curation.hash_split):
+    a doc's split depends only on (salt, key) — stable under repartitioning,
+    corpus growth, and re-runs."""
+    from concepts_pipeline_spark.operators.curation import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+def q_cap_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget capping (curation.cap_tokens_per_source): keep the
+    hash-ordered prefix of each source within a fixed budget. The engine runs
+    the bucketed two-phase plan (whole cells kept join-free; ONE boundary cell
+    per source windows ≈1/65,536 of its rows); the oracle is the naive
+    full-corpus window — identical output, different physical plan."""
+    from concepts_pipeline_spark.operators.curation import cap_tokens_per_source
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = cap_tokens_per_source(
+        docs, source_col="source", token_col="n_chars", key_col="doc_id",
+        budget=4000,
+    )
+    return kept.select("doc_id", "source", "n_chars")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textstats.doc_fingerprint(docs, "text").select("doc_id", "fingerprint")
@@ -1290,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "text_quality": q_text_quality,
         "repetition_quality": q_repetition_quality,
+        "hash_split": q_hash_split,
+        "cap_tokens_per_source": q_cap_tokens_per_source,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "media_features": q_media_features,
@@ -1340,6 +1368,22 @@ FINAL_STATE_JSON_SQL = f"""
 SELECT doc_id, CAST(to_json(tokens) AS VARCHAR) AS tokens, n_tok, source
 FROM ({FINAL_STATE_SQL})
 """
+
+
+def _hash_split_case_sql(
+    splits: dict[str, float] | None = None, salt: str = "split-v1"
+) -> str:
+    """DuckDB CASE expression mirroring curation.hash_split, built from the
+    SAME split_thresholds() so engine and oracle can never drift."""
+    from concepts_pipeline_spark.operators.curation import split_thresholds
+
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    cell = f"substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 4)"
+    parts = []
+    ths = split_thresholds(splits)
+    for name, upper in ths[:-1]:
+        parts.append(f"WHEN {cell} < '{upper}' THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{ths[-1][0]}' END"
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -1865,6 +1909,24 @@ def _oracle_sql_base() -> dict[str, str]:
                    (COALESCE(t2, 0.0) > 0.20 OR COALESCE(t3, 0.0) > 0.18
                     OR COALESCE(d5, 0.0) > 0.15) AS is_repetitive
             FROM wr LEFT JOIN piv ON wr.doc_id = piv.doc_id
+        """,
+        # thresholds generated by the SAME split_thresholds() the operator
+        # uses; lexicographic compare of fixed-length lowercase hex == numeric
+        "hash_split": f"""
+            SELECT doc_id, {_hash_split_case_sql()} AS split FROM documents
+        """,
+        # the naive declarative spec: one window over the whole corpus ordered
+        # by (md5, key) per source; the engine's bucketed two-phase plan must
+        # produce the identical kept set
+        "cap_tokens_per_source": """
+            WITH h AS (SELECT doc_id, source, n_chars,
+                              md5('cap-v1' || CAST(doc_id AS VARCHAR)) AS hx
+                       FROM documents),
+            w AS (SELECT *, sum(n_chars) OVER (
+                     PARTITION BY source ORDER BY hx, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM h)
+            SELECT doc_id, source, n_chars FROM w WHERE cum <= 4000
         """,
         "lang_id": f"""
             WITH {_WORDS_CTE},

@@ -110,6 +110,8 @@ def bench_queries(spark):
         "skos_transform": run_named("skos_transform"),
         "text_quality": run_named("text_quality"),
         "repetition_quality": run_named("repetition_quality"),
+        "hash_split": run_named("hash_split"),
+        "cap_tokens_per_source": run_named("cap_tokens_per_source"),
         "lang_id": run_named("lang_id"),
         "doc_fingerprint": run_named("doc_fingerprint"),
         "pack_token_stream": run_named("pack_token_stream"),
@@ -174,7 +176,7 @@ def main():
         "cdc_events": n_events,
         "cdc_events_per_sec": round(n_events / timings["cdc_replay_1batch"], 1),
         "cdc_events_per_sec_4batch": round(n_events / timings["cdc_replay"], 1),
-        "notes": "see BASELINE.md Measured: 325k events/s (MoR, micro-batched 17.6M-event feed) at 8 pinned cores; N-to-4N scaling efficiency 0.912 with JVM CPU conserved — methodology there",
+        "notes": "see BASELINE.md Measured: 352k events/s (MoR, micro-batched 17.6M-event feed) at 8 pinned cores; N-to-4N scaling efficiency 0.861 with JVM CPU conserved — methodology there",
         "rows": rows,
     }
     print(json.dumps(out))

@@ -1,0 +1,98 @@
+"""Curation operators: deterministic hash split, per-source token capping."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from concepts_pipeline_spark.operators.curation import (
+    cap_tokens_per_source,
+    hash_split,
+    split_thresholds,
+)
+
+
+def test_split_assignment_is_stable_and_partition_invariant(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    # growth-stability: the first 1000 keys keep their assignment when the
+    # corpus doubles (split is a function of the key alone)
+    half = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            spark.range(1000).select(F.col("id").alias("doc_id")), "doc_id"
+        ).collect()
+    }
+    assert all(a[k] == v for k, v in half.items())
+    # proportions roughly honored
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] > 1900 and 0 < c["val"] < 60 and 0 < c["test"] < 60
+
+
+def test_split_salt_rerolls(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, salt="s1").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, salt="s2").collect()}
+    assert a != b
+
+
+def test_split_thresholds_validate():
+    with pytest.raises(ValueError):
+        split_thresholds({"train": 0.5, "val": 0.1})
+
+
+def test_cap_matches_naive_window_spec(spark):
+    """The bucketed two-phase implementation must equal the declarative
+    one-window-per-source spec exactly."""
+    docs = (
+        spark.range(3000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("source"),
+            (F.pmod(F.col("id") * 37 + 11, F.lit(90)) + 10).alias("n_tok"),
+        )
+    )
+    budget = 5000
+    got = {
+        r["doc_id"]
+        for r in cap_tokens_per_source(
+            docs, "source", "n_tok", "doc_id", budget=budget
+        ).collect()
+    }
+
+    from pyspark.sql.window import Window
+
+    hx = F.md5(F.concat(F.lit("cap-v1"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(hx, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["doc_id"]
+        for r in docs.withColumn("cum", F.sum("n_tok").over(w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    assert got == want
+    # every source's kept token total is within budget
+    kept = cap_tokens_per_source(docs, "source", "n_tok", "doc_id", budget=budget)
+    sums = kept.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    assert all(r["t"] <= budget for r in sums)
+
+
+def test_cap_budget_larger_than_source_keeps_everything(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("only").alias("source"),
+        F.lit(5).alias("n_tok"),
+    )
+    kept = cap_tokens_per_source(docs, "source", "n_tok", "doc_id", budget=10_000)
+    assert kept.count() == 100

@@ -146,6 +146,17 @@ def main() -> None:
                          r"ObjectHashAggregate[\s\S]*Exchange[\s\S]*ObjectHashAggregate"))
     sections.append(("sequence packing — broadcast offsets + partial reassembly", p))
 
+    # 9. repetition features: the n-gram stream must aggregate with map-side
+    #    partials (two hash aggregations, no Window over the exploded stream),
+    #    and the per-doc pivot is a conditional aggregate, not a join per n
+    rep = entry.q_repetition_quality(spark, SF)
+    p = explain_str(rep)
+    results.append(check("repetition has NO window over the n-gram stream", p,
+                         r"Window", must_match=False))
+    results.append(check("repetition gram counts partial-aggregate before the exchange", p,
+                         r"partial_count[\s\S]*Exchange"))
+    sections.append(("repetition features — partial-agg n-gram pipeline", p))
+
     with open("PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`python tools/plan_audit.py`)\n\n")
         fh.write("Asserted properties (see tool for the exact regexes):\n\n")
