@@ -752,8 +752,12 @@ def q_cap_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5 word-hash mode: same rolling fold as the xxhash64 fast path, but
+    # reproducible in DuckDB (md5 + hex parse) so the fold is oracle-gated.
     docs = _t(spark, sf_dir, "documents")
-    return textstats.doc_fingerprint(docs, "text").select("doc_id", "fingerprint")
+    return textstats.doc_fingerprint(docs, "text", hash_fn="md5").select(
+        "doc_id", "fingerprint"
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2067,7 +2071,27 @@ def _oracle_sql_base() -> dict[str, str]:
                      AS sum_value
             FROM events GROUP BY date_trunc('hour', ts), event_type
         """,
-        # minhash_lsh_pairs / simhash_near_pairs / doc_fingerprint / ann_lsh_topk /
+        # Rolling fingerprint (md5 word-hash mode): word array normalized
+        # exactly as Spark's normalized_words (lower → strip [^\w\s] → trim →
+        # split \s+; note Spark's split('', '\s+') = [''] and DuckDB's
+        # regexp_split_to_array matches that), per-word hash = first 15 hex
+        # chars of md5 parsed as int (both engines), fold = acc*1000003 + h
+        # mod 2^31-1 via list_reduce with a prepended 0 accumulator.
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '[^\w\s]', ' ', 'g')),
+                           '\s+'),
+                         w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+                              % 2147483647)),
+                     (acc, x) -> (acc * 1000003 + x) % 2147483647
+                   ) AS fingerprint
+            FROM documents
+        """,
+        # minhash_lsh_pairs / simhash_near_pairs / ann_lsh_topk /
         # media_features: xxhash64- or Python-hash-based — intentionally rows-only.
     }
 

@@ -210,18 +210,34 @@ def repetition_features(
     return out.withColumn("is_repetitive", flag)
 
 
-def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", hash_fn: str = "xxhash64"
+) -> DataFrame:
     """Order-sensitive rolling fingerprint: polynomial fold of word hashes mod 2^31-1.
 
     aggregate() runs JVM-side per row. The modulus keeps the fold inside 63 bits
     (acc < 2^31, acc*1000003 + hash < 2^52 — no ANSI overflow). Used for cheap
     content-identity across snapshots (cf. exact_dedup's md5 which is
-    order-and-content identity on the raw string)."""
+    order-and-content identity on the raw string).
+
+    ``hash_fn``: the per-word hash. ``'xxhash64'`` (default) is the fast
+    JVM-native path. ``'md5'`` takes the first 60 bits of md5(word) — slower,
+    but bit-for-bit reproducible in any engine with md5 + hex parsing, which is
+    what puts the fold logic behind the DuckDB oracle gate (the fold itself is
+    identical either way)."""
     words = normalized_words(F.col(text_col))
     p = F.lit(2147483647)  # 2^31 - 1
+    if hash_fn == "xxhash64":
+        word_hash = lambda w: F.pmod(F.xxhash64(w), p)  # noqa: E731
+    elif hash_fn == "md5":
+        word_hash = lambda w: F.pmod(  # noqa: E731
+            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"), p
+        )
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     fp = F.aggregate(
         words,
         F.lit(0).cast("long"),
-        lambda acc, w: F.pmod(acc * 1000003 + F.pmod(F.xxhash64(w), p), p),
+        lambda acc, w: F.pmod(acc * 1000003 + word_hash(w), p),
     )
     return df.withColumn("fingerprint", fp)

@@ -44,3 +44,49 @@ def test_short_docs_coalesce_to_zero(spark):
     # 3 words: two 2-grams, no 5-grams
     assert got[2]["top_2gram_frac"] == 0.5
     assert got[2]["dup_5gram_frac"] == 0.0
+
+
+def _py_fingerprint(text: str) -> int:
+    """Independent Python reference for doc_fingerprint(hash_fn='md5')."""
+    import hashlib
+    import re
+
+    p = 2147483647
+    norm = re.sub(r"[^\w\s]", " ", text.lower()).strip()
+    words = re.split(r"\s+", norm)  # NB: split('') == [''], matching Spark
+    acc = 0
+    for w in words:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % p
+        acc = (acc * 1000003 + h) % p
+    return acc
+
+
+def test_doc_fingerprint_md5_matches_python_reference(spark):
+    from concepts_pipeline_spark.operators.textstats import doc_fingerprint
+
+    rows = [
+        (1, "Hello, World! The quick brown fox."),
+        (2, "hello world the quick brown fox"),  # same words post-normalize as 1
+        (3, "fox brown quick the world hello"),  # same words, different ORDER
+        (4, ""),
+        (5, "punctuation---only!!! ###"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["fingerprint"]
+        for r in doc_fingerprint(df, "text", hash_fn="md5").collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == _py_fingerprint(text), (doc_id, text)
+    assert got[1] == got[2]     # normalization-invariant
+    assert got[1] != got[3]     # order-sensitive (unlike a set hash)
+
+
+def test_doc_fingerprint_rejects_unknown_hash(spark):
+    import pytest
+
+    from concepts_pipeline_spark.operators.textstats import doc_fingerprint
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        doc_fingerprint(df, "text", hash_fn="sha1")
