@@ -36,6 +36,7 @@ from concepts_pipeline_spark.cdc.derive import (
 from concepts_pipeline_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_perm_constants,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
@@ -603,15 +604,21 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5 hash mode: the permutation family and band buckets are md5-derived,
+    # so the DuckDB oracle replays the IDENTICAL LSH pipeline (same candidate
+    # set, same verified pairs) — not just the jaccard contract.
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "text", "doc_id", n=1, num_hashes=32, bands=8, threshold=0.8
+        docs, "text", "doc_id", n=1, num_hashes=32, bands=8, threshold=0.8,
+        hash_fn="md5",
     )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5 hash mode: per-word hash bits are md5-derived, so the DuckDB oracle
+    # recomputes the identical 64-bit fingerprints, chunk join, and hamming.
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=3, hash_fn="md5")
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,6 +1354,13 @@ _WORDS_CTE = (
     "regexp_replace(text, '[^\\w\\s]', ' ', 'g'))), '\\s+') AS words, text "
     "FROM documents)"
 )
+
+# MinHash md5-mode permutation constants — the SAME md5-derived (a_i, b_i) the
+# engine embeds in its Spark expressions, rendered as DuckDB list literals so
+# the oracle replays the identical permutation family.
+_MH_A, _MH_B = minhash_perm_constants(32)
+_MH_A_SQL = "[" + ", ".join(str(x) for x in _MH_A) + "]"
+_MH_B_SQL = "[" + ", ".join(str(x) for x in _MH_B) + "]"
 
 _QVEC_SQL = "[" + ", ".join(str(x) for x in QUERY_VEC) + "]"
 
@@ -2091,8 +2105,87 @@ def _oracle_sql_base() -> dict[str, str]:
                    ) AS fingerprint
             FROM documents
         """,
-        # minhash_lsh_pairs / simhash_near_pairs / ann_lsh_topk /
-        # media_features: xxhash64- or Python-hash-based — intentionally rows-only.
+        # Banded MinHash LSH (md5 hash mode): EXACT replay of the engine's
+        # pipeline — same base hash (first 60 bits of md5(shingle) mod 2^31-1),
+        # same md5-derived permutation constants (list literals above), same
+        # band buckets (md5 of the comma-joined 4-row signature slice), same
+        # exact-jaccard verify on candidates. Candidate sets are therefore
+        # identical by construction, with no probabilistic recall argument.
+        "minhash_lsh_pairs": f"""
+            WITH {_WORDS_CTE},
+            sh AS (SELECT doc_id AS key, unnest(list_distinct(words)) AS shingle
+                   FROM w),
+            hb AS (SELECT key, shingle,
+                          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                            % 2147483647 AS hb
+                   FROM sh),
+            sig AS (SELECT key, t.i,
+                           min((({_MH_A_SQL})[t.i + 1] * hb
+                                + ({_MH_B_SQL})[t.i + 1]) % 2147483647) AS h
+                    FROM hb CROSS JOIN (SELECT unnest(range(32)) AS i) t
+                    GROUP BY key, t.i),
+            bb AS (SELECT key, CAST(i // 4 AS INT) AS band,
+                          md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i))
+                            AS bucket
+                   FROM sig GROUP BY key, i // 4),
+            cand AS (SELECT DISTINCT x.key AS key_a, y.key AS key_b
+                     FROM bb x JOIN bb y
+                       ON x.band = y.band AND x.bucket = y.bucket
+                      AND x.key < y.key),
+            sizes AS (SELECT key, count(*) AS set_size FROM sh GROUP BY key),
+            inter AS (SELECT a.key AS key_a, b.key AS key_b, count(*) AS inter
+                      FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.key < b.key
+                      GROUP BY a.key, b.key)
+            SELECT c.key_a, c.key_b,
+                   round(CAST(i.inter AS DOUBLE)
+                         / (sa.set_size + sb.set_size - i.inter), 6) AS jaccard
+            FROM cand c
+            JOIN inter i ON i.key_a = c.key_a AND i.key_b = c.key_b
+            JOIN sizes sa ON sa.key = c.key_a
+            JOIN sizes sb ON sb.key = c.key_b
+            WHERE round(CAST(i.inter AS DOUBLE)
+                        / (sa.set_size + sb.set_size - i.inter), 6) >= 0.8
+        """,
+        # SimHash near-pairs (md5 hash mode): exact twin of the engine's
+        # pipeline — word bits 0-59 from the first 15 hex chars of md5(word),
+        # 60-63 from the 16th; sign-of-sum per bit; 64-bit pack (bit 63 is the
+        # sign bit: literal min-long, matching Spark's shiftleft(1,63) wrap);
+        # 4x16-bit pigeonhole chunk join; bit_count(xor) hamming filter.
+        "simhash_near_pairs": f"""
+            WITH {_WORDS_CTE},
+            wx AS (SELECT doc_id AS key, unnest(words) AS word FROM w),
+            wf AS (SELECT key, word,
+                          CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h60,
+                          CAST('0x' || substr(md5(word), 16, 1) AS BIGINT) AS h4
+                   FROM wx WHERE length(word) > 0),
+            bitsum AS (SELECT key, t.b,
+                              sum(CASE WHEN (CASE WHEN t.b < 60
+                                             THEN (h60 >> CAST(t.b AS INT)) & 1
+                                             ELSE (h4 >> CAST(t.b - 60 AS INT)) & 1
+                                             END) = 1
+                                       THEN 1 ELSE -1 END) AS s
+                       FROM wf CROSS JOIN (SELECT unnest(range(64)) AS b) t
+                       GROUP BY key, t.b),
+            fp AS (SELECT key,
+                          CAST(sum(CASE WHEN s > 0 THEN
+                                 CASE WHEN b = 63 THEN -9223372036854775808
+                                      ELSE (CAST(1 AS BIGINT) << CAST(b AS INT))
+                                 END ELSE 0 END) AS BIGINT) AS simhash
+                   FROM bitsum GROUP BY key),
+            chunks AS (SELECT key, simhash, CAST(t.c AS INT) AS chunk,
+                              (simhash >> CAST(t.c * 16 AS INT)) & 65535 AS val
+                       FROM fp CROSS JOIN (SELECT unnest(range(4)) AS c) t),
+            pairs AS (SELECT DISTINCT x.key AS key_a, y.key AS key_b,
+                             bit_count(xor(x.simhash, y.simhash)) AS hamming
+                      FROM chunks x JOIN chunks y
+                        ON x.chunk = y.chunk AND x.val = y.val
+                       AND x.key < y.key)
+            SELECT key_a, key_b, CAST(hamming AS INT) AS hamming
+            FROM pairs WHERE hamming <= 3
+        """,
+        # ann_lsh_topk / media_features:
+        # Python-hash-/stub-based — intentionally rows-only.
     }
 
 

@@ -28,6 +28,49 @@ def normalized_words(col) -> F.Column:
     return F.split(F.trim(F.lower(F.regexp_replace(col, r"[^\w\s]", " "))), r"\s+")
 
 
+_MINHASH_P = 2147483647  # 2^31 - 1, the permutation-family modulus
+
+
+def minhash_perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) for the universal-hash family
+    h_i(x) = (a_i * x + b_i) mod 2^31-1, derived from md5 so any engine can
+    re-derive them (no Python hash(), no RNG state). a_i is odd and < 2^29,
+    so a_i * x < 2^60 — no 63-bit overflow under ANSI mode."""
+    import hashlib
+
+    def _h7(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    a = [_h7(f"mh-a-{i}") * 2 + 1 for i in range(num_hashes)]
+    b = [_h7(f"mh-b-{i}") for i in range(num_hashes)]
+    return a, b
+
+
+def _md5_word_hash60(col) -> F.Column:
+    """First 60 bits of md5(col) as a non-negative long — the engine-portable
+    base hash shared by the md5 modes here and textstats.doc_fingerprint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _minhash_min_exprs(num_hashes: int, hash_fn: str) -> list:
+    """Per-permutation min-aggregate expressions over the 'shingle' column
+    (md5 mode additionally expects the precomputed '__hb' base-hash column)."""
+    if hash_fn == "xxhash64":
+        return [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    if hash_fn == "md5":
+        a, b = minhash_perm_constants(num_hashes)
+        return [
+            F.min(
+                F.pmod(F.lit(a[i]) * F.col("__hb") + F.lit(b[i]), F.lit(_MINHASH_P))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
+
+
 def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
     """One representative row per identical content: the minimum key per md5 digest.
 
@@ -92,17 +135,21 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, key_col: str, n: int = 3, num_hashes: int = 32
+    df: DataFrame, text_col: str, key_col: str, n: int = 3, num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per doc: min over shingles of xxhash64(seed_i, shingle).
+    """MinHash signature per doc: min over shingles of the i-th permutation hash.
 
     One shuffle (groupBy key); the signature is an array<long> of length num_hashes.
+    ``hash_fn='xxhash64'`` (default): h_i = xxhash64(i, shingle), the JVM fast
+    path. ``hash_fn='md5'``: h_i = (a_i * md5_60(shingle) + b_i) mod 2^31-1 with
+    md5-derived constants — slower, but bit-reproducible in any engine with md5,
+    which puts the whole LSH pipeline behind the DuckDB oracle gate.
     """
     sh = word_ngrams(df, text_col, key_col, n)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    mins = _minhash_min_exprs(num_hashes, hash_fn)
+    if hash_fn == "md5":
+        sh = sh.withColumn("__hb", F.pmod(_md5_word_hash60(F.col("shingle")), F.lit(_MINHASH_P)))
     agg = sh.groupBy("key").agg(*mins)
     return agg.select(
         "key", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
@@ -117,21 +164,28 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified with exact Jaccard.
 
     shingle → minhash → band buckets → equi-join on (band, bucket-hash) → exact
     verify. The band join is the only pairwise step and touches only colliding
     docs — this is the shape that survives 100 TB.
+
+    ``hash_fn='md5'`` swaps both the permutation hashes and the band-bucket
+    hash for md5-derived ones (see minhash_signatures) — every stage then has
+    an exact DuckDB twin, so the gate checks the LSH pipeline itself, not just
+    the verified-jaccard contract.
     """
     rows = num_hashes // bands
     sh = word_ngrams(df, text_col, key_col, n)
     # one shuffle produces BOTH the minhash signature and the exact shingle set —
     # the verify stage then never rebuilds the inverted index
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    mins = _minhash_min_exprs(num_hashes, hash_fn)
+    if hash_fn == "md5":
+        sh = sh.withColumn(
+            "__hb", F.pmod(_md5_word_hash60(F.col("shingle")), F.lit(_MINHASH_P))
+        )
     # ONE materialization of the expensive explode+aggregate: per_key feeds the
     # signature/band branch AND both sides of the exact verify — without the
     # persist the shingle aggregation would recompute up to 3× (the same reason
@@ -143,17 +197,21 @@ def minhash_lsh_pairs(
         "key",
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
     )
+    if hash_fn == "md5":
+        # md5 hex string bucket — identical expression exists in DuckDB
+        bucket_of = lambda b: F.md5(  # noqa: E731
+            F.concat_ws(",", F.slice("signature", b * rows + 1, rows))
+        )
+    else:
+        bucket_of = lambda b: F.xxhash64(  # noqa: E731
+            F.concat_ws(",", F.slice("signature", b * rows + 1, rows)), b
+        )
     band_entries = sig.select(
         "key",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("signature", b * rows + 1, rows)), b
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), bucket_of(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select("key", "bb.band", "bb.bucket")
@@ -198,19 +256,34 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, key_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, key_col: str, bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash fingerprint per doc (sign of per-bit weighted sums of word
     hashes). Pure column expressions: explode words → 64 conditional sums → pack.
+
+    ``hash_fn='md5'``: per-word bits come from md5 (bits 0-59 from the first 15
+    hex chars, 60-63 from the 16th) — engine-portable, so the full fingerprint
+    and band pipeline has an exact DuckDB twin at the oracle gate.
     """
     words = df.select(
         F.col(key_col).alias("key"),
         F.explode(normalized_words(F.col(text_col))).alias("word"),
     ).filter(F.length("word") > 0)
-    h = F.xxhash64("word")
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("word")
+        bit_of = lambda b: F.shiftright(h, b).bitwiseAND(F.lit(1))  # noqa: E731
+    elif hash_fn == "md5":
+        h60 = _md5_word_hash60(F.col("word"))
+        h4 = F.conv(F.substring(F.md5("word"), 16, 1), 16, 10).cast("long")
+        bit_of = lambda b: (  # noqa: E731
+            F.shiftright(h60, b) if b < 60 else F.shiftright(h4, b - 60)
+        ).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     sums = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.sum(F.when(bit_of(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(bits)
     ]
     agg = words.groupBy("key").agg(*sums)
@@ -223,12 +296,13 @@ def simhash(df: DataFrame, text_col: str, key_col: str, bits: int = 64) -> DataF
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str, key_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, key_col: str, max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-pairs: band the 64-bit simhash into 4×16-bit chunks; any pair
     within hamming distance 3 must agree on ≥1 chunk (pigeonhole) → equi-join per
     chunk, then exact hamming filter via bit_count(xor)."""
-    fp = simhash(df, text_col, key_col)
+    fp = simhash(df, text_col, key_col, hash_fn=hash_fn)
     chunks = fp.select(
         "key",
         "simhash",
