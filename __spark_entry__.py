@@ -388,6 +388,121 @@ def cdc_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD version history from the change log (operators/temporal.py):
+    one row per (key, contiguous payload span) with valid_from/valid_to LSNs
+    and is_current. The reference keeps only latest state (idempotent ES
+    upsert, common/.../BulkUpdateFlow.scala:32-60); the history table is the
+    auditable CDC-target shape the lake makes cheap. No-op upserts and
+    tombstones for absent keys open no version; a delete closes the current
+    version without opening one."""
+    from concepts_pipeline_spark.operators.temporal import scd2_history
+
+    log = derived_change_log(spark, sf_dir)
+    valid, _ = validate_events(log)
+    hist = scd2_history(valid, ["doc_id"], ["tokens", "n_tok", "source"])
+    return hist.select(
+        "doc_id", _j("tokens"), "n_tok", "source",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def cdc_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS-OF) enrichment (operators/temporal.py): for a probe
+    stream of (doc_id, probe_lsn) points, attach the state that was current AT
+    that LSN — the latest valid change ≤ probe_lsn per key, with a matched
+    tombstone meaning 'deleted as of then' (all state NULL). One shuffle,
+    union-and-carry formulation — no range-explosion join. Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    from concepts_pipeline_spark.operators.temporal import asof_join
+
+    log = derived_change_log(spark, sf_dir)
+    valid, _ = validate_events(log)
+    probe = log.filter(F.pmod(F.col("lsn"), F.lit(97)) == 0).select(
+        "doc_id", F.col("lsn").alias("probe_lsn")
+    )
+    out = asof_join(
+        probe, valid, ["doc_id"], "probe_lsn", "lsn",
+        ["tokens", "n_tok", "source"], op_col="op",
+    )
+    return out.select(
+        "doc_id", "probe_lsn", _j("tokens"), "n_tok", "source", "as_of_lsn"
+    )
+
+
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-source aggregate
+    (n_docs, total_tokens) maintained purely from each commit's CDF diff —
+    +post-image, −pre-image (snapshot_diff include_old), sum-accumulated into
+    an agg lake table via merge sum_cols — NEVER recomputed from the base
+    table. The gate holds the incrementally-maintained result equal to the
+    declarative full recompute over the final state: the exactness proof that
+    downstream consumers can ride the change feed instead of re-scanning 100
+    TB. (The reference's consumers re-read the whole index; its topic carries
+    ids only — aggregator/.../TopicPublisher.scala:18-33.)"""
+    from concepts_pipeline_spark.lake import LakeTable, merge_into
+    from concepts_pipeline_spark.lake.diff import snapshot_diff
+    from pyspark.sql.types import LongType
+
+    pipe = _replayed_pipe(spark, sf_dir, "iagg")
+    root = _scratch_dir("cps-iagg-")
+    schema = StructType(
+        [
+            StructField("source", StringType(), False),
+            StructField("n_docs", LongType(), True),
+            StructField("total_tokens", LongType(), True),
+        ]
+    )
+    agg = LakeTable.create(f"{root}/agg", schema, ["source"], num_buckets=4)
+    for v in range(1, 5):  # v0 = create, v1..v4 = one commit per batch
+        d = snapshot_diff(spark, pipe.target, v - 1, v, include_old=True)
+        plus = d.filter(F.col("change_type") != "delete").select(
+            "source",
+            F.lit(1).cast("long").alias("n_docs"),
+            F.col("n_tok").cast("long").alias("total_tokens"),
+        )
+        minus = d.filter(F.col("change_type") != "insert").select(
+            F.col("old_source").alias("source"),
+            F.lit(-1).cast("long").alias("n_docs"),
+            (-F.col("old_n_tok")).cast("long").alias("total_tokens"),
+        )
+        delta = (
+            plus.unionByName(minus)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("total_tokens").alias("total_tokens"),
+            )
+            .withColumn("op", F.lit("U"))
+        )
+        merge_into(
+            spark, agg, delta,
+            sum_cols=["n_docs", "total_tokens"],
+            fence_token=f"iagg:{v}",
+        )
+    # a source whose docs all net away keeps a zero row (sum-accumulate never
+    # deletes); the view surface is the live sources
+    return agg.read(spark).filter(F.col("n_docs") > 0).select(
+        "source", "n_docs", "total_tokens"
+    )
+
+
+def cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL completeness audit (operators/temporal.sequence_gap_audit): find
+    every missing LSN range in a lossy feed — here the change log with two
+    deterministic loss patterns (every 101st LSN, plus the contiguous
+    5000–5299 outage) — via the blocked two-level plan (per-block gaps
+    distributed, cross-block gaps over the tiny block summary), not a global
+    single-partition sort."""
+    from concepts_pipeline_spark.operators.temporal import sequence_gap_audit
+
+    log = derived_change_log(spark, sf_dir)
+    feed = log.filter(
+        (F.col("lsn") % 101 != 0) & ~F.col("lsn").between(5000, 5299)
+    )
+    return sequence_gap_audit(feed, "lsn", block_size=64)
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time sessionization with a 30-minute inactivity gap —
     F.session_window (SURVEY §2.8: absent in the reference, built-in here; the
@@ -1301,6 +1416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_changes_outbox": cdc_changes_outbox,
         "cdc_lineage_counts": cdc_lineage_counts,
+        "cdc_scd2_history": cdc_scd2_history,
+        "cdc_asof_enrich": cdc_asof_enrich,
+        "cdc_incremental_agg": cdc_incremental_agg,
+        "cdc_gap_audit": cdc_gap_audit,
         "anti_join_new_keys": q_anti_join,
         "anti_join_new_multi_keys": q_anti_join_multi,
         "lookup_join": q_lookup_join,
@@ -1515,6 +1634,76 @@ def _oracle_sql_base() -> dict[str, str]:
                    io.quarantined AS quarantined
             FROM io LEFT JOIN acts a ON a.batch = io.batch
                     LEFT JOIN stale_c s ON s.batch = io.batch
+        """,
+        # Type-2 SCD spec: per key ordered by LSN, drop no-op transitions
+        # (upsert equal to current state; tombstone for absent/deleted key),
+        # then each surviving non-delete event opens a version closed by the
+        # next surviving event. With full-replacement upserts, "current state"
+        # at any event equals the PREVIOUS RAW event's payload (a dropped
+        # no-op carries the same payload as the state it repeated), so lag()
+        # over raw valid events is the exact state comparison.
+        "cdc_scd2_history": f"""
+            WITH {LOG_CTE_SQL},
+            tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
+            valid AS (SELECT * FROM tagged WHERE reject_reason IS NULL),
+            seq AS (SELECT *,
+                lag(op) OVER w AS prev_op,
+                lag(tokens) OVER w AS prev_tokens,
+                lag(n_tok) OVER w AS prev_n_tok,
+                lag(source) OVER w AS prev_source
+              FROM valid
+              WINDOW w AS (PARTITION BY doc_id ORDER BY lsn)),
+            trans AS (SELECT * FROM seq WHERE NOT (
+                (op = 'D' AND (prev_op IS NULL OR prev_op = 'D'))
+                OR (op <> 'D' AND prev_op IS NOT NULL AND prev_op <> 'D'
+                    AND tokens IS NOT DISTINCT FROM prev_tokens
+                    AND n_tok IS NOT DISTINCT FROM prev_n_tok
+                    AND source IS NOT DISTINCT FROM prev_source))),
+            vers AS (SELECT *,
+                lead(lsn) OVER (PARTITION BY doc_id ORDER BY lsn) AS valid_to
+              FROM trans)
+            SELECT doc_id, CAST(to_json(tokens) AS VARCHAR) AS tokens,
+                   n_tok, source, lsn AS valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM vers WHERE op <> 'D'
+        """,
+        # AS-OF spec: DuckDB's native ASOF LEFT JOIN (latest state row with
+        # lsn <= probe_lsn per key, inclusive); a matched tombstone nulls the
+        # state — deleted-as-of-then looks like never-existed
+        "cdc_asof_enrich": f"""
+            WITH {LOG_CTE_SQL},
+            tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
+            valid AS (SELECT * FROM tagged WHERE reject_reason IS NULL),
+            probe AS (SELECT doc_id, lsn AS probe_lsn FROM log
+                      WHERE lsn % 97 = 0)
+            SELECT p.doc_id, p.probe_lsn,
+                   CASE WHEN s.op = 'D' THEN NULL
+                        ELSE CAST(to_json(s.tokens) AS VARCHAR) END AS tokens,
+                   CASE WHEN s.op = 'D' THEN NULL ELSE s.n_tok END AS n_tok,
+                   CASE WHEN s.op = 'D' THEN NULL ELSE s.source END AS source,
+                   CASE WHEN s.op = 'D' THEN NULL ELSE s.lsn END AS as_of_lsn
+            FROM probe p ASOF LEFT JOIN valid s
+              ON p.doc_id = s.doc_id AND p.probe_lsn >= s.lsn
+        """,
+        # the incremental-maintenance exactness bar: the engine maintains the
+        # aggregate from per-commit CDF deltas; the oracle RECOMPUTES it from
+        # the declarative final state — they must be equal
+        "cdc_incremental_agg": f"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens
+            FROM ({FINAL_STATE_SQL})
+            GROUP BY source
+        """,
+        "cdc_gap_audit": f"""
+            WITH {LOG_CTE_SQL},
+            feed AS (SELECT DISTINCT lsn FROM log
+                     WHERE lsn % 101 <> 0 AND lsn NOT BETWEEN 5000 AND 5299),
+            seqd AS (SELECT lsn, lag(lsn) OVER (ORDER BY lsn) AS prev
+                     FROM feed)
+            SELECT prev + 1 AS gap_start, lsn - 1 AS gap_end,
+                   lsn - prev - 1 AS missing
+            FROM seqd WHERE prev IS NOT NULL AND lsn > prev + 1
         """,
         "cdc_schema_evolution": f"""
             WITH {LOG_CTE_SQL},

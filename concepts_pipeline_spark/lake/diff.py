@@ -78,6 +78,7 @@ def snapshot_diff(
     table: LakeTable,
     from_version: int,
     to_version: int,
+    include_old: bool = False,
 ) -> DataFrame:
     """Classified row changes between two snapshots of a lake table.
 
@@ -88,6 +89,13 @@ def snapshot_diff(
     the to-side schema first, so a diff across a schema-evolution commit
     compares under the evolved schema (added columns read as NULL on the old
     side — an added column value is an 'update' like any other).
+
+    ``include_old=True`` additionally emits ``old_<c>`` pre-image columns
+    (the from-side payload; NULL for inserts) — Delta CDF's
+    update_preimage/update_postimage pair in one row. Pre-images are what
+    make downstream INCREMENTAL consumers exact: an aggregate maintained from
+    the diff applies +new and -old instead of recomputing (see
+    ``cdc_incremental_agg`` at the driver gate).
     """
     from pyspark.sql.types import StructType
 
@@ -121,6 +129,11 @@ def snapshot_diff(
         .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update"))
     )
     winner = F.coalesce(F.col("__new"), F.col("__old"))
+    old_cols = (
+        [F.col("__old")[c].alias(f"old_{c}") for c in payload]
+        if include_old
+        else []
+    )
     return (
         j.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
@@ -131,5 +144,6 @@ def snapshot_diff(
             ],
             "change_type",
             *[winner[c].alias(c) for c in payload],
+            *old_cols,
         )
     )
