@@ -12,10 +12,10 @@ driver's pandas canonicalizer requires hashable cells; Spark's ``to_json`` and
 DuckDB's ``CAST(to_json(..) AS VARCHAR)`` are byte-identical) — the engine
 keeps real ArrayType columns internally.
 
-Non-SQL-expressible entries (hash-based sketches: MinHash/SimHash/xxhash
-fingerprints, hyperplane/IVF ANN, Arrow mapInPandas multimodal plumbing)
-intentionally omit oracles — the driver records the weaker rows-only check for
-those (6 of 55).
+Non-SQL-expressible entries (hyperplane/IVF ANN top-k, Arrow mapInPandas
+multimodal plumbing) intentionally omit oracles — the driver records the
+weaker rows-only check for those (3 of 59; the ANN paths additionally get a
+bounded-correctness oracle via `ann_recall`).
 """
 
 from __future__ import annotations

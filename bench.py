@@ -125,6 +125,10 @@ def bench_queries(spark):
         "lookup_join": run_named("lookup_join"),
         "merge_precedence": run_named("merge_precedence"),
         "cdc_snapshot_diff": run_named("cdc_snapshot_diff"),
+        "cdc_scd2_history": run_named("cdc_scd2_history"),
+        "cdc_asof_enrich": run_named("cdc_asof_enrich"),
+        "cdc_incremental_agg": run_named("cdc_incremental_agg"),
+        "cdc_gap_audit": run_named("cdc_gap_audit"),
         "set_union_agg": run_named("set_union_agg"),
         "q1_pricing_summary": run_named("q1_pricing_summary"),
         "q3_top_revenue": run_named("q3_top_revenue"),
