@@ -200,9 +200,11 @@ def sequence_gap_audit(
     blocks, not rows.
     """
     seq = F.col(seq_col)
-    blk = F.floor(seq / F.lit(block_size)).alias("__blk")
+    # integer DIV, not floor(a/b): double division is only exact below 2^53
+    blk = F.expr(f"CAST(__seq DIV {int(block_size)} AS BIGINT)").alias("__blk")
     per_block = (
-        feed.select(seq.alias("__seq"), blk)
+        feed.select(seq.alias("__seq"))
+        .select("__seq", blk)
         .groupBy("__blk")
         .agg(
             F.array_sort(F.collect_set("__seq")).alias("__seqs"),
