@@ -388,7 +388,26 @@ class LakeTable:
         out = out.withColumn("__bucket", bucket_expr(m.key_cols, m.num_buckets))
         if repartition:
             out = out.repartition(m.num_buckets, "__bucket")
-        out.write.partitionBy("__bucket").mode("overwrite").parquet(f"file://{tmp}")
+        writer = out.write.partitionBy("__bucket").mode("overwrite")
+        # Opt-in parquet bloom filter on the key column (table property
+        # "bloom_ndv"): at 100 TB the per-file [min_key, max_key] range stats
+        # cannot prune point lookups on uniformly distributed keys (every file
+        # spans nearly the whole key domain), while a file-resident bloom lets
+        # the scan skip row groups that contain none of the probed keys —
+        # Iceberg's answer too (parquet bloom / puffin). The bloom lives in
+        # the parquet file (loaded lazily by the reader), NOT in the manifest,
+        # so commit metadata stays O(files). Sized by expected distinct keys
+        # per file; parquet-mr's default (1M NDV ≈ 1.2 MiB/file) is wasteful
+        # at small file sizes, hence the explicit property.
+        bloom_ndv = (m.properties or {}).get("bloom_ndv")
+        if bloom_ndv:
+            key0_ = m.key_cols[0]
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{key0_}", "true"
+            ).option(
+                f"parquet.bloom.filter.expected.ndv#{key0_}", str(int(bloom_ndv))
+            )
+        writer.parquet(f"file://{tmp}")
 
         key0 = m.key_cols[0]
         staged: list[tuple[str, int]] = []  # (relative path, bucket)

@@ -139,3 +139,36 @@ def test_rollback_rewinds_state_and_fences(spark, tmp_path):
 
     s = pipe.target.table_stats()
     assert s["rows"] >= 2 and s["num_buckets"] == 2 and s["snapshots"] >= 4
+
+
+def test_bloom_ndv_property_writes_parquet_blooms(spark, tmp_path):
+    """bloom_ndv table property threads parquet bloom filters onto the key
+    column of every staged file: same data, bloom files strictly larger
+    (the serialized bitset), reads and point lookups identical."""
+    import glob
+    import os
+
+    from concepts_pipeline_spark.lake.merge import merge_into, read_for_keys
+
+    rows = make_rows(spark, n=2000).withColumn("op", F.lit("U"))
+    sizes = {}
+    tables = {}
+    for name, props in (("plain", None), ("bloom", {"bloom_ndv": 4096})):
+        t = LakeTable.create(
+            str(tmp_path / name), TOKENS_SCHEMA, ["doc_id"],
+            num_buckets=4, properties=props,
+        )
+        merge_into(spark, t, rows, fence_token="b:0")
+        sizes[name] = sum(
+            os.path.getsize(p)
+            for p in glob.glob(str(tmp_path / name / "data" / "*.parquet"))
+        )
+        tables[name] = t
+    assert sizes["bloom"] > sizes["plain"]
+
+    a = tables["plain"].read(spark).orderBy("doc_id").collect()
+    b = tables["bloom"].read(spark).orderBy("doc_id").collect()
+    assert a == b
+    keys = ["doc00005", "doc01999", "nope"]
+    got = {r["doc_id"] for r in read_for_keys(spark, tables["bloom"], keys).collect()}
+    assert got == {"doc00005", "doc01999"}
