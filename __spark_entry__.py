@@ -431,59 +431,27 @@ def cdc_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental materialized-view maintenance: a per-source aggregate
-    (n_docs, total_tokens) maintained purely from each commit's CDF diff —
-    +post-image, −pre-image (snapshot_diff include_old), sum-accumulated into
-    an agg lake table via merge sum_cols — NEVER recomputed from the base
-    table. The gate holds the incrementally-maintained result equal to the
-    declarative full recompute over the final state: the exactness proof that
-    downstream consumers can ride the change feed instead of re-scanning 100
-    TB. (The reference's consumers re-read the whole index; its topic carries
-    ids only — aggregator/.../TopicPublisher.scala:18-33.)"""
-    from concepts_pipeline_spark.lake import LakeTable, merge_into
-    from concepts_pipeline_spark.lake.diff import snapshot_diff
-    from pyspark.sql.types import LongType
+    """Incremental materialized-view maintenance (lake/view.py
+    IncrementalAggView): a per-source aggregate (n_docs, total_tokens)
+    maintained purely from each commit's CDF diff — +post-image, −pre-image,
+    sum-accumulated by fenced merges, one per base version, resumable by
+    fence state — NEVER recomputed from the base table. The gate holds the
+    incrementally-maintained result equal to the declarative full recompute
+    over the final state: the exactness proof that downstream consumers can
+    ride the change feed instead of re-scanning 100 TB. (The reference's
+    consumers re-read the whole index; its topic carries ids only —
+    aggregator/.../TopicPublisher.scala:18-33.)"""
+    from concepts_pipeline_spark.lake.view import IncrementalAggView
 
     pipe = _replayed_pipe(spark, sf_dir, "iagg")
     root = _scratch_dir("cps-iagg-")
-    schema = StructType(
-        [
-            StructField("source", StringType(), False),
-            StructField("n_docs", LongType(), True),
-            StructField("total_tokens", LongType(), True),
-        ]
+    view = IncrementalAggView(
+        spark, pipe.target, f"{root}/agg",
+        group_cols=["source"], sum_cols={"total_tokens": "n_tok"},
     )
-    agg = LakeTable.create(f"{root}/agg", schema, ["source"], num_buckets=4)
-    for v in range(1, 5):  # v0 = create, v1..v4 = one commit per batch
-        d = snapshot_diff(spark, pipe.target, v - 1, v, include_old=True)
-        plus = d.filter(F.col("change_type") != "delete").select(
-            "source",
-            F.lit(1).cast("long").alias("n_docs"),
-            F.col("n_tok").cast("long").alias("total_tokens"),
-        )
-        minus = d.filter(F.col("change_type") != "insert").select(
-            F.col("old_source").alias("source"),
-            F.lit(-1).cast("long").alias("n_docs"),
-            (-F.col("old_n_tok")).cast("long").alias("total_tokens"),
-        )
-        delta = (
-            plus.unionByName(minus)
-            .groupBy("source")
-            .agg(
-                F.sum("n_docs").alias("n_docs"),
-                F.sum("total_tokens").alias("total_tokens"),
-            )
-            .withColumn("op", F.lit("U"))
-        )
-        merge_into(
-            spark, agg, delta,
-            sum_cols=["n_docs", "total_tokens"],
-            fence_token=f"iagg:{v}",
-        )
-    # a source whose docs all net away keeps a zero row (sum-accumulate never
-    # deletes); the view surface is the live sources
-    return agg.read(spark).filter(F.col("n_docs") > 0).select(
-        "source", "n_docs", "total_tokens"
+    view.refresh()
+    return view.read().select(
+        "source", F.col("n_rows").alias("n_docs"), "total_tokens"
     )
 
 
