@@ -50,11 +50,17 @@ def run_stream(
     on_batch: Callable[[int, DataFrame], None] | None = None,
     schema=None,
     feed_format: str = "parquet",
+    after_batch: Callable[[int, ApplyResult], None] | None = None,
 ) -> StreamHandle:
     """Tail a landed change-log directory and apply each micro-batch exactly once.
 
     ``on_batch`` is a test hook invoked *before* apply (e.g. to inject a crash).
     ``feed_format``: parquet (default), jsonl (NDJSON, .gz native), or csv.
+    ``after_batch(batch_id, result)`` runs after each apply — the cascade hook
+    for downstream maintenance (e.g. ``IncrementalAggView.refresh()``: the
+    view's own fences make the whole chain exactly-once even if the stream
+    dies between the apply and the hook — the next trigger's hook folds the
+    missed commits; tests/test_incremental_view.py streaming test).
     """
     from ..cdc.feed import read_change_feed
 
@@ -65,6 +71,8 @@ def run_stream(
             on_batch(batch_id, batch_df)
         res = pipe.apply_batch(batch_df, fence_token=f"{name}:{batch_id}")
         applied.append((batch_id, res))
+        if after_batch is not None:
+            after_batch(batch_id, res)
 
     reader = read_change_feed(
         spark,

@@ -106,3 +106,60 @@ def test_view_zero_rows_group_hidden(spark, tmp_path):
     view.refresh()
     assert as_map(view.read()) == {}
     assert view.table.read(spark).count() == 1  # zero row retained internally
+
+
+def test_streaming_cascade_view_survives_crash_between_apply_and_refresh(
+    spark, tmp_path
+):
+    """The cascade worst case: the stream dies AFTER a target commit but
+    BEFORE the downstream view folded it. On restart the view's fence cursor
+    folds the missed commits before new ones — the whole chain stays
+    exactly-once with no double counting."""
+    import pytest
+
+    from concepts_pipeline_spark.cdc import generate_change_log
+    from concepts_pipeline_spark.streaming import run_stream
+
+    log_dir = str(tmp_path / "log")
+    generate_change_log(
+        spark, num_events=1500, num_keys=120, seed=7, num_batches=4,
+        max_tokens=8, dup_pct=5, malformed_pct=3,
+    ).drop("batch_id").repartition(6).write.mode("overwrite").parquet(
+        f"file://{log_dir}"
+    )
+
+    pipe = _pipe(spark, tmp_path, name="t2",
+                 quarantine_path=str(tmp_path / "q2"))
+    view = _view(spark, pipe, tmp_path, name="v2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    class Crash(RuntimeError):
+        pass
+
+    state = {"n": 0}
+
+    def refresh_then_crash(batch_id, res):
+        state["n"] += 1
+        if state["n"] == 2:
+            raise Crash("died after apply, before view refresh")
+        view.refresh()
+
+    h1 = run_stream(
+        spark, pipe, log_dir, ckpt, name="cascade",
+        max_files_per_trigger=2, after_batch=refresh_then_crash,
+    )
+    with pytest.raises(Exception):
+        h1.query.awaitTermination()
+    assert view.applied_version() < pipe.target.current_version()  # view lags
+
+    pipe2 = _pipe(spark, tmp_path, name="t2",
+                  quarantine_path=str(tmp_path / "q2"))
+    view2 = _view(spark, pipe2, tmp_path, name="v2")
+    h2 = run_stream(
+        spark, pipe2, log_dir, ckpt, name="cascade",
+        max_files_per_trigger=2,
+        after_batch=lambda b, r: view2.refresh(),
+    )
+    h2.query.awaitTermination()
+    assert view2.applied_version() == pipe2.target.current_version()
+    assert as_map(view2.read()) == as_map(view2.recompute())
