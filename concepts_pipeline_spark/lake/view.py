@@ -16,14 +16,18 @@ inserts/updates, −pre-image for deletes/updates, sum-accumulated via the
 merge's ``sum_cols`` (no read-modify-write of the view by the caller).
 
 Maintenance commits on the base (compaction, bucket rescale) produce an empty
-logical diff — the refresh walks through them as no-ops. After a base
-ROLLBACK the fence history is ahead of the base's truth; call
-``full_refresh()`` to rebuild (documented limitation, mirroring the base
-table's own fence-rewind semantics).
+logical diff — the refresh walks through them as no-ops. A base ROLLBACK is
+forward-history (it commits a NEW version restoring the old state), so the
+view heals through it as an ordinary diff — no special case. For a view
+created late over a base with a long history, ``full_refresh()`` bootstraps
+in one recompute instead of walking every historical version, and sets the
+cursor to the base's current version.
 
 Delta-able aggregates only (count/sum — anything expressible as a group
 homomorphism over +row/−row). Min/max are NOT delta-able under deletes by
-design; use the recompute path for those.
+design; use the recompute path for those. Sums IGNORE NULLs and report 0 for
+a group with no non-null values (COUNT-like semantics on both the delta and
+recompute paths — a NULL-able sum cannot round-trip through ± deltas).
 
 Scale: each refresh step costs O(changed buckets of that commit) for the diff
 plus one merge into the (small) view table; a consumer that falls N commits
@@ -77,9 +81,12 @@ class IncrementalAggView:
         fields += [
             StructField(out, LongType(), True) for out in self.sum_cols
         ]
+        self._schema = StructType(fields)
+        self._num_buckets = num_buckets
+        self._path = view_path
         self.table = LakeTable.create(
             view_path,
-            StructType(fields),
+            self._schema,
             group_cols,
             num_buckets=num_buckets,
             if_not_exists=True,
@@ -100,11 +107,14 @@ class IncrementalAggView:
 
     def _delta(self, d: DataFrame) -> DataFrame:
         """±contribution rows from one commit's classified diff."""
+        zero = F.lit(0).cast("long")
         plus = d.filter(F.col("change_type") != "delete").select(
             *self.group_cols,
             F.lit(1).cast("long").alias("n_rows"),
             *[
-                F.col(src).cast("long").alias(out)
+                # NULL-ignoring sums: a NULL value contributes 0 (see module
+                # docstring — NULL sums cannot round-trip through ± deltas)
+                F.coalesce(F.col(src).cast("long"), zero).alias(out)
                 for out, src in self.sum_cols.items()
             ],
         )
@@ -112,7 +122,7 @@ class IncrementalAggView:
             *[F.col(f"old_{c}").alias(c) for c in self.group_cols],
             F.lit(-1).cast("long").alias("n_rows"),
             *[
-                (-F.col(f"old_{src}")).cast("long").alias(out)
+                (-F.coalesce(F.col(f"old_{src}").cast("long"), zero)).alias(out)
                 for out, src in self.sum_cols.items()
             ],
         )
@@ -135,16 +145,15 @@ class IncrementalAggView:
         )
         applied = 0
         for v in range(self.applied_version() + 1, target + 1):
-            fence = f"{FENCE_PREFIX}{v}"
-            if self.table.has_fence_token(fence):
-                continue
             d = snapshot_diff(self.spark, self.base, v - 1, v, include_old=True)
+            # merge_into's own fence check (atomic with its commit) makes a
+            # concurrent refresher's duplicate application a no-op
             merge_into(
                 self.spark,
                 self.table,
                 self._delta(d),
                 sum_cols=["n_rows", *self.sum_cols],
-                fence_token=fence,
+                fence_token=f"{FENCE_PREFIX}{v}",
             )
             applied += 1
         return applied
@@ -157,17 +166,40 @@ class IncrementalAggView:
         )
 
     def recompute(self, version: int | None = None) -> DataFrame:
-        """The declarative spec: full recompute over the base (for bootstrap
-        validation, post-rollback rebuilds, and tests)."""
-        from .merge import HIDDEN_DELETED
+        """The declarative spec: full recompute over the base's LIVE rows (for
+        bootstrap validation, post-rollback rebuilds, and tests). Uses the
+        MoR-resolving reader — a raw ``LakeTable.read`` would double-count
+        keys whose base row is shadowed by an uncompacted delta file."""
+        from .diff import _read_live
 
-        df = self.base.read(self.spark, version=version)
-        if HIDDEN_DELETED in df.columns:
-            df = df.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+        m = self.base.manifest(version)
+        buckets = {f.bucket for f in m.files}
+        df = _read_live(self.spark, self.base, m, buckets)
         return df.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[
-                F.sum(F.col(src).cast("long")).alias(out)
+                F.coalesce(
+                    F.sum(F.col(src).cast("long")), F.lit(0).cast("long")
+                ).alias(out)
                 for out, src in self.sum_cols.items()
             ],
         )
+
+    def full_refresh(self) -> None:
+        """Rebuild the view from the base in ONE recompute: bootstrap for a
+        view created late over a long base history (refresh() would walk every
+        historical version), or a recovery hammer. Recreates the view table
+        and sets the cursor to the base's current version in the same
+        commit."""
+        import shutil
+
+        snap = self.base.current_version()
+        rows = self.recompute(version=snap)
+        shutil.rmtree(self._path, ignore_errors=True)
+        self.table = LakeTable.create(
+            self._path,
+            self._schema,
+            self.group_cols,
+            num_buckets=self._num_buckets,
+        )
+        self.table.overwrite(rows, fence_token=f"{FENCE_PREFIX}{snap}")

@@ -81,9 +81,10 @@ def scd2_history(
         .filter(~F.col("__noop"))
         .drop("__noop")
     )
-    w2 = Window.partitionBy(*key_cols).orderBy(lsn_col)
+    # the lead pass reuses the SAME window spec — that identity is what lets
+    # Catalyst satisfy it with the first pass's Exchange (plan-asserted)
     versions = transitions.withColumn(
-        "valid_to", F.lead(F.col(lsn_col)).over(w2)
+        "valid_to", F.lead(F.col(lsn_col)).over(w)
     )
     return versions.filter(~(F.col(op_col) == tombstone)).select(
         *key_cols,
@@ -126,15 +127,33 @@ def asof_join(
     (same plan Flink's temporal join and Delta's MERGE-based SCD lookups
     lower to).
     """
-    seq_t = dict(state.dtypes)[state_seq_col]
+    # Promote BOTH sequence columns to a common wider type — narrowing the
+    # probe to the state's type would silently wrap out-of-range values and
+    # sort them into the wrong window position (wrong match, no error).
+    _rank = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+    s_t = dict(state.dtypes)[state_seq_col]
+    p_t = dict(probe.dtypes)[probe_seq_col]
+    if s_t == p_t:
+        seq_t = s_t
+    elif s_t in _rank and p_t in _rank:
+        int_part = {"tinyint", "smallint", "int", "bigint"}
+        if s_t in int_part and p_t in int_part:
+            seq_t = max(s_t, p_t, key=_rank.index)
+        else:
+            seq_t = "double"  # mixed int/float comparison domain
+    else:
+        raise ValueError(
+            f"asof_join sequence columns have incomparable types "
+            f"{p_t!r} (probe) vs {s_t!r} (state) — cast one side explicitly"
+        )
     st_fields = [F.col(c) for c in payload_cols] + [
-        F.col(state_seq_col).cast(seq_t).alias("__seq_val")
+        F.col(state_seq_col).alias("__seq_val")
     ]
     if op_col is not None:
         st_fields.append(F.col(op_col).alias("__op"))
     s = state.select(
         *key_cols,
-        F.col(state_seq_col).alias("__seq"),
+        F.col(state_seq_col).cast(seq_t).alias("__seq"),
         F.lit(0).alias("__side"),
         F.struct(*st_fields).alias("__st"),
     )
@@ -142,7 +161,7 @@ def asof_join(
     probe_rest = [c for c in probe.columns if c not in key_cols]
     p = probe.select(
         *key_cols,
-        F.col(probe_seq_col).cast(dict(s.dtypes)["__seq"]).alias("__seq"),
+        F.col(probe_seq_col).cast(seq_t).alias("__seq"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(st_type).alias("__st"),
         *probe_rest,

@@ -163,3 +163,94 @@ def test_streaming_cascade_view_survives_crash_between_apply_and_refresh(
     h2.query.awaitTermination()
     assert view2.applied_version() == pipe2.target.current_version()
     assert as_map(view2.read()) == as_map(view2.recompute())
+
+
+def test_view_matches_recompute_on_uncompacted_mor_base(spark, tmp_path):
+    """recompute() must MoR-resolve: overlapping keys across MoR batches leave
+    base rows shadowed by uncompacted delta files — a raw read would double
+    count them."""
+    pipe = _pipe(spark, tmp_path, name="tm", strategy="mor")
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 1, "I", [1], 1, "web"),
+            ("b", 2, "I", [1, 2], 2, "web"),
+        ]),
+        fence_token="m0",
+    )
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 10, "U", [9] * 5, 5, "web"),   # shadows base row for a
+            ("b", 11, "D", None, None, None),    # tombstone shadows b
+        ]),
+        fence_token="m1",
+    )
+    view = _view(spark, pipe, tmp_path, name="vm")
+    view.refresh()
+    got = as_map(view.read())
+    assert got == {"web": (1, 5)}           # a updated, b deleted
+    assert got == as_map(view.recompute())  # no compaction ran
+
+
+def test_view_heals_through_rollback_and_full_refresh_bootstraps(
+    spark, tmp_path
+):
+    pipe = _pipe(spark, tmp_path, name="tr")
+    pipe.apply_batch(
+        _batch(spark, [("a", 1, "I", [1], 1, "web")]), fence_token="r0"
+    )
+    pipe.apply_batch(
+        _batch(spark, [("b", 2, "I", [1, 2], 2, "book")]), fence_token="r1"
+    )
+    view = _view(spark, pipe, tmp_path, name="vr")
+    view.refresh()
+    assert as_map(view.read()) == {"web": (1, 1), "book": (1, 2)}
+
+    # rollback is forward-history: a NEW version restoring v1's state — the
+    # view heals through it as an ordinary incremental diff (b un-inserted)
+    pipe.target.rollback(1)
+    assert pipe.target.current_version() == 3
+    assert view.refresh() == 1
+    assert as_map(view.read()) == as_map(view.recompute()) == {"web": (1, 1)}
+
+    # full_refresh = one-shot bootstrap for a view created late over an
+    # existing history; incremental refresh continues from its cursor
+    late = IncrementalAggView(
+        spark, pipe.target, str(tmp_path / "vr-late"),
+        group_cols=["source"], sum_cols={"tok_sum": "n_tok"},
+    )
+    late.full_refresh()
+    assert late.applied_version() == pipe.target.current_version()
+    assert as_map(late.read()) == {"web": (1, 1)}
+    pipe.apply_batch(
+        _batch(spark, [("c", 9, "I", [3], 1, "web")]), fence_token="r2"
+    )
+    late.refresh()
+    assert as_map(late.read()) == as_map(late.recompute()) == {"web": (2, 2)}
+
+
+def test_view_null_sums_count_as_zero_both_paths(spark, tmp_path):
+    """A group whose summed column is entirely NULL reports 0 on BOTH the
+    delta and recompute paths (NULL sums cannot round-trip through ± deltas)."""
+    from concepts_pipeline_spark.lake import LakeTable
+    from concepts_pipeline_spark.lake.merge import merge_into
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("k", StringType(), False),
+        StructField("grp", StringType(), True),
+        StructField("x", IntegerType(), True),
+    ])
+    base = LakeTable.create(str(tmp_path / "nb"), schema, ["k"], num_buckets=2)
+    view = IncrementalAggView(
+        spark, base, str(tmp_path / "nv"), group_cols=["grp"],
+        sum_cols={"x_sum": "x"},
+    )
+    for i, fence in enumerate(["n0", "n1"]):
+        rows = spark.createDataFrame(
+            [(f"k{i}", "g", None)], schema
+        ).withColumn("op", F.lit("U"))
+        merge_into(spark, base, rows, fence_token=fence)
+    view.refresh()
+    inc = {r["grp"]: (r["n_rows"], r["x_sum"]) for r in view.read().collect()}
+    full = {r["grp"]: (r["n_rows"], r["x_sum"]) for r in view.recompute().collect()}
+    assert inc == full == {"g": (2, 0)}
