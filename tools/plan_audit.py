@@ -157,6 +157,34 @@ def main() -> None:
                          r"partial_count[\s\S]*Exchange"))
     sections.append(("repetition features — partial-agg n-gram pipeline", p))
 
+    # 10. temporal operators: one Exchange for scd2's two window passes; the
+    # as-of join is union-and-carry (no join node of any kind)
+    from concepts_pipeline_spark.cdc.apply import validate_events
+    from concepts_pipeline_spark.operators.temporal import asof_join, scd2_history
+
+    valid, _ = validate_events(log)
+    p = explain_str(
+        scd2_history(valid, ["doc_id"], ["tokens", "n_tok", "source"])
+    )
+    results.append(check(
+        "scd2 history: its two window passes share ONE Exchange", p,
+        r"Exchange hashpartitioning[\s\S]*Exchange hashpartitioning",
+        must_match=False,
+    ))
+    sections.append(("SCD2 history — two windows, one Exchange", p))
+
+    probe_pts = log.select("doc_id", F.col("lsn").alias("probe_lsn")).limit(100)
+    p = explain_str(asof_join(
+        probe_pts, valid, ["doc_id"], "probe_lsn", "lsn",
+        ["tokens", "n_tok", "source"], op_col="op",
+    ))
+    results.append(check(
+        "as-of join: union-and-carry, NO join node (no range explosion)", p,
+        r"(CartesianProduct|NestedLoop|SortMergeJoin|HashJoin)",
+        must_match=False,
+    ))
+    sections.append(("AS-OF join — union-and-carry, no join operator", p))
+
     with open("PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`python tools/plan_audit.py`)\n\n")
         fh.write("Asserted properties (see tool for the exact regexes):\n\n")
