@@ -245,6 +245,26 @@ def cmd_stats(args) -> dict:
     return LakeTable(args.table).table_stats(args.version)
 
 
+def cmd_view_refresh(args) -> dict:
+    from .lake import LakeTable
+    from .lake.view import IncrementalAggView
+
+    spark = _spark("cps-view-refresh")
+    sums = dict(kv.split("=", 1) for kv in (args.sum or []))
+    view = IncrementalAggView(
+        spark, LakeTable(args.base), args.view,
+        group_cols=args.group.split(","), sum_cols=sums,
+        num_buckets=args.buckets,
+    )
+    if args.full:
+        view.full_refresh()
+        applied = view.applied_version()
+        return {"mode": "full", "cursor": applied}
+    n = view.refresh()
+    return {"mode": "incremental", "versions_applied": n,
+            "cursor": view.applied_version()}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="concepts_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -315,6 +335,20 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--table", required=True)
     g.add_argument("--version", type=int, default=None)
     g.set_defaults(fn=cmd_stats)
+
+    g = sub.add_parser(
+        "view-refresh",
+        help="fold unapplied base commits into an incremental aggregate view",
+    )
+    g.add_argument("--base", required=True)
+    g.add_argument("--view", required=True)
+    g.add_argument("--group", required=True, help="comma-separated group columns")
+    g.add_argument("--sum", nargs="*", default=None,
+                   help="out_col=base_col sum specs")
+    g.add_argument("--buckets", type=int, default=4)
+    g.add_argument("--full", action="store_true",
+                   help="one-shot bootstrap recompute instead of walking history")
+    g.set_defaults(fn=cmd_view_refresh)
     return p
 
 

@@ -133,3 +133,31 @@ def test_cli_rollback_and_stats(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rolled_back_to"] == v1
     assert pipe.final_state().count() == 1
+
+
+def test_cli_view_refresh(spark, tmp_path, capsys):
+    feed = derived_change_log(spark, SF).withColumn(
+        "batch_id", F.pmod(F.col("lsn"), F.lit(2))
+    )
+    feed.write.parquet(f"file://{tmp_path}/vfeed")
+    target = str(tmp_path / "vtokens")
+    run(capsys, [
+        "replay", "--feed", f"file://{tmp_path}/vfeed", "--target", target,
+    ])
+    out = run(capsys, [
+        "view-refresh", "--base", target, "--view", str(tmp_path / "view"),
+        "--group", "source", "--sum", "tok_sum=n_tok",
+    ])
+    assert out["mode"] == "incremental" and out["versions_applied"] == 2
+    # idempotent second run
+    out = run(capsys, [
+        "view-refresh", "--base", target, "--view", str(tmp_path / "view"),
+        "--group", "source", "--sum", "tok_sum=n_tok",
+    ])
+    assert out["versions_applied"] == 0
+    # bootstrap path
+    out = run(capsys, [
+        "view-refresh", "--base", target, "--view", str(tmp_path / "view2"),
+        "--group", "source", "--sum", "tok_sum=n_tok", "--full",
+    ])
+    assert out["mode"] == "full" and out["cursor"] == 2
