@@ -455,6 +455,30 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_dml_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML on the CDC target (lake/mutate.py — DELETE WHERE +
+    UPDATE SET, absent from the reference, table-stakes for any Iceberg
+    user): replay the four batches, then DELETE every 'click'-source row and
+    UPDATE every 'signup' row (n_tok += 100, source tagged). Both mutations
+    are fenced merges stamped max(_lsn)+1, so they win LWW over everything
+    applied while staying ON the LSN total order. The oracle applies the same
+    two statements declaratively to the final-state spec."""
+    from concepts_pipeline_spark.lake.mutate import delete_where, update_where
+
+    pipe = _replayed_pipe(spark, sf_dir, "dml")
+    delete_where(
+        spark, pipe.target, F.col("source") == "click", fence_token="dml:del"
+    )
+    update_where(
+        spark,
+        pipe.target,
+        {"n_tok": F.col("n_tok") + 100, "source": F.concat(F.col("source"), F.lit("+t"))},
+        F.col("source") == "signup",
+        fence_token="dml:upd",
+    )
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
 def cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL completeness audit (operators/temporal.sequence_gap_audit): find
     every missing LSN range in a lossy feed — here the change log with two
@@ -1387,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": cdc_scd2_history,
         "cdc_asof_enrich": cdc_asof_enrich,
         "cdc_incremental_agg": cdc_incremental_agg,
+        "cdc_dml_mutations": cdc_dml_mutations,
         "cdc_gap_audit": cdc_gap_audit,
         "anti_join_new_keys": q_anti_join,
         "anti_join_new_multi_keys": q_anti_join_multi,
@@ -1662,6 +1687,16 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(n_tok) AS BIGINT) AS total_tokens
             FROM ({FINAL_STATE_SQL})
             GROUP BY source
+        """,
+        "cdc_dml_mutations": f"""
+            SELECT doc_id, tokens,
+                   CAST(n_tok + 100 AS INT) AS n_tok,
+                   source || '+t' AS source
+            FROM ({FINAL_STATE_JSON_SQL}) WHERE source = 'signup'
+            UNION ALL
+            SELECT doc_id, tokens, n_tok, source
+            FROM ({FINAL_STATE_JSON_SQL})
+            WHERE source <> 'signup' AND source <> 'click'
         """,
         "cdc_gap_audit": f"""
             WITH {LOG_CTE_SQL},

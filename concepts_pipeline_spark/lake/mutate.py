@@ -1,0 +1,133 @@
+"""Predicate DML on lake tables: DELETE WHERE / UPDATE SET ... WHERE.
+
+The reference has no predicate mutation at all (documents change only by
+keyed upsert; even deletes are skipped — ref: aggregator/.../
+WorkIdSource.scala:47-53); any Iceberg user expects ``DELETE FROM`` and
+``UPDATE`` as table operations. Both are expressed here as the SAME fenced
+MERGE the CDC path uses — a DML statement is just a self-sourced change
+batch:
+
+1. resolve the table's LIVE rows (MoR-aware) and filter by the predicate —
+   Catalyst pushes the predicate into the parquet scan;
+2. build a change batch from the matches (op='D', or op='U' with the SET
+   expressions applied);
+3. on a CDC table (hidden ``_lsn``), stamp the batch with max(_lsn)+1 so the
+   mutation wins last-writer-wins against everything already applied, and
+   loses — correctly — against any later-LSN change event that arrives
+   afterwards: DML is a point on the same total order, not a side channel;
+4. merge with the usual fence token (idempotent replays, atomic manifest
+   swap, lineage classification, outbox publication all come for free).
+
+Scale: the only full pass is the predicate scan (column-pruned, pushed
+down); the merge then rewrites ONLY the buckets holding matched keys. A
+predicate matching nothing commits an empty fenced batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import HIDDEN_LSN, MergeStats, merge_into
+from .table import LakeTable
+
+DML_LSN_COL = "__dml_lsn"
+
+
+def _live_rows(spark: SparkSession, table: LakeTable) -> DataFrame:
+    """Current logical rows (MoR-resolved, tombstones dropped, hidden cols
+    stripped) — what the predicate ranges over."""
+    from .diff import _read_live
+
+    m = table.manifest()
+    return _read_live(spark, table, m, {f.bucket for f in m.files})
+
+
+def _next_lsn(spark: SparkSession, table: LakeTable) -> int:
+    """One LSN past everything applied — a key-and-lsn-only column-pruned
+    aggregate (token payloads are never decoded)."""
+    r = table.read(spark).agg(F.max(HIDDEN_LSN).alias("m")).first()
+    return int(r["m"] or 0) + 1
+
+
+def _apply_dml(
+    spark: SparkSession,
+    table: LakeTable,
+    batch: DataFrame,
+    fence_token: str | None,
+    strategy: str,
+) -> MergeStats:
+    m = table.manifest()
+    has_lsn = any(f.name == HIDDEN_LSN for f in m.schema.fields)
+    if has_lsn:
+        batch = batch.withColumn(
+            DML_LSN_COL, F.lit(_next_lsn(spark, table)).cast("long")
+        )
+        return merge_into(
+            spark, table, batch,
+            lsn_col=DML_LSN_COL, fence_token=fence_token, strategy=strategy,
+        )
+    if strategy != "cow":
+        raise ValueError("merge-on-read DML requires a CDC table (hidden _lsn)")
+    return merge_into(spark, table, batch, fence_token=fence_token)
+
+
+def delete_where(
+    spark: SparkSession,
+    table: LakeTable,
+    predicate: Column | str,
+    fence_token: str | None = None,
+    strategy: str = "cow",
+) -> MergeStats:
+    """DELETE FROM table WHERE predicate — as a fenced tombstone merge."""
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    m = table.manifest()
+    visible = [f.name for f in m.schema.fields if not f.name.startswith("_")]
+    payload = [c for c in visible if c not in m.key_cols]
+    matched = _live_rows(spark, table).filter(predicate)
+    batch = matched.select(
+        *m.key_cols,
+        *[F.lit(None).cast(m.schema[c].dataType).alias(c) for c in payload],
+        F.lit("D").alias("op"),
+    )
+    return _apply_dml(spark, table, batch, fence_token, strategy)
+
+
+def update_where(
+    spark: SparkSession,
+    table: LakeTable,
+    set_exprs: dict[str, Column | str],
+    predicate: Column | str,
+    fence_token: str | None = None,
+    strategy: str = "cow",
+) -> MergeStats:
+    """UPDATE table SET col=expr, ... WHERE predicate — as a fenced merge.
+
+    ``set_exprs`` values may reference the row's current columns (e.g.
+    ``{"n_tok": F.col("n_tok") + 1}``). Key columns cannot be SET (that is a
+    delete + insert, two DML statements by design — same rule as Iceberg).
+    """
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    m = table.manifest()
+    bad = set(set_exprs) & set(m.key_cols)
+    if bad:
+        raise ValueError(f"cannot SET key column(s) {sorted(bad)}")
+    unknown = set(set_exprs) - {f.name for f in m.schema.fields}
+    if unknown:
+        raise ValueError(f"SET of unknown column(s) {sorted(unknown)}")
+    visible = [f.name for f in m.schema.fields if not f.name.startswith("_")]
+    exprs = {
+        c: (F.expr(e) if isinstance(e, str) else e)
+        for c, e in set_exprs.items()
+    }
+    matched = _live_rows(spark, table).filter(predicate)
+    batch = matched.select(
+        *[
+            (exprs[c].cast(m.schema[c].dataType) if c in exprs else F.col(c)).alias(c)
+            for c in visible
+        ],
+        F.lit("U").alias("op"),
+    )
+    return _apply_dml(spark, table, batch, fence_token, strategy)
