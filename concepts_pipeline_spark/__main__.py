@@ -250,6 +250,11 @@ def cmd_view_refresh(args) -> dict:
     from .lake.view import IncrementalAggView
 
     spark = _spark("cps-view-refresh")
+    bad = [kv for kv in (args.sum or []) if "=" not in kv]
+    if bad:
+        raise SystemExit(
+            f"--sum expects out_col=base_col specs, got: {' '.join(bad)}"
+        )
     sums = dict(kv.split("=", 1) for kv in (args.sum or []))
     view = IncrementalAggView(
         spark, LakeTable(args.base), args.view,

@@ -42,10 +42,13 @@ def _changed_buckets(m_from: Manifest, m_to: Manifest) -> set[int]:
     return {k for k in set(a) | set(b) if a.get(k) != b.get(k)}
 
 
-def _read_live(
+def read_live(
     spark: SparkSession, table: LakeTable, m: Manifest, buckets: set[int]
 ) -> DataFrame:
-    """Resolved live rows (MoR-aware, tombstones dropped) for a bucket subset."""
+    """Resolved live rows (MoR-aware, tombstones dropped, hidden columns
+    stripped) for a bucket subset of snapshot ``m`` — the shared "current
+    logical rows" reader used by snapshot_diff, predicate DML (lake/mutate),
+    and view recompute (lake/view)."""
     from ..operators.lww import lww_latest
 
     files = [f for f in m.files if f.bucket in buckets]
@@ -109,8 +112,8 @@ def snapshot_diff(
         [f for f in m_to.schema.fields if not f.name.startswith("_")]
     )
 
-    old = conform(_read_live(spark, table, m_from, buckets), visible)
-    new = _read_live(spark, table, m_to, buckets)
+    old = conform(read_live(spark, table, m_from, buckets), visible)
+    new = read_live(spark, table, m_to, buckets)
 
     payload = [c for c in visible.fieldNames() if c not in keys]
     o = old.select(
@@ -147,3 +150,7 @@ def snapshot_diff(
             *old_cols,
         )
     )
+
+
+# backwards-compat private alias (read_live became public API)
+_read_live = read_live

@@ -25,51 +25,75 @@ predicate matching nothing commits an empty fenced batch.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .merge import HIDDEN_LSN, MergeStats, merge_into
-from .table import LakeTable
+from .table import CommitConflict, LakeTable, Manifest
 
 DML_LSN_COL = "__dml_lsn"
 
 
-def _live_rows(spark: SparkSession, table: LakeTable) -> DataFrame:
-    """Current logical rows (MoR-resolved, tombstones dropped, hidden cols
-    stripped) — what the predicate ranges over."""
-    from .diff import _read_live
+def _live_rows(spark: SparkSession, table: LakeTable, m: Manifest) -> DataFrame:
+    """Logical rows of snapshot ``m`` (MoR-resolved, tombstones dropped,
+    hidden cols stripped) — what the predicate ranges over."""
+    from .diff import read_live
 
-    m = table.manifest()
-    return _read_live(spark, table, m, {f.bucket for f in m.files})
+    return read_live(spark, table, m, {f.bucket for f in m.files})
 
 
-def _next_lsn(spark: SparkSession, table: LakeTable) -> int:
-    """One LSN past everything applied — a key-and-lsn-only column-pruned
-    aggregate (token payloads are never decoded)."""
-    r = table.read(spark).agg(F.max(HIDDEN_LSN).alias("m")).first()
+def _next_lsn(spark: SparkSession, table: LakeTable, m: Manifest) -> int:
+    """One LSN past everything applied in snapshot ``m`` — a key-and-lsn-only
+    column-pruned aggregate (token payloads are never decoded)."""
+    r = (
+        table.read(spark, version=m.version)
+        .agg(F.max(HIDDEN_LSN).alias("m"))
+        .first()
+    )
     return int(r["m"] or 0) + 1
 
 
 def _apply_dml(
     spark: SparkSession,
     table: LakeTable,
-    batch: DataFrame,
+    build_batch: Callable[[Manifest], DataFrame],
     fence_token: str | None,
     strategy: str,
+    max_retries: int = 2,
 ) -> MergeStats:
-    m = table.manifest()
-    has_lsn = any(f.name == HIDDEN_LSN for f in m.schema.fields)
-    if has_lsn:
-        batch = batch.withColumn(
-            DML_LSN_COL, F.lit(_next_lsn(spark, table)).cast("long")
-        )
-        return merge_into(
-            spark, table, batch,
-            lsn_col=DML_LSN_COL, fence_token=fence_token, strategy=strategy,
-        )
-    if strategy != "cow":
-        raise ValueError("merge-on-read DML requires a CDC table (hidden _lsn)")
-    return merge_into(spark, table, batch, fence_token=fence_token)
+    """Snapshot → stamp → merge, with the WHOLE statement inside the
+    optimistic-concurrency retry: a losing writer recomputes its matched
+    rows, SET expressions, and LSN stamp against the winner's snapshot (a
+    retry that reused the old batch would carry a duplicate LSN and stale
+    pre-images — lost updates with no error). Every snapshot read (schema
+    guards, live rows, max-LSN) is pinned to ONE manifest per attempt."""
+    attempt = 0
+    while True:
+        m = table.manifest()
+        batch = build_batch(m)
+        has_lsn = any(f.name == HIDDEN_LSN for f in m.schema.fields)
+        kwargs: dict = {}
+        if has_lsn:
+            batch = batch.withColumn(
+                DML_LSN_COL, F.lit(_next_lsn(spark, table, m)).cast("long")
+            )
+            kwargs["lsn_col"] = DML_LSN_COL
+        elif strategy != "cow":
+            raise ValueError(
+                "merge-on-read DML requires a CDC table (hidden _lsn)"
+            )
+        try:
+            return merge_into(
+                spark, table, batch,
+                fence_token=fence_token, strategy=strategy,
+                max_retries=0, **kwargs,
+            )
+        except CommitConflict:
+            if attempt >= max_retries:
+                raise
+            attempt += 1
 
 
 def delete_where(
@@ -82,16 +106,23 @@ def delete_where(
     """DELETE FROM table WHERE predicate — as a fenced tombstone merge."""
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
-    m = table.manifest()
-    visible = [f.name for f in m.schema.fields if not f.name.startswith("_")]
-    payload = [c for c in visible if c not in m.key_cols]
-    matched = _live_rows(spark, table).filter(predicate)
-    batch = matched.select(
-        *m.key_cols,
-        *[F.lit(None).cast(m.schema[c].dataType).alias(c) for c in payload],
-        F.lit("D").alias("op"),
-    )
-    return _apply_dml(spark, table, batch, fence_token, strategy)
+
+    def build(m: Manifest) -> DataFrame:
+        visible = [
+            f.name for f in m.schema.fields if not f.name.startswith("_")
+        ]
+        payload = [c for c in visible if c not in m.key_cols]
+        matched = _live_rows(spark, table, m).filter(predicate)
+        return matched.select(
+            *m.key_cols,
+            *[
+                F.lit(None).cast(m.schema[c].dataType).alias(c)
+                for c in payload
+            ],
+            F.lit("D").alias("op"),
+        )
+
+    return _apply_dml(spark, table, build, fence_token, strategy)
 
 
 def update_where(
@@ -110,24 +141,37 @@ def update_where(
     """
     if isinstance(predicate, str):
         predicate = F.expr(predicate)
-    m = table.manifest()
-    bad = set(set_exprs) & set(m.key_cols)
-    if bad:
-        raise ValueError(f"cannot SET key column(s) {sorted(bad)}")
-    unknown = set(set_exprs) - {f.name for f in m.schema.fields}
-    if unknown:
-        raise ValueError(f"SET of unknown column(s) {sorted(unknown)}")
-    visible = [f.name for f in m.schema.fields if not f.name.startswith("_")]
     exprs = {
         c: (F.expr(e) if isinstance(e, str) else e)
         for c, e in set_exprs.items()
     }
-    matched = _live_rows(spark, table).filter(predicate)
-    batch = matched.select(
-        *[
-            (exprs[c].cast(m.schema[c].dataType) if c in exprs else F.col(c)).alias(c)
-            for c in visible
-        ],
-        F.lit("U").alias("op"),
-    )
-    return _apply_dml(spark, table, batch, fence_token, strategy)
+
+    def build(m: Manifest) -> DataFrame:
+        visible = [
+            f.name for f in m.schema.fields if not f.name.startswith("_")
+        ]
+        bad = set(exprs) & set(m.key_cols)
+        if bad:
+            raise ValueError(f"cannot SET key column(s) {sorted(bad)}")
+        # validate against VISIBLE columns: hidden engine columns (_lsn,
+        # _deleted) are in the schema but must not be silently droppable
+        # targets — engine state changes only through the engine
+        unknown = set(exprs) - set(visible)
+        if unknown:
+            raise ValueError(
+                f"SET of unknown or hidden column(s) {sorted(unknown)}"
+            )
+        matched = _live_rows(spark, table, m).filter(predicate)
+        return matched.select(
+            *[
+                (
+                    exprs[c].cast(m.schema[c].dataType)
+                    if c in exprs
+                    else F.col(c)
+                ).alias(c)
+                for c in visible
+            ],
+            F.lit("U").alias("op"),
+        )
+
+    return _apply_dml(spark, table, build, fence_token, strategy)

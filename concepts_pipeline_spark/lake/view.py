@@ -147,15 +147,16 @@ class IncrementalAggView:
         for v in range(self.applied_version() + 1, target + 1):
             d = snapshot_diff(self.spark, self.base, v - 1, v, include_old=True)
             # merge_into's own fence check (atomic with its commit) makes a
-            # concurrent refresher's duplicate application a no-op
-            merge_into(
+            # concurrent refresher's duplicate application a skipped no-op
+            stats = merge_into(
                 self.spark,
                 self.table,
                 self._delta(d),
                 sum_cols=["n_rows", *self.sum_cols],
                 fence_token=f"{FENCE_PREFIX}{v}",
             )
-            applied += 1
+            if not stats.skipped:
+                applied += 1
         return applied
 
     def read(self) -> DataFrame:
@@ -187,19 +188,17 @@ class IncrementalAggView:
 
     def full_refresh(self) -> None:
         """Rebuild the view from the base in ONE recompute: bootstrap for a
-        view created late over a long base history (refresh() would walk every
-        historical version), or a recovery hammer. Recreates the view table
-        and sets the cursor to the base's current version in the same
-        commit."""
-        import shutil
-
+        view created late over a long base history (refresh() would walk
+        every historical version), or a recovery hammer. Implemented as a
+        single atomic overwrite commit on the EXISTING view table (readers
+        never observe a missing or partial view; the table's snapshot history
+        is preserved) carrying fence ``ivm:<current base version>`` — which
+        becomes the new cursor, since the cursor is max over fences."""
         snap = self.base.current_version()
+        if self.applied_version() > snap:
+            raise RuntimeError(
+                f"view cursor {self.applied_version()} is ahead of base "
+                f"version {snap} — recreate the view at a fresh path"
+            )
         rows = self.recompute(version=snap)
-        shutil.rmtree(self._path, ignore_errors=True)
-        self.table = LakeTable.create(
-            self._path,
-            self._schema,
-            self.group_cols,
-            num_buckets=self._num_buckets,
-        )
         self.table.overwrite(rows, fence_token=f"{FENCE_PREFIX}{snap}")

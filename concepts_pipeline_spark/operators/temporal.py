@@ -130,21 +130,25 @@ def asof_join(
     # Promote BOTH sequence columns to a common wider type — narrowing the
     # probe to the state's type would silently wrap out-of-range values and
     # sort them into the wrong window position (wrong match, no error).
-    _rank = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+    # Mixed int/float is REFUSED rather than promoted to double: a double is
+    # exact only below 2^53, so bigint LSNs above that would collide and
+    # match a neighboring (even future) state — same hazard the gap audit's
+    # DIV comment documents. The caller must pick the comparison domain.
+    _int_rank = ["tinyint", "smallint", "int", "bigint"]
+    _flt_rank = ["float", "double"]
     s_t = dict(state.dtypes)[state_seq_col]
     p_t = dict(probe.dtypes)[probe_seq_col]
     if s_t == p_t:
         seq_t = s_t
-    elif s_t in _rank and p_t in _rank:
-        int_part = {"tinyint", "smallint", "int", "bigint"}
-        if s_t in int_part and p_t in int_part:
-            seq_t = max(s_t, p_t, key=_rank.index)
-        else:
-            seq_t = "double"  # mixed int/float comparison domain
+    elif s_t in _int_rank and p_t in _int_rank:
+        seq_t = max(s_t, p_t, key=_int_rank.index)
+    elif s_t in _flt_rank and p_t in _flt_rank:
+        seq_t = "double"
     else:
         raise ValueError(
             f"asof_join sequence columns have incomparable types "
-            f"{p_t!r} (probe) vs {s_t!r} (state) — cast one side explicitly"
+            f"{p_t!r} (probe) vs {s_t!r} (state) — cast one side explicitly "
+            "(mixed int/float is refused: double is exact only below 2^53)"
         )
     st_fields = [F.col(c) for c in payload_cols] + [
         F.col(state_seq_col).alias("__seq_val")

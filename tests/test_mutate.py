@@ -109,10 +109,21 @@ def test_dml_on_plain_table_and_guardrails(spark, tmp_path):
 
     with pytest.raises(ValueError, match="key column"):
         update_where(spark, t, {"k": F.lit("x")}, "v = 1")
-    with pytest.raises(ValueError, match="unknown column"):
+    with pytest.raises(ValueError, match="unknown or hidden"):
         update_where(spark, t, {"nope": F.lit(1)}, "v = 1")
     with pytest.raises(ValueError, match="merge-on-read DML"):
         delete_where(spark, t, "v = 1", strategy="mor")
+
+
+def test_dml_rejects_set_of_hidden_engine_columns(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, name="hid")
+    pipe.apply_batch(
+        _batch(spark, [("a", 1, "I", [1], 1, "web")]), fence_token="h0"
+    )
+    with pytest.raises(ValueError, match="unknown or hidden"):
+        update_where(
+            spark, pipe.target, {"_deleted": F.lit(True)}, "source = 'web'"
+        )
 
 
 def test_dml_empty_match_commits_fence_only(spark, tmp_path):
@@ -130,3 +141,41 @@ def test_dml_empty_match_commits_fence_only(spark, tmp_path):
         spark, pipe.target, F.col("source") == "nope", fence_token="e1"
     )
     assert stats2.skipped
+
+
+def test_dml_conflict_retry_recomputes_against_winner(
+    spark, tmp_path, monkeypatch
+):
+    """A DML statement that loses the commit race must RECOMPUTE its matched
+    rows, SET expressions, and LSN stamp against the winner's snapshot — a
+    retry reusing the stale batch would carry a duplicate LSN and stale
+    pre-images (lost update, no error)."""
+    import concepts_pipeline_spark.lake.mutate as mutate
+    from concepts_pipeline_spark.lake.table import CommitConflict
+
+    pipe = _pipe(spark, tmp_path, name="race")
+    pipe.apply_batch(
+        _batch(spark, [("a", 5, "I", [1], 1, "web")]), fence_token="r0"
+    )
+
+    real = mutate.merge_into
+    calls = {"n": 0}
+
+    def flaky(spark_, table, batch, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # another writer lands lsn 10 and wins the race before our commit
+            pipe.apply_batch(
+                _batch(spark, [("a", 10, "U", [5, 5], 2, "web")]),
+                fence_token="winner",
+            )
+            raise CommitConflict("simulated lost manifest swap")
+        return real(spark_, table, batch, **kw)
+
+    monkeypatch.setattr(mutate, "merge_into", flaky)
+    update_where(
+        spark, pipe.target, {"n_tok": F.col("n_tok") + 100},
+        "source = 'web'", fence_token="r1",
+    )
+    # recomputed against the winner: 2+100 stamped lsn 11 (not stale 1+100@6)
+    assert state(pipe, spark) == {"a": (102, "web")}
