@@ -865,6 +865,27 @@ def q_cap_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source", "n_chars")
 
 
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+MIX_TOTAL = 10_000
+
+
+def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture construction (curation.mix_sources): cap each
+    source at weight × total tokens via hash-ordered prefix sampling —
+    unlisted sources drop out, over-weighted sources cap, an under-filled
+    share contributes everything it has. Same bucketed two-phase plan as
+    cap_tokens_per_source; the oracle is the naive per-source window with a
+    CASE budget."""
+    from concepts_pipeline_spark.operators.curation import mix_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = mix_sources(
+        docs, MIX_WEIGHTS, MIX_TOTAL,
+        source_col="source", token_col="n_chars", key_col="doc_id",
+    )
+    return kept.select("doc_id", "source", "n_chars")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 word-hash mode: same rolling fold as the xxhash64 fast path, but
     # reproducible in DuckDB (md5 + hex parse) so the fold is oracle-gated.
@@ -1441,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_quality": q_repetition_quality,
         "hash_split": q_hash_split,
         "cap_tokens_per_source": q_cap_tokens_per_source,
+        "token_mixture": q_token_mixture,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "media_features": q_media_features,
@@ -2137,6 +2159,20 @@ def _oracle_sql_base() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING) AS cum
                   FROM h)
             SELECT doc_id, source, n_chars FROM w WHERE cum <= 4000
+        """,
+        "token_mixture": f"""
+            WITH h AS (SELECT doc_id, source, n_chars,
+                              md5('mix-v1' || CAST(doc_id AS VARCHAR)) AS hx
+                       FROM documents
+                       WHERE source IN ({", ".join(f"'{s}'" for s in MIX_WEIGHTS)})),
+            w AS (SELECT *, sum(n_chars) OVER (
+                     PARTITION BY source ORDER BY hx, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM h)
+            SELECT doc_id, source, n_chars FROM w
+            WHERE cum <= CASE source
+                {" ".join(f"WHEN '{s}' THEN {int(w_ * MIX_TOTAL)}" for s, w_ in MIX_WEIGHTS.items())}
+                END
         """,
         "lang_id": f"""
             WITH {_WORDS_CTE},

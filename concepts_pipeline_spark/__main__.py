@@ -245,6 +245,35 @@ def cmd_stats(args) -> dict:
     return LakeTable(args.table).table_stats(args.version)
 
 
+def cmd_diff(args) -> dict:
+    from pyspark.sql import functions as F
+
+    from .lake import LakeTable
+    from .lake.diff import snapshot_diff
+
+    spark = _spark("cps-diff")
+    t = LakeTable(args.table)
+    to_v = args.to_version if args.to_version is not None else t.current_version()
+    d = snapshot_diff(spark, t, args.from_version, to_v,
+                      include_old=args.pre_images)
+    if args.out:
+        d.write.mode("overwrite").parquet(f"file://{args.out}")
+        counts = {
+            r["change_type"]: r["n"]
+            for r in spark.read.parquet(f"file://{args.out}")
+            .groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    else:
+        counts = {
+            r["change_type"]: r["n"]
+            for r in d.groupBy("change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+    return {"from": args.from_version, "to": to_v, "changes": counts,
+            "out": args.out}
+
+
 def cmd_view_refresh(args) -> dict:
     from .lake import LakeTable
     from .lake.view import IncrementalAggView
@@ -340,6 +369,19 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--table", required=True)
     g.add_argument("--version", type=int, default=None)
     g.set_defaults(fn=cmd_stats)
+
+    g = sub.add_parser(
+        "diff",
+        help="CDF snapshot diff: classified changed rows between two versions",
+    )
+    g.add_argument("--table", required=True)
+    g.add_argument("--from-version", type=int, required=True)
+    g.add_argument("--to-version", type=int, default=None)
+    g.add_argument("--pre-images", action="store_true",
+                   help="include old_* pre-image columns")
+    g.add_argument("--out", default=None,
+                   help="write the diff rows as parquet here")
+    g.set_defaults(fn=cmd_diff)
 
     g = sub.add_parser(
         "view-refresh",

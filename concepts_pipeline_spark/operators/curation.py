@@ -68,12 +68,16 @@ def cap_tokens_per_source(
     source_col: str = "source",
     token_col: str = "n_tok",
     key_col: str = "doc_id",
-    budget: int = 100_000,
+    budget: int | dict[str, int] = 100_000,
     salt: str = "cap-v1",
 ) -> DataFrame:
     """Keep, per source, the hash-ordered prefix of documents whose cumulative
     token count stays within ``budget`` — the sampling step that downweights
     an over-represented source to a fixed token share of the mixture.
+
+    ``budget`` is either one uniform cap or a per-source dict (the mixture
+    form — see :func:`mix_sources`); a source absent from the dict has budget
+    0 and is dropped entirely.
 
     Semantics (the declarative spec): order each source's docs by
     (md5(salt‖key), key), keep a doc iff the running token sum INCLUDING it is
@@ -113,14 +117,15 @@ def cap_tokens_per_source(
     keep_whole: list[tuple[str, str]] = []  # (source, cell) fully within budget
     boundary: dict[str, tuple[str, int]] = {}  # source -> (cell, budget_left)
     for src, cells in by_source.items():
+        b = budget.get(src, 0) if isinstance(budget, dict) else budget
         cells.sort()
         run = 0
         for cx, toks in cells:
-            if run + toks <= budget:
+            if run + toks <= b:
                 keep_whole.append((src, cx))
                 run += toks
             else:
-                left = budget - run
+                left = b - run
                 if left > 0:
                     boundary[src] = (cx, left)
                 break
@@ -155,3 +160,38 @@ def cap_tokens_per_source(
         )
         kept = kept.unionByName(edge_kept)
     return kept
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    source_col: str = "source",
+    token_col: str = "n_tok",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Build a token mixture: cap each source at ``weight × total_tokens``
+    tokens — the pretraining mixture-weights knob (e.g. The Pile / LLaMA-style
+    source proportions) expressed as per-source hash-ordered prefix sampling.
+
+    Deterministic and reproducible (same corpus + weights + salt ⇒ same
+    mixture); sources not in ``weights`` are excluded. Fractions need not sum
+    to 1 — they are absolute shares of ``total_tokens``. A source with fewer
+    tokens than its share contributes everything it has (the caller can
+    detect under-filled shares by comparing the output's per-source sums to
+    the budgets). Scale shape identical to :func:`cap_tokens_per_source`
+    (whole cells join-free, one boundary-cell window per source).
+    """
+    bad = {s: w for s, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"negative mixture weights: {bad}")
+    budgets = {s: int(w * total_tokens) for s, w in weights.items()}
+    return cap_tokens_per_source(
+        df,
+        source_col=source_col,
+        token_col=token_col,
+        key_col=key_col,
+        budget=budgets,
+        salt=salt,
+    )

@@ -161,3 +161,22 @@ def test_cli_view_refresh(spark, tmp_path, capsys):
         "--group", "source", "--sum", "tok_sum=n_tok", "--full",
     ])
     assert out["mode"] == "full" and out["cursor"] == 2
+
+
+def test_cli_diff(spark, tmp_path, capsys):
+    feed = derived_change_log(spark, SF).withColumn(
+        "batch_id", F.pmod(F.col("lsn"), F.lit(2))
+    )
+    feed.write.parquet(f"file://{tmp_path}/dfeed")
+    target = str(tmp_path / "dtokens")
+    run(capsys, [
+        "replay", "--feed", f"file://{tmp_path}/dfeed", "--target", target,
+    ])
+    out = run(capsys, [
+        "diff", "--table", target, "--from-version", "1",
+        "--pre-images", "--out", str(tmp_path / "dout"),
+    ])
+    assert out["from"] == 1 and out["to"] == 2
+    assert sum(out["changes"].values()) > 0
+    cols = spark.read.parquet(f"file://{tmp_path}/dout").columns
+    assert "change_type" in cols and "old_tokens" in cols

@@ -96,3 +96,29 @@ def test_cap_budget_larger_than_source_keeps_everything(spark):
     )
     kept = cap_tokens_per_source(docs, "source", "n_tok", "doc_id", budget=10_000)
     assert kept.count() == 100
+
+
+def test_mix_sources_budgets_and_exclusion(spark):
+    from concepts_pipeline_spark.operators.curation import mix_sources
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    weights = {"src0": 0.6, "src1": 0.2}
+    kept = mix_sources(docs, weights, 1000, token_col="n_chars")
+    rows = kept.groupBy("source").agg(
+        F.sum("n_chars").alias("toks")
+    ).collect()
+    got = {r["source"]: r["toks"] for r in rows}
+    assert set(got) <= {"src0", "src1"}          # unlisted sources excluded
+    if "src0" in got:
+        assert got["src0"] <= 600
+    if "src1" in got:
+        assert got["src1"] <= 200
+    # deterministic: same inputs, same mixture
+    again = mix_sources(docs, weights, 1000, token_col="n_chars")
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="negative"):
+        mix_sources(docs, {"src0": -0.1}, 100)
