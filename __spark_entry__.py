@@ -867,6 +867,11 @@ def q_cap_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 MIX_TOTAL = 10_000
+# the SAME budget computation the engine uses (curation.mixture_budgets), so
+# engine and oracle can never drift on rounding
+from concepts_pipeline_spark.operators.curation import mixture_budgets as _mb  # noqa: E402
+
+_MIX_BUDGETS = _mb(MIX_WEIGHTS, MIX_TOTAL)
 
 
 def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2171,7 +2176,7 @@ def _oracle_sql_base() -> dict[str, str]:
                   FROM h)
             SELECT doc_id, source, n_chars FROM w
             WHERE cum <= CASE source
-                {" ".join(f"WHEN '{s}' THEN {int(w_ * MIX_TOTAL)}" for s, w_ in MIX_WEIGHTS.items())}
+                {" ".join(f"WHEN '{s}' THEN {b}" for s, b in _MIX_BUDGETS.items())}
                 END
         """,
         "lang_id": f"""

@@ -112,6 +112,7 @@ def bench_queries(spark):
         "repetition_quality": run_named("repetition_quality"),
         "hash_split": run_named("hash_split"),
         "cap_tokens_per_source": run_named("cap_tokens_per_source"),
+        "token_mixture": run_named("token_mixture"),
         "lang_id": run_named("lang_id"),
         "doc_fingerprint": run_named("doc_fingerprint"),
         "pack_token_stream": run_named("pack_token_stream"),

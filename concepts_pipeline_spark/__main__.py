@@ -257,10 +257,12 @@ def cmd_diff(args) -> dict:
     d = snapshot_diff(spark, t, args.from_version, to_v,
                       include_old=args.pre_images)
     if args.out:
-        d.write.mode("overwrite").parquet(f"file://{args.out}")
+        # args.out is a plain Spark path (same convention as record --out):
+        # no scheme prefixing, so URIs and relative paths both work
+        d.write.mode("overwrite").parquet(args.out)
         counts = {
             r["change_type"]: r["n"]
-            for r in spark.read.parquet(f"file://{args.out}")
+            for r in spark.read.parquet(args.out)
             .groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
         }
     else:

@@ -125,8 +125,11 @@ def cap_tokens_per_source(
                 keep_whole.append((src, cx))
                 run += toks
             else:
+                # left == 0 still needs the boundary window: the spec keeps
+                # zero-token docs whose running sum EQUALS the budget (cum <=
+                # budget), and a mixed cell's leading zeros qualify
                 left = b - run
-                if left > 0:
+                if left >= 0:
                     boundary[src] = (cx, left)
                 break
 
@@ -162,6 +165,17 @@ def cap_tokens_per_source(
     return kept
 
 
+def mixture_budgets(weights: dict[str, float], total_tokens: int) -> dict[str, int]:
+    """Per-source token budgets for :func:`mix_sources` — round(), not int():
+    float truncation would silently under-cap by one token for weights whose
+    product is not exactly representable (0.57 × 100 → 56). Shared with the
+    driver oracle so both sides compute identical budgets."""
+    bad = {s: w for s, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"negative mixture weights: {bad}")
+    return {s: int(round(w * total_tokens)) for s, w in weights.items()}
+
+
 def mix_sources(
     df: DataFrame,
     weights: dict[str, float],
@@ -183,10 +197,7 @@ def mix_sources(
     the budgets). Scale shape identical to :func:`cap_tokens_per_source`
     (whole cells join-free, one boundary-cell window per source).
     """
-    bad = {s: w for s, w in weights.items() if w < 0}
-    if bad:
-        raise ValueError(f"negative mixture weights: {bad}")
-    budgets = {s: int(w * total_tokens) for s, w in weights.items()}
+    budgets = mixture_budgets(weights, total_tokens)
     return cap_tokens_per_source(
         df,
         source_col=source_col,

@@ -178,5 +178,5 @@ def test_cli_diff(spark, tmp_path, capsys):
     ])
     assert out["from"] == 1 and out["to"] == 2
     assert sum(out["changes"].values()) > 0
-    cols = spark.read.parquet(f"file://{tmp_path}/dout").columns
+    cols = spark.read.parquet(str(tmp_path / "dout")).columns
     assert "change_type" in cols and "old_tokens" in cols
