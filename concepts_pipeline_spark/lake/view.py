@@ -134,17 +134,42 @@ class IncrementalAggView:
             .withColumn("op", F.lit("U"))
         )
 
-    def refresh(self, up_to_version: int | None = None) -> int:
+    def refresh(
+        self, up_to_version: int | None = None, coalesce: bool = False
+    ) -> int:
         """Fold every unapplied base commit into the view, one fenced merge per
         version (resumable: a crash mid-refresh loses nothing; re-running skips
-        already-fenced versions). Returns the number of versions applied."""
+        already-fenced versions). Returns the number of versions applied.
+
+        ``coalesce=True`` folds the whole unapplied span as ONE diff + ONE
+        fenced merge: per-commit deltas telescope exactly (the diff of v_a→v_c
+        equals the sum of the per-version diffs — intermediate states cancel),
+        so a consumer that fell 1000 versions behind pays one diff over the
+        span's changed buckets instead of 1000 diffs. Trade: coarser resume
+        granularity (a crash mid-span redoes the span; exactly-once still
+        holds via the span-end fence)."""
         target = (
             self.base.current_version()
             if up_to_version is None
             else up_to_version
         )
+        start = self.applied_version()
+        if coalesce:
+            if target <= start:
+                return 0
+            d = snapshot_diff(
+                self.spark, self.base, start, target, include_old=True
+            )
+            stats = merge_into(
+                self.spark,
+                self.table,
+                self._delta(d),
+                sum_cols=["n_rows", *self.sum_cols],
+                fence_token=f"{FENCE_PREFIX}{target}",
+            )
+            return 0 if stats.skipped else target - start
         applied = 0
-        for v in range(self.applied_version() + 1, target + 1):
+        for v in range(start + 1, target + 1):
             d = snapshot_diff(self.spark, self.base, v - 1, v, include_old=True)
             # merge_into's own fence check (atomic with its commit) makes a
             # concurrent refresher's duplicate application a skipped no-op

@@ -254,3 +254,33 @@ def test_view_null_sums_count_as_zero_both_paths(spark, tmp_path):
     inc = {r["grp"]: (r["n_rows"], r["x_sum"]) for r in view.read().collect()}
     full = {r["grp"]: (r["n_rows"], r["x_sum"]) for r in view.recompute().collect()}
     assert inc == full == {"g": (2, 0)}
+
+
+def test_coalesced_refresh_telescopes_exactly(spark, tmp_path):
+    """Per-commit deltas telescope: one coalesced diff over the whole span
+    must land the identical view as version-by-version refresh — including
+    across a key that is inserted, updated, moved between groups, and
+    deleted within the span (intermediate states cancel)."""
+    pipe = _pipe(spark, tmp_path, name="tc")
+    batches = [
+        [("a", 1, "I", [1], 1, "web"), ("b", 2, "I", [2, 2], 2, "book")],
+        [("a", 10, "U", [3] * 3, 3, "book")],   # a moves web -> book
+        [("b", 11, "D", None, None, None), ("c", 12, "I", [4], 1, "web")],
+        [("a", 20, "D", None, None, None)],     # a's whole life cancels
+    ]
+    for i, rows in enumerate(batches):
+        pipe.apply_batch(_batch(spark, rows), fence_token=f"t{i}")
+
+    stepwise = _view(spark, pipe, tmp_path, name="v-step")
+    assert stepwise.refresh() == 4
+    lumped = _view(spark, pipe, tmp_path, name="v-lump")
+    assert lumped.refresh(coalesce=True) == 4
+    assert (
+        as_map(stepwise.read())
+        == as_map(lumped.read())
+        == as_map(lumped.recompute())
+        == {"web": (1, 1)}
+    )
+    # both cursors sit at the span end; nothing further to fold either way
+    assert lumped.applied_version() == stepwise.applied_version() == 4
+    assert lumped.refresh(coalesce=True) == 0 and stepwise.refresh() == 0
