@@ -296,9 +296,9 @@ def cmd_view_refresh(args) -> dict:
         view.full_refresh()
         applied = view.applied_version()
         return {"mode": "full", "cursor": applied}
-    n = view.refresh()
-    return {"mode": "incremental", "versions_applied": n,
-            "cursor": view.applied_version()}
+    n = view.refresh(coalesce=args.coalesce)
+    return {"mode": "coalesced" if args.coalesce else "incremental",
+            "versions_applied": n, "cursor": view.applied_version()}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -397,6 +397,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--buckets", type=int, default=4)
     g.add_argument("--full", action="store_true",
                    help="one-shot bootstrap recompute instead of walking history")
+    g.add_argument("--coalesce", action="store_true",
+                   help="fold the whole unapplied span as ONE telescoped diff")
     g.set_defaults(fn=cmd_view_refresh)
     return p
 
