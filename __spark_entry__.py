@@ -479,6 +479,23 @@ def cdc_dml_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
+def cdc_token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted token index (lake/index.TokenIndex): sharded posting lists
+    maintained incrementally from the replayed table's commit history — per
+    version, CDF diff → (token, doc_id) adds/dels → ONE fenced array_patch
+    merge. The gate holds the full maintained index equal to the declarative
+    spec (distinct token↦doc pairs over the final state): the engine-owned
+    secondary index answers "which docs contain token t" without decoding a
+    single token array at query time."""
+    from concepts_pipeline_spark.lake.index import TokenIndex
+
+    pipe = _replayed_pipe(spark, sf_dir, "tix")
+    root = _scratch_dir("cps-tix-")
+    ix = TokenIndex(spark, pipe.target, f"{root}/ix", num_shards=8)
+    ix.refresh()
+    return ix.read_all()
+
+
 def cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL completeness audit (operators/temporal.sequence_gap_audit): find
     every missing LSN range in a lossy feed — here the change log with two
@@ -1438,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_asof_enrich": cdc_asof_enrich,
         "cdc_incremental_agg": cdc_incremental_agg,
         "cdc_dml_mutations": cdc_dml_mutations,
+        "cdc_token_index": cdc_token_index,
         "cdc_gap_audit": cdc_gap_audit,
         "anti_join_new_keys": q_anti_join,
         "anti_join_new_multi_keys": q_anti_join_multi,
@@ -1724,6 +1742,10 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, tokens, n_tok, source
             FROM ({FINAL_STATE_JSON_SQL})
             WHERE source <> 'signup' AND source <> 'click'
+        """,
+        "cdc_token_index": f"""
+            SELECT DISTINCT CAST(unnest(tokens) AS INT) AS token, doc_id
+            FROM ({FINAL_STATE_SQL})
         """,
         "cdc_gap_audit": f"""
             WITH {LOG_CTE_SQL},

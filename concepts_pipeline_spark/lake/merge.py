@@ -98,6 +98,7 @@ def merge_into(
     strategy: str = "cow",
     max_retries: int = 2,
     sum_cols: list[str] | None = None,
+    patch_cols: dict[str, tuple[str, str]] | None = None,
 ) -> MergeStats:
     """Optimistic-concurrency wrapper: on CommitConflict (another writer won the
     manifest swap) the merge re-reads the NEW snapshot and re-runs — correct
@@ -114,7 +115,7 @@ def merge_into(
                 spark, table, source, op_col, delete_op, update_mode,
                 array_union_cols, evolve, fence_token, lsn_col,
                 touched_buckets, touched_num_buckets, changes_table, strategy,
-                sum_cols,
+                sum_cols, patch_cols,
             )
         except CommitConflict:
             if attempt >= max_retries:
@@ -138,6 +139,7 @@ def _merge_into_once(
     changes_table: LakeTable | None = None,
     strategy: str = "cow",
     sum_cols: list[str] | None = None,
+    patch_cols: dict[str, tuple[str, str]] | None = None,
 ) -> MergeStats:
     """Apply a deduplicated change batch (≤1 row per key, see operators.lww) to table.
 
@@ -189,8 +191,17 @@ def _merge_into_once(
             .withColumn(HIDDEN_DELETED, F.col(op_col) == F.lit(delete_op))
             .drop(lsn_col)
         )
+    # array_patch mode: the add/del instruction columns are merge INPUTS, not
+    # payload — they must neither evolve into the table schema nor appear in
+    # the output, but must survive the conform projection below
+    patch_srcs: set[str] = set()
+    for a, d in (patch_cols or {}).values():
+        patch_srcs.update((a, d))
     payload_schema = StructType(
-        [f for f in source.schema.fields if f.name != op_col]
+        [
+            f for f in source.schema.fields
+            if f.name != op_col and f.name not in patch_srcs
+        ]
     )
     if evolve:
         new_schema = evolve_schema(m.schema, payload_schema)
@@ -203,8 +214,11 @@ def _merge_into_once(
     schema_id = next(int(sid) for sid, sj in schemas.items() if sj == schema_json)
 
     # conform source payload to the (possibly evolved) table schema, keep op
+    # (plus the patch instruction columns, which ride alongside)
     schema_with_op = StructType(
-        list(new_schema.fields) + [source.schema[op_col]]
+        list(new_schema.fields)
+        + [source.schema[op_col]]
+        + [source.schema[c] for c in sorted(patch_srcs)]
     )
     src = conform(source, schema_with_op)
 
@@ -314,6 +328,36 @@ def _merge_into_once(
                 if c in union_cols
                 else F.col(f"s.{c}")
             )
+            for c in val_cols
+        }
+    elif update_mode == "array_patch":
+        # set-patch semantics for posting-list maintenance (lake/index.py):
+        # target array col := sort(except(union(current, adds), dels)) — the
+        # instruction columns come from the source row, the base from the
+        # target; the insert arm starts from an empty base. Sorted storage
+        # keeps set-equal states byte-equal (same rationale as array_union).
+        pc = patch_cols or {}
+        bad_targets = set(pc) - set(val_cols)
+        if bad_targets:
+            raise ValueError(
+                f"patch_cols target(s) {sorted(bad_targets)} are not payload "
+                "columns"
+            )
+        field_type = {f.name: f.dataType for f in new_schema.fields}
+
+        def _patched(c: str):
+            a, dl = pc[c]
+            empty = F.array().cast(field_type[c])
+            add = F.coalesce(F.col(f"s.{a}"), empty)
+            rem = F.coalesce(F.col(f"s.{dl}"), empty)
+            base = F.coalesce(F.col(f"t.{c}"), empty)
+            return F.when(
+                is_matched,
+                F.array_sort(F.array_except(F.array_union(base, add), rem)),
+            ).otherwise(F.array_sort(F.array_except(add, rem)))
+
+        new_val = {
+            c: (_patched(c) if c in pc else F.col(f"s.{c}"))
             for c in val_cols
         }
     elif update_mode == "replace":

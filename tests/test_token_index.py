@@ -1,0 +1,142 @@
+"""TokenIndex: incrementally-maintained sharded inverted index — posting
+correctness across inserts/updates/deletes, resumable refresh, bucket-pruned
+lookup, and the array_patch merge mode it rides on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from concepts_pipeline_spark.cdc.apply import CdcPipeline
+from concepts_pipeline_spark.lake import LakeTable
+from concepts_pipeline_spark.lake.index import TokenIndex
+from concepts_pipeline_spark.lake.merge import merge_into
+from tests.test_lake_table import TOKENS_SCHEMA
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, lsn long, op string, tokens array<int>, "
+        "n_tok int, source string",
+    )
+
+
+def _pipe(spark, tmp_path, name="t"):
+    return CdcPipeline(
+        spark, str(tmp_path / name), TOKENS_SCHEMA, ["doc_id"],
+        num_buckets=4, salt_buckets=2,
+    )
+
+
+def pairs(df):
+    return {(r["token"], r["doc_id"]) for r in df.collect()}
+
+
+def test_index_tracks_full_document_lifecycle(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 1, "I", [7, 8], 2, "s"),
+            ("b", 2, "I", [8, 9], 2, "s"),
+        ]),
+        fence_token="b0",
+    )
+    ix = TokenIndex(spark, pipe.target, str(tmp_path / "ix"), num_shards=4)
+    assert ix.refresh() == 1
+    assert pairs(ix.read_all()) == {(7, "a"), (8, "a"), (8, "b"), (9, "b")}
+
+    # update changes a's tokens (7 dropped, 5 added, 8 kept); b deleted
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 10, "U", [5, 8], 2, "s"),
+            ("b", 11, "D", None, None, None),
+        ]),
+        fence_token="b1",
+    )
+    assert ix.refresh() == 1
+    want = {(5, "a"), (8, "a")}
+    assert pairs(ix.read_all()) == want
+    assert pairs(ix.recompute()) == want
+    assert ix.refresh() == 0  # idempotent
+
+    # bucket-pruned lookup: probed tokens only, misses empty
+    assert pairs(ix.lookup([8, 9, 42])) == {(8, "a")}
+
+
+def test_index_refresh_resumes_from_fence_cursor(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, name="tr")
+    for i in range(3):
+        pipe.apply_batch(
+            _batch(spark, [(f"k{i}", 10 + i, "I", [i, 100], 2, "s")]),
+            fence_token=f"b{i}",
+        )
+    ix = TokenIndex(spark, pipe.target, str(tmp_path / "ixr"), num_shards=4)
+    assert ix.refresh(up_to_version=1) == 1          # partial (crash analogue)
+    assert pairs(ix.lookup([100])) == {(100, "k0")}
+    assert ix.refresh() == 2                          # resumes, folds the rest
+    assert pairs(ix.lookup([100])) == {
+        (100, "k0"), (100, "k1"), (100, "k2"),
+    }
+    assert pairs(ix.read_all()) == pairs(ix.recompute())
+
+
+def test_index_shards_bound_posting_rows(spark, tmp_path):
+    """A token present in many docs spreads across shards — no single posting
+    row holds more than its shard's docs."""
+    pipe = _pipe(spark, tmp_path, name="ts")
+    rows = [(f"d{i}", i + 1, "I", [777], 1, "s") for i in range(40)]
+    pipe.apply_batch(_batch(spark, rows), fence_token="s0")
+    ix = TokenIndex(spark, pipe.target, str(tmp_path / "ixs"), num_shards=8)
+    ix.refresh()
+    posting = ix.table.read(spark).filter(F.col("token") == 777)
+    sizes = [r["n"] for r in posting.select(F.size("doc_ids").alias("n")).collect()]
+    assert sum(sizes) == 40
+    assert len(sizes) > 1 and max(sizes) < 40  # genuinely sharded
+
+
+def test_array_patch_merge_mode_direct(spark, tmp_path):
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("k", StringType(), False),
+        StructField("vals", ArrayType(IntegerType()), True),
+    ])
+    t = LakeTable.create(str(tmp_path / "ap"), schema, ["k"], num_buckets=2)
+    patch = spark.createDataFrame(
+        [("a", [3, 1], []), ("b", [2], [9])],
+        "k string, add_ids array<int>, del_ids array<int>",
+    ).withColumn("op", F.lit("U"))
+    merge_into(spark, t, patch, update_mode="array_patch",
+               patch_cols={"vals": ("add_ids", "del_ids")}, fence_token="p0")
+    got = {r["k"]: r["vals"] for r in t.read(spark).collect()}
+    assert got == {"a": [1, 3], "b": [2]}   # insert arm: sorted, dels applied
+
+    patch2 = spark.createDataFrame(
+        [("a", [2], [3]), ("b", [], [2])],
+        "k string, add_ids array<int>, del_ids array<int>",
+    ).withColumn("op", F.lit("U"))
+    merge_into(spark, t, patch2, update_mode="array_patch",
+               patch_cols={"vals": ("add_ids", "del_ids")}, fence_token="p1")
+    got = {r["k"]: r["vals"] for r in t.read(spark).collect()}
+    assert got == {"a": [1, 2], "b": []}    # matched arm: union then except
+
+    # a no-op patch classifies noop (no spurious rewrite of the value)
+    stats = merge_into(
+        spark, t,
+        spark.createDataFrame(
+            [("a", [], [])], "k string, add_ids array<int>, del_ids array<int>"
+        ).withColumn("op", F.lit("U")),
+        update_mode="array_patch",
+        patch_cols={"vals": ("add_ids", "del_ids")}, fence_token="p2",
+    )
+    assert stats.noop == 1 and stats.updated == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not payload"):
+        merge_into(
+            spark, t, patch, update_mode="array_patch",
+            patch_cols={"nope": ("add_ids", "del_ids")}, fence_token="p3",
+        )
