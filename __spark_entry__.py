@@ -206,6 +206,49 @@ def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
+def cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-bootstrap → overlapping live-tail handoff (the Debezium
+    snapshot+stream pattern): load a point-in-time snapshot exported at each
+    key's true LSN watermark, then tail the WHOLE change feed — including
+    events the snapshot already covers. LSN LWW + tombstone memory make the
+    overlap self-suppressing: no gap, no dup, no coordination between the
+    snapshotter and the tail beyond per-key LSNs. Must equal the same
+    FINAL_STATE spec as a clean full replay.
+
+    (The reference's analogue is its bulk-vs-SQS dual mode, README.md:16-20 —
+    which reconciles only by re-running the full bulk load; here the handoff
+    is exact.)"""
+    from concepts_pipeline_spark.streaming.runner import run_stream
+
+    log = derived_change_log(spark, sf_dir)
+    # the snapshot a CDC exporter would take after batches {0,1}: per-key
+    # latest VALID state with its LSN watermark (deleted keys absent)
+    valid, _ = validate_events(log)
+    early = valid.filter(F.pmod(F.col("lsn"), F.lit(4)) <= 1)
+    snap = lww_latest(early, ["doc_id"], salt_buckets=4).filter(
+        F.col("op") != "D"
+    ).withColumn("op", F.lit("I"))
+
+    root = _scratch_dir("cps-handoff-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        num_buckets=16,
+        salt_buckets=4,
+    )
+    pipe.apply_batch(snap, fence_token="handoff:snapshot")
+    # live tail: the FULL feed (all four batches), overlapping the snapshot
+    log.repartition(4).write.mode("overwrite").parquet(f"file://{root}/feed")
+    h = run_stream(
+        spark, pipe, f"{root}/feed", f"{root}/ckpt",
+        name="handoff-tail", max_files_per_trigger=2, schema=log.schema,
+    )
+    h.query.awaitTermination()
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
 def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mid-stream schema evolution: batch 1 carries the base schema; batch 2
     adds a `lang` column AND widens n_tok int→long. The engine evolves the table
@@ -1440,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": cdc_replay_final_state,
         "cdc_replay_mor": cdc_replay_mor,
         "cdc_stream_final_state": cdc_stream_final_state,
+        "cdc_bootstrap_handoff": cdc_bootstrap_handoff,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_accumulate_union": cdc_accumulate_union,
         "cdc_lww_latest": cdc_lww_latest,
@@ -1575,6 +1619,9 @@ def _oracle_sql_base() -> dict[str, str]:
         "cdc_stream_final_state": FINAL_STATE_JSON_SQL,
         "cdc_replay_compacted": FINAL_STATE_JSON_SQL,
         "cdc_replay_rescaled": FINAL_STATE_JSON_SQL,
+        # the handoff bar: snapshot bootstrap + fully-overlapping tail must
+        # land the IDENTICAL state as a clean replay — same spec, no new SQL
+        "cdc_bootstrap_handoff": FINAL_STATE_JSON_SQL,
         "cdc_time_travel": f"""
             WITH {LOG_CTE_SQL},
             tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
