@@ -14,7 +14,7 @@ keeps real ArrayType columns internally.
 
 Non-SQL-expressible entries (hyperplane/IVF ANN top-k, Arrow mapInPandas
 multimodal plumbing) intentionally omit oracles — the driver records the
-weaker rows-only check for those (3 of 62; the ANN paths additionally get a
+weaker rows-only check for those (3 of 63; the ANN paths additionally get a
 bounded-correctness oracle via `ann_recall`).
 """
 
