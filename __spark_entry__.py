@@ -14,7 +14,7 @@ keeps real ArrayType columns internally.
 
 Non-SQL-expressible entries (hyperplane/IVF ANN top-k, Arrow mapInPandas
 multimodal plumbing) intentionally omit oracles — the driver records the
-weaker rows-only check for those (3 of 63; the ANN paths additionally get a
+weaker rows-only check for those (3 of 64; the ANN paths additionally get a
 bounded-correctness oracle via `ann_recall`).
 """
 
@@ -247,6 +247,22 @@ def cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h.query.awaitTermination()
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
+def cdc_replicated_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-to-lake replication (lake/replicate.Replica): converge a replica
+    — bucketed DIFFERENTLY from the primary (8 vs 16: logical replication,
+    not file copying) — by shipping per-commit CDF diffs stamped
+    version-as-LSN, first two versions stepwise, the rest as one telescoped
+    span diff. The replica's live rows must equal the clean-replay spec."""
+    from concepts_pipeline_spark.lake.replicate import Replica
+
+    pipe = _replayed_pipe(spark, sf_dir, "repl")
+    root = _scratch_dir("cps-repl-")
+    rep = Replica(spark, pipe.target, f"{root}/replica", num_buckets=8)
+    assert rep.refresh(up_to_version=2) == 2
+    assert rep.refresh(coalesce=True) == 2
+    return rep.read().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
 def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1484,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mor": cdc_replay_mor,
         "cdc_stream_final_state": cdc_stream_final_state,
         "cdc_bootstrap_handoff": cdc_bootstrap_handoff,
+        "cdc_replicated_state": cdc_replicated_state,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_accumulate_union": cdc_accumulate_union,
         "cdc_lww_latest": cdc_lww_latest,
@@ -1622,6 +1639,9 @@ def _oracle_sql_base() -> dict[str, str]:
         # the handoff bar: snapshot bootstrap + fully-overlapping tail must
         # land the IDENTICAL state as a clean replay — same spec, no new SQL
         "cdc_bootstrap_handoff": FINAL_STATE_JSON_SQL,
+        # the replication bar: a differently-bucketed replica converged by
+        # CDF diffs equals the same clean-replay spec
+        "cdc_replicated_state": FINAL_STATE_JSON_SQL,
         "cdc_time_travel": f"""
             WITH {LOG_CTE_SQL},
             tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),

@@ -1,0 +1,83 @@
+"""Replica convergence: stepwise vs coalesced, delete propagation, resume,
+re-bucketing independence, and no-regression under stale span replays."""
+
+from __future__ import annotations
+
+from concepts_pipeline_spark.cdc.apply import CdcPipeline
+from concepts_pipeline_spark.lake.replicate import Replica
+from tests.test_lake_table import TOKENS_SCHEMA
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, lsn long, op string, tokens array<int>, "
+        "n_tok int, source string",
+    )
+
+
+def _pipe(spark, tmp_path, name="p"):
+    return CdcPipeline(
+        spark, str(tmp_path / name), TOKENS_SCHEMA, ["doc_id"],
+        num_buckets=4, salt_buckets=2,
+    )
+
+
+def logical(df):
+    return {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+        for r in df.collect()
+    }
+
+
+def test_replica_converges_and_resumes(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 1, "I", [1], 1, "s"),
+            ("b", 2, "I", [2, 2], 2, "s"),
+        ]),
+        fence_token="b0",
+    )
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 10, "U", [9], 1, "t"),
+            ("b", 11, "D", None, None, None),
+            ("c", 12, "I", [3], 1, "s"),
+        ]),
+        fence_token="b1",
+    )
+    rep = Replica(spark, pipe.target, str(tmp_path / "r"), num_buckets=2)
+    assert rep.refresh(up_to_version=1) == 1     # partial (crash analogue)
+    assert set(logical(rep.read())) == {"a", "b"}
+    assert rep.refresh() == 1                     # resumes from cursor
+    want = logical(pipe.final_state())
+    assert logical(rep.read()) == want == {
+        "a": ([9], 1, "t"), "c": ([3], 1, "s"),
+    }
+    assert rep.refresh() == 0                     # idempotent
+    # replaying an old span (e.g. a second replicator racing behind) cannot
+    # regress: fences skip it outright
+    rep2 = Replica(spark, pipe.target, str(tmp_path / "r"))
+    assert rep2.refresh(up_to_version=1) == 0
+    assert logical(rep2.read()) == want
+
+
+def test_replica_coalesced_equals_stepwise(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, name="p2")
+    for i, rows in enumerate([
+        [("k", 1, "I", [1], 1, "s")],
+        [("k", 2, "U", [2], 1, "s")],
+        [("k", 3, "D", None, None, None)],
+        [("k", 4, "I", [4], 1, "s")],   # full lifecycle inside the span
+    ]):
+        pipe.apply_batch(_batch(spark, rows), fence_token=f"c{i}")
+    step = Replica(spark, pipe.target, str(tmp_path / "rs"))
+    assert step.refresh() == 4
+    lump = Replica(spark, pipe.target, str(tmp_path / "rl"))
+    assert lump.refresh(coalesce=True) == 4
+    assert (
+        logical(step.read())
+        == logical(lump.read())
+        == {"k": ([4], 1, "s")}
+    )
