@@ -63,7 +63,6 @@ class TokenIndex:
         self.base = base
         self.tokens_col = tokens_col
         self.doc_col = doc_col
-        self.num_shards = num_shards
         schema = StructType(
             [
                 StructField("token", IntegerType(), False),
@@ -74,7 +73,13 @@ class TokenIndex:
         self.table = LakeTable.create(
             index_path, schema, ["token", "shard"],
             num_buckets=num_buckets, if_not_exists=True,
+            properties={"num_shards": num_shards},
         )
+        # shard count is a PHYSICAL property of the stored postings: reopening
+        # with a different count would route deletes to the wrong shard row
+        # and leave stale pairs behind — always adopt the stored value
+        stored = (self.table.manifest().properties or {}).get("num_shards")
+        self.num_shards = int(stored) if stored is not None else num_shards
 
     # ------------------------------------------------------------------
 
@@ -82,14 +87,9 @@ class TokenIndex:
         return F.pmod(F.xxhash64(doc), F.lit(self.num_shards)).cast("int")
 
     def applied_version(self) -> int:
-        best = 0
-        for tok in self.table.manifest().fence_tokens:
-            if tok.startswith(FENCE_PREFIX):
-                try:
-                    best = max(best, int(tok[len(FENCE_PREFIX):]))
-                except ValueError:
-                    continue
-        return best
+        from .table import fence_cursor
+
+        return fence_cursor(self.table, FENCE_PREFIX)
 
     def _pairs(self, d: DataFrame, tokens_col: str) -> DataFrame:
         """Distinct (token, doc_id) pairs from a diff side."""
@@ -112,38 +112,53 @@ class TokenIndex:
         )
         applied = 0
         for v in range(self.applied_version() + 1, target + 1):
-            d = snapshot_diff(self.spark, self.base, v - 1, v, include_old=True)
+            # adds/dels each consume BOTH pair sets, and the merge's bucket
+            # discovery materializes the patch a second time — persist the
+            # diff and the pair sets so the diff subtree runs once, not 4x
+            d = snapshot_diff(
+                self.spark, self.base, v - 1, v, include_old=True
+            ).persist()
             new_pairs = self._pairs(
                 d.filter(F.col("change_type") != "delete"), self.tokens_col
-            )
+            ).persist()
             old_pairs = self._pairs(
                 d.filter(F.col("change_type") != "insert"),
                 f"old_{self.tokens_col}",
-            )
-            adds = new_pairs.subtract(old_pairs)
-            dels = old_pairs.subtract(new_pairs)
-            patch = (
-                adds.withColumn("__w", F.lit(1))
-                .unionByName(dels.withColumn("__w", F.lit(-1)))
-                .groupBy("token", self._shard(F.col("doc_id")).alias("shard"))
-                .agg(
-                    F.sort_array(
-                        F.collect_set(F.when(F.col("__w") > 0, F.col("doc_id")))
-                    ).alias("add_ids"),
-                    F.sort_array(
-                        F.collect_set(F.when(F.col("__w") < 0, F.col("doc_id")))
-                    ).alias("del_ids"),
+            ).persist()
+            try:
+                adds = new_pairs.subtract(old_pairs)
+                dels = old_pairs.subtract(new_pairs)
+                patch = (
+                    adds.withColumn("__w", F.lit(1))
+                    .unionByName(dels.withColumn("__w", F.lit(-1)))
+                    .groupBy(
+                        "token", self._shard(F.col("doc_id")).alias("shard")
+                    )
+                    .agg(
+                        F.sort_array(
+                            F.collect_set(
+                                F.when(F.col("__w") > 0, F.col("doc_id"))
+                            )
+                        ).alias("add_ids"),
+                        F.sort_array(
+                            F.collect_set(
+                                F.when(F.col("__w") < 0, F.col("doc_id"))
+                            )
+                        ).alias("del_ids"),
+                    )
+                    .withColumn("op", F.lit("U"))
                 )
-                .withColumn("op", F.lit("U"))
-            )
-            stats = merge_into(
-                self.spark,
-                self.table,
-                patch,
-                update_mode="array_patch",
-                patch_cols={"doc_ids": ("add_ids", "del_ids")},
-                fence_token=f"{FENCE_PREFIX}{v}",
-            )
+                stats = merge_into(
+                    self.spark,
+                    self.table,
+                    patch,
+                    update_mode="array_patch",
+                    patch_cols={"doc_ids": ("add_ids", "del_ids")},
+                    fence_token=f"{FENCE_PREFIX}{v}",
+                )
+            finally:
+                for df in (new_pairs, old_pairs, d):
+                    df.unpersist(blocking=False)
             if not stats.skipped:
                 applied += 1
         return applied

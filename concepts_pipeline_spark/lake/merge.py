@@ -337,6 +337,13 @@ def _merge_into_once(
         # target; the insert arm starts from an empty base. Sorted storage
         # keeps set-equal states byte-equal (same rationale as array_union).
         pc = patch_cols or {}
+        if not pc:
+            # silently falling through would conform the (absent) target
+            # arrays to NULL and overwrite every matched key's postings
+            raise ValueError(
+                "update_mode='array_patch' requires patch_cols "
+                "({target: (add_col, del_col)})"
+            )
         bad_targets = set(pc) - set(val_cols)
         if bad_targets:
             raise ValueError(

@@ -73,56 +73,65 @@ class Replica:
         )
 
     def applied_version(self) -> int:
-        best = 0
-        for tok in self.table.manifest().fence_tokens:
-            if tok.startswith(FENCE_PREFIX):
-                try:
-                    best = max(best, int(tok[len(FENCE_PREFIX):]))
-                except ValueError:
-                    continue
-        return best
+        from .table import fence_cursor
 
-    def _apply_span(self, from_v: int, to_v: int) -> None:
-        d = snapshot_diff(self.spark, self.primary, from_v, to_v)
-        batch = d.withColumn(
-            "op",
-            F.when(F.col("change_type") == "delete", F.lit("D")).otherwise(
-                F.lit("U")
-            ),
-        ).withColumn("__repl_lsn", F.lit(to_v).cast("long")).drop("change_type")
-        merge_into(
-            self.spark,
-            self.table,
-            batch,
-            lsn_col="__repl_lsn",
-            fence_token=f"{FENCE_PREFIX}{to_v}",
-        )
+        return fence_cursor(self.table, FENCE_PREFIX)
 
     def refresh(
         self, up_to_version: int | None = None, coalesce: bool = False
     ) -> int:
         """Converge the replica to the primary (version-by-version, or one
         telescoped span diff with ``coalesce=True``). Returns versions
-        applied."""
+        actually applied by THIS refresher.
+
+        Concurrency (same discipline as IncrementalAggView.refresh): every
+        step recomputes its span from the current fence cursor and commits
+        with max_retries=0; a losing racer's CAS conflict re-derives the
+        remaining span. This is what prevents the coalesced-span hazard —
+        a key inserted AND deleted inside a span is absent from that span's
+        diff, so a stale overlapping span applied afterwards would resurrect
+        it; cursor-guarded recompute makes stale spans no-ops instead."""
+        from .table import CommitConflict
+
         target = (
             self.primary.current_version()
             if up_to_version is None
             else up_to_version
         )
-        start = self.applied_version()
-        if target <= start:
-            return 0
-        if coalesce:
-            self._apply_span(start, target)
-            return target - start
-        for v in range(start + 1, target + 1):
-            self._apply_span(v - 1, v)
-        return target - start
+        applied = 0
+        while True:
+            cur = self.applied_version()
+            if cur >= target:
+                return applied
+            nxt = target if coalesce else cur + 1
+            d = snapshot_diff(self.spark, self.primary, cur, nxt)
+            batch = (
+                d.withColumn(
+                    "op",
+                    F.when(
+                        F.col("change_type") == "delete", F.lit("D")
+                    ).otherwise(F.lit("U")),
+                )
+                .withColumn("__repl_lsn", F.lit(nxt).cast("long"))
+                .drop("change_type")
+            )
+            try:
+                stats = merge_into(
+                    self.spark,
+                    self.table,
+                    batch,
+                    lsn_col="__repl_lsn",
+                    fence_token=f"{FENCE_PREFIX}{nxt}",
+                    max_retries=0,
+                )
+            except CommitConflict:
+                continue
+            if not stats.skipped:
+                applied += nxt - cur
 
     def read(self) -> DataFrame:
-        """The replica's live logical rows."""
-        from .merge import HIDDEN_DELETED
+        """The replica's live logical rows (shared MoR-aware reader)."""
+        from .diff import read_live
 
-        df = self.table.read(self.spark)
-        live = df.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
-        return live.drop(*[c for c in df.columns if c.startswith("_")])
+        m = self.table.manifest()
+        return read_live(self.spark, self.table, m, {f.bucket for f in m.files})

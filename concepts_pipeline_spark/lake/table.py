@@ -137,6 +137,21 @@ class Manifest:
         )
 
 
+def fence_cursor(table: "LakeTable", prefix: str) -> int:
+    """Highest integer suffix among fence tokens with ``prefix`` — the shared
+    refresh-cursor primitive of every CDF consumer (lake/view.py,
+    lake/index.py, lake/replicate.py): the cursor IS the fence state, so
+    resume/replay safety comes from the same atomic commit as the data."""
+    best = 0
+    for tok in table.manifest().fence_tokens:
+        if tok.startswith(prefix):
+            try:
+                best = max(best, int(tok[len(prefix):]))
+            except ValueError:
+                continue
+    return best
+
+
 def bucket_expr(key_cols: list[str], num_buckets: int):
     """Deterministic bucket id for a row: pmod(xxhash64(keys), B).
 

@@ -96,14 +96,9 @@ class IncrementalAggView:
 
     def applied_version(self) -> int:
         """Highest base version already folded into the view (fence state)."""
-        best = 0
-        for tok in self.table.manifest().fence_tokens:
-            if tok.startswith(FENCE_PREFIX):
-                try:
-                    best = max(best, int(tok[len(FENCE_PREFIX):]))
-                except ValueError:
-                    continue
-        return best
+        from .table import fence_cursor
+
+        return fence_cursor(self.table, FENCE_PREFIX)
 
     def _delta(self, d: DataFrame) -> DataFrame:
         """±contribution rows from one commit's classified diff."""
@@ -147,42 +142,42 @@ class IncrementalAggView:
         so a consumer that fell 1000 versions behind pays one diff over the
         span's changed buckets instead of 1000 diffs. Trade: coarser resume
         granularity (a crash mid-span redoes the span; exactly-once still
-        holds via the span-end fence)."""
+        holds via the span-end fence).
+
+        Concurrency: every step recomputes its span FROM THE CURRENT FENCE
+        CURSOR and commits with max_retries=0 — a racing refresher that lands
+        first makes this one's commit CAS-conflict, and the loop re-derives
+        the remaining span from the winner's state. A span fence alone would
+        NOT subsume interior versions (two refreshers with overlapping spans
+        would double-apply ± deltas); the recompute-on-conflict loop is what
+        makes concurrent stepwise/coalesced refreshers compose."""
+        from .table import CommitConflict
+
         target = (
             self.base.current_version()
             if up_to_version is None
             else up_to_version
         )
-        start = self.applied_version()
-        if coalesce:
-            if target <= start:
-                return 0
-            d = snapshot_diff(
-                self.spark, self.base, start, target, include_old=True
-            )
-            stats = merge_into(
-                self.spark,
-                self.table,
-                self._delta(d),
-                sum_cols=["n_rows", *self.sum_cols],
-                fence_token=f"{FENCE_PREFIX}{target}",
-            )
-            return 0 if stats.skipped else target - start
         applied = 0
-        for v in range(start + 1, target + 1):
-            d = snapshot_diff(self.spark, self.base, v - 1, v, include_old=True)
-            # merge_into's own fence check (atomic with its commit) makes a
-            # concurrent refresher's duplicate application a skipped no-op
-            stats = merge_into(
-                self.spark,
-                self.table,
-                self._delta(d),
-                sum_cols=["n_rows", *self.sum_cols],
-                fence_token=f"{FENCE_PREFIX}{v}",
-            )
+        while True:
+            cur = self.applied_version()
+            if cur >= target:
+                return applied
+            nxt = target if coalesce else cur + 1
+            d = snapshot_diff(self.spark, self.base, cur, nxt, include_old=True)
+            try:
+                stats = merge_into(
+                    self.spark,
+                    self.table,
+                    self._delta(d),
+                    sum_cols=["n_rows", *self.sum_cols],
+                    fence_token=f"{FENCE_PREFIX}{nxt}",
+                    max_retries=0,
+                )
+            except CommitConflict:
+                continue  # a racer committed; re-derive the span from fences
             if not stats.skipped:
-                applied += 1
-        return applied
+                applied += nxt - cur
 
     def read(self) -> DataFrame:
         """The live view: groups whose row count is positive (a group whose

@@ -284,3 +284,43 @@ def test_coalesced_refresh_telescopes_exactly(spark, tmp_path):
     # both cursors sit at the span end; nothing further to fold either way
     assert lumped.applied_version() == stepwise.applied_version() == 4
     assert lumped.refresh(coalesce=True) == 0 and stepwise.refresh() == 0
+
+
+def test_coalesced_refresh_recomputes_after_losing_race(
+    spark, tmp_path, monkeypatch
+):
+    """A coalesced refresher whose span commit loses to a concurrent stepwise
+    refresher must re-derive the REMAINING span from the winner's fences —
+    re-applying the original span would double-count the interior deltas."""
+    import concepts_pipeline_spark.lake.view as view_mod
+    from concepts_pipeline_spark.lake.table import CommitConflict
+
+    pipe = _pipe(spark, tmp_path, name="race")
+    for i in range(4):
+        pipe.apply_batch(
+            _batch(spark, [(f"k{i}", 10 + i, "I", [i], 1, "s")]),
+            fence_token=f"r{i}",
+        )
+    racer = _view(spark, pipe, tmp_path, name="v-race")
+    slow = IncrementalAggView(
+        spark, pipe.target, str(tmp_path / "v-race"),
+        group_cols=["source"], sum_cols={"tok_sum": "n_tok"},
+    )
+
+    real = view_mod.merge_into
+    state = {"n": 0}
+
+    def flaky(spark_, table, batch, **kw):
+        if state["n"] == 0:
+            state["n"] += 1
+            # the stepwise racer lands v1..v2 before our span 0->4 commits
+            racer.refresh(up_to_version=2)
+            raise CommitConflict("simulated lost manifest swap")
+        return real(spark_, table, batch, **kw)
+
+    monkeypatch.setattr(view_mod, "merge_into", flaky)
+    # slow applies only the remainder (2->4), not the whole 0->4 span
+    assert slow.refresh(coalesce=True) == 2
+    assert as_map(slow.read()) == as_map(slow.recompute()) == {
+        "s": (4, 4),
+    }

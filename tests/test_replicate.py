@@ -81,3 +81,43 @@ def test_replica_coalesced_equals_stepwise(spark, tmp_path):
         == logical(lump.read())
         == {"k": ([4], 1, "s")}
     )
+
+
+def test_replica_coalesced_race_cannot_resurrect_interior_dead_key(
+    spark, tmp_path, monkeypatch
+):
+    """The coalesced-span hazard: key k lives and dies INSIDE the span, so
+    the span diff never mentions it — a stale overlapping span applied after
+    a wider one would resurrect k. The cursor-guarded recompute loop makes
+    the loser re-derive from the winner's fences instead."""
+    import concepts_pipeline_spark.lake.replicate as repl_mod
+    from concepts_pipeline_spark.lake.table import CommitConflict
+
+    pipe = _pipe(spark, tmp_path, name="pz")
+    for i, rows in enumerate([
+        [("k", 1, "I", [1], 1, "s")],      # v1: k born
+        [("k", 2, "D", None, None, None)], # v2: k dies (inside any wide span)
+        [("x", 3, "I", [7], 1, "s")],      # v3
+    ]):
+        pipe.apply_batch(_batch(spark, rows), fence_token=f"z{i}")
+
+    shared = str(tmp_path / "rz")
+    loser = Replica(spark, pipe.target, shared)
+    winner = Replica(spark, pipe.target, shared)
+
+    real = repl_mod.merge_into
+    state = {"n": 0}
+
+    def flaky(spark_, table, batch, **kw):
+        if state["n"] == 0:
+            state["n"] += 1
+            # the wide refresher converges 0->3 before our 0->2 span commits
+            winner.refresh(coalesce=True)
+            raise CommitConflict("simulated lost manifest swap")
+        return real(spark_, table, batch, **kw)
+
+    monkeypatch.setattr(repl_mod, "merge_into", flaky)
+    # loser wanted span 0->2 (which CONTAINS k's insert as a live row at v2?
+    # no - k died at v2, so 0->2 has no k either; use 0->1 which DOES insert k)
+    assert loser.refresh(up_to_version=1, coalesce=True) == 0
+    assert logical(loser.read()) == {"x": ([7], 1, "s")}  # k stays dead

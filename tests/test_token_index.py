@@ -140,3 +140,42 @@ def test_array_patch_merge_mode_direct(spark, tmp_path):
             spark, t, patch, update_mode="array_patch",
             patch_cols={"nope": ("add_ids", "del_ids")}, fence_token="p3",
         )
+
+
+def test_index_adopts_stored_shard_count_on_reopen(spark, tmp_path):
+    """num_shards is a physical property of the stored postings: a reopen
+    with a different ctor value must adopt the stored count, or deletes would
+    route to the wrong shard row and leave stale pairs."""
+    pipe = _pipe(spark, tmp_path, name="tp")
+    pipe.apply_batch(
+        _batch(spark, [("a", 1, "I", [5], 1, "s"), ("b", 2, "I", [5], 1, "s")]),
+        fence_token="p0",
+    )
+    ix = TokenIndex(spark, pipe.target, str(tmp_path / "ixp"), num_shards=4)
+    ix.refresh()
+    # reopen with a DIFFERENT ctor value: stored 4 wins
+    ix2 = TokenIndex(spark, pipe.target, str(tmp_path / "ixp"), num_shards=16)
+    assert ix2.num_shards == 4
+    pipe.apply_batch(
+        _batch(spark, [("a", 9, "D", None, None, None)]), fence_token="p1"
+    )
+    ix2.refresh()
+    assert pairs(ix2.read_all()) == {(5, "b")}  # delete landed, no stale pair
+
+
+def test_array_patch_requires_patch_cols(spark, tmp_path):
+    import pytest
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("k", StringType(), False),
+        StructField("vals", ArrayType(IntegerType()), True),
+    ])
+    t = LakeTable.create(str(tmp_path / "apg"), schema, ["k"], num_buckets=2)
+    src = spark.createDataFrame(
+        [("a", [1], [])], "k string, add_ids array<int>, del_ids array<int>"
+    ).withColumn("op", F.lit("U"))
+    with pytest.raises(ValueError, match="requires patch_cols"):
+        merge_into(spark, t, src, update_mode="array_patch", fence_token="g0")
