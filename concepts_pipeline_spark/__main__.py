@@ -301,6 +301,32 @@ def cmd_view_refresh(args) -> dict:
             "versions_applied": n, "cursor": view.applied_version()}
 
 
+def cmd_index_refresh(args) -> dict:
+    from .lake import LakeTable
+    from .lake.index import TokenIndex
+
+    spark = _spark("cps-index-refresh")
+    ix = TokenIndex(
+        spark, LakeTable(args.base), args.index,
+        tokens_col=args.tokens_col, num_shards=args.shards,
+    )
+    n = ix.refresh()
+    return {"versions_applied": n, "cursor": ix.applied_version(),
+            "num_shards": ix.num_shards}
+
+
+def cmd_replicate(args) -> dict:
+    from .lake import LakeTable
+    from .lake.replicate import Replica
+
+    spark = _spark("cps-replicate")
+    rep = Replica(spark, LakeTable(args.primary), args.replica,
+                  num_buckets=args.buckets)
+    n = rep.refresh(coalesce=args.coalesce)
+    return {"mode": "coalesced" if args.coalesce else "stepwise",
+            "versions_applied": n, "cursor": rep.applied_version()}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="concepts_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -400,6 +426,29 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--coalesce", action="store_true",
                    help="fold the whole unapplied span as ONE telescoped diff")
     g.set_defaults(fn=cmd_view_refresh)
+
+    g = sub.add_parser(
+        "index-refresh",
+        help="fold unapplied base commits into the inverted token index",
+    )
+    g.add_argument("--base", required=True)
+    g.add_argument("--index", required=True)
+    g.add_argument("--tokens-col", default="tokens")
+    g.add_argument("--shards", type=int, default=16,
+                   help="posting shards (stored at create; reopen adopts)")
+    g.set_defaults(fn=cmd_index_refresh)
+
+    g = sub.add_parser(
+        "replicate",
+        help="converge a replica table to a primary via CDF diffs",
+    )
+    g.add_argument("--primary", required=True)
+    g.add_argument("--replica", required=True)
+    g.add_argument("--buckets", type=int, default=None,
+                   help="replica bucket count (default: primary's)")
+    g.add_argument("--coalesce", action="store_true",
+                   help="ship the whole lag as ONE telescoped span diff")
+    g.set_defaults(fn=cmd_replicate)
     return p
 
 

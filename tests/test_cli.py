@@ -180,3 +180,34 @@ def test_cli_diff(spark, tmp_path, capsys):
     assert sum(out["changes"].values()) > 0
     cols = spark.read.parquet(str(tmp_path / "dout")).columns
     assert "change_type" in cols and "old_tokens" in cols
+
+
+def test_cli_index_refresh_and_replicate(spark, tmp_path, capsys):
+    feed = derived_change_log(spark, SF).withColumn(
+        "batch_id", F.pmod(F.col("lsn"), F.lit(2))
+    )
+    feed.write.parquet(f"file://{tmp_path}/ifeed")
+    target = str(tmp_path / "itokens")
+    run(capsys, [
+        "replay", "--feed", f"file://{tmp_path}/ifeed", "--target", target,
+    ])
+    out = run(capsys, [
+        "index-refresh", "--base", target, "--index", str(tmp_path / "ix"),
+        "--shards", "4",
+    ])
+    assert out["versions_applied"] == 2 and out["num_shards"] == 4
+    # reopen with a different --shards: stored count adopted
+    out = run(capsys, [
+        "index-refresh", "--base", target, "--index", str(tmp_path / "ix"),
+        "--shards", "16",
+    ])
+    assert out["versions_applied"] == 0 and out["num_shards"] == 4
+
+    out = run(capsys, [
+        "replicate", "--primary", target, "--replica", str(tmp_path / "rep"),
+        "--buckets", "2", "--coalesce",
+    ])
+    assert out["mode"] == "coalesced" and out["versions_applied"] == 2
+    from concepts_pipeline_spark.lake.replicate import Replica
+    rep = Replica(spark, LakeTable(target), str(tmp_path / "rep"))
+    assert rep.read().count() == 12  # the sf0.001 final state
