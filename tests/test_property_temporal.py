@@ -105,3 +105,55 @@ def test_asof_matches_bruteforce(spark, evs):
     ).collect()
     got_map = {(r["doc_id"], r["plsn"]): (r["v"], r["as_of_lsn"]) for r in got}
     assert got_map == brute_asof(rows, probes)
+
+
+# ---------------------------------------------------------------------------
+# array_patch merge mode: random add/del patch sequences vs a python set fold
+# ---------------------------------------------------------------------------
+
+patch_step = st.tuples(
+    st.sampled_from(["a", "b"]),                       # key
+    st.lists(st.integers(0, 9), max_size=3),           # adds
+    st.lists(st.integers(0, 9), max_size=3),           # dels
+)
+patch_script = st.lists(patch_step, min_size=1, max_size=8)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(patch_script)
+def test_array_patch_matches_set_fold(spark, tmp_path_factory, script):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from concepts_pipeline_spark.lake import LakeTable
+    from concepts_pipeline_spark.lake.merge import merge_into
+
+    tmp = tmp_path_factory.mktemp("patchprop")
+    schema = StructType([
+        StructField("k", StringType(), False),
+        StructField("vals", ArrayType(IntegerType()), True),
+    ])
+    t = LakeTable.create(str(tmp / "t"), schema, ["k"], num_buckets=2)
+
+    expect: dict[str, set[int]] = {}
+    for i, (k, adds, dels) in enumerate(script):
+        merge_into(
+            spark, t,
+            spark.createDataFrame(
+                [(k, adds, dels)],
+                "k string, add_ids array<int>, del_ids array<int>",
+            ).withColumn("op", F.lit("U")),
+            update_mode="array_patch",
+            patch_cols={"vals": ("add_ids", "del_ids")},
+            fence_token=f"s{i}",
+        )
+        cur = expect.setdefault(k, set())
+        expect[k] = (cur | set(adds)) - set(dels)
+
+    got = {r["k"]: list(r["vals"]) for r in t.read(spark).collect()}
+    assert got == {k: sorted(v) for k, v in expect.items()}
