@@ -163,12 +163,22 @@ class CdcPipeline:
         vocab_size: int = VOCAB_SIZE,
         lsn_col: str = "lsn",
         op_col: str = "op",
+        auto_compact_max_deltas: int | None = None,
     ):
         self.spark = spark
         self.key_cols = key_cols
         self.salt_buckets = salt_buckets
         self.update_mode = update_mode
         self.strategy = strategy
+        # MoR write amplification is deferred, not free: without maintenance,
+        # read-side LWW resolution degrades as deltas pile up. When set, each
+        # applied batch folds any bucket whose delta count exceeds the
+        # threshold (compact() is idempotent and fenced by the manifest CAS,
+        # so a crash between merge and compaction loses nothing — the next
+        # batch compacts)
+        if auto_compact_max_deltas is not None and strategy != "mor":
+            raise ValueError("auto_compact_max_deltas requires strategy='mor'")
+        self.auto_compact_max_deltas = auto_compact_max_deltas
         self.array_union_cols = array_union_cols
         self.vocab_size = vocab_size
         self.lsn_col = lsn_col
@@ -403,6 +413,14 @@ class CdcPipeline:
             ]
             # lineage rows are driver-side already — write them without a Spark job
             self.lineage.append_rows(rows, fence_token=f"{fence_token}:l")
+
+        if self.auto_compact_max_deltas is not None and not stats.skipped:
+            from ..lake.merge import compact
+
+            compact(
+                self.spark, self.target,
+                max_delta_files_per_bucket=self.auto_compact_max_deltas,
+            )
         return ApplyResult(stats=stats, rows_in=rows_in, quarantined=n_rejects)
 
     def final_state(self, include_hidden: bool = False) -> DataFrame:

@@ -127,3 +127,51 @@ def test_mor_rejects_array_union_mode(spark, tmp_path):
     with pytest.raises(ValueError, match="not supported under merge-on-read"):
         merge_into(spark, t, src, lsn_col="lsn", strategy="mor",
                    update_mode="array_union", array_union_cols=["xs"])
+
+
+def test_auto_compact_bounds_delta_files(spark, tmp_path):
+    """auto_compact_max_deltas keeps read-side LWW resolution bounded: after
+    many MoR batches, no bucket carries more deltas than the threshold, and
+    the final state is unchanged vs an uncompacted replay."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from concepts_pipeline_spark.cdc.apply import CdcPipeline
+    from tests.test_lake_table import TOKENS_SCHEMA
+
+    LOG = ("doc_id string, lsn long, op string, tokens array<int>, "
+           "n_tok int, source string")
+
+    def rows(b):
+        return [(f"k{i}", b * 10 + i, "I" if b == 0 else "U",
+                 [b, i], 2, "s") for i in range(6)]
+
+    auto = CdcPipeline(spark, str(tmp_path / "auto"), TOKENS_SCHEMA,
+                       ["doc_id"], num_buckets=2, salt_buckets=2,
+                       strategy="mor", auto_compact_max_deltas=2)
+    plain = CdcPipeline(spark, str(tmp_path / "plain"), TOKENS_SCHEMA,
+                        ["doc_id"], num_buckets=2, salt_buckets=2,
+                        strategy="mor")
+    for b in range(6):
+        batch = spark.createDataFrame(rows(b), LOG)
+        auto.apply_batch(batch, fence_token=f"a{b}")
+        plain.apply_batch(batch, fence_token=f"p{b}")
+
+    per_bucket: dict[int, int] = {}
+    for f in auto.target.manifest().files:
+        if f.kind == "delta":
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert per_bucket == {} or max(per_bucket.values()) <= 2
+    # the uncompacted twin accumulated strictly more deltas
+    plain_deltas = sum(
+        1 for f in plain.target.manifest().files if f.kind == "delta"
+    )
+    assert plain_deltas > sum(per_bucket.values())
+
+    a = {r["doc_id"]: r["tokens"] for r in auto.final_state().collect()}
+    p = {r["doc_id"]: r["tokens"] for r in plain.final_state().collect()}
+    assert a == p and a["k0"] == [5, 0]
+
+    with pytest.raises(ValueError, match="requires strategy='mor'"):
+        CdcPipeline(spark, str(tmp_path / "bad"), TOKENS_SCHEMA, ["doc_id"],
+                    auto_compact_max_deltas=2)
