@@ -301,6 +301,24 @@ def cmd_view_refresh(args) -> dict:
             "versions_applied": n, "cursor": view.applied_version()}
 
 
+def cmd_lookup(args) -> dict:
+    from pyspark.sql import functions as F
+
+    from .lake import LakeTable
+    from .lake.merge import HIDDEN_DELETED, HIDDEN_LSN, read_for_keys
+
+    spark = _spark("cps-lookup")
+    t = LakeTable(args.table)
+    got = read_for_keys(spark, t, args.key, version=args.version)
+    if HIDDEN_DELETED in got.columns:
+        got = got.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+        got = got.drop(HIDDEN_LSN, HIDDEN_DELETED)
+    rows = [r.asDict() for r in got.collect()]
+    hits = {str(r[t.manifest().key_cols[0]]) for r in rows}
+    return {"requested": len(args.key), "found": len(rows),
+            "missing": sorted(set(args.key) - hits), "rows": rows}
+
+
 def cmd_index_refresh(args) -> dict:
     from .lake import LakeTable
     from .lake.index import TokenIndex
@@ -426,6 +444,16 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--coalesce", action="store_true",
                    help="fold the whole unapplied span as ONE telescoped diff")
     g.set_defaults(fn=cmd_view_refresh)
+
+    g = sub.add_parser(
+        "lookup",
+        help="batched point lookup by key (the reference's _mget): bucket + "
+             "key-stat pruned, tombstones filtered",
+    )
+    g.add_argument("--table", required=True)
+    g.add_argument("--key", nargs="+", required=True)
+    g.add_argument("--version", type=int, default=None)
+    g.set_defaults(fn=cmd_lookup)
 
     g = sub.add_parser(
         "index-refresh",

@@ -211,3 +211,24 @@ def test_cli_index_refresh_and_replicate(spark, tmp_path, capsys):
     from concepts_pipeline_spark.lake.replicate import Replica
     rep = Replica(spark, LakeTable(target), str(tmp_path / "rep"))
     assert rep.read().count() == 12  # the sf0.001 final state
+
+
+def test_cli_lookup(spark, tmp_path, capsys):
+    feed = derived_change_log(spark, SF).withColumn(
+        "batch_id", F.pmod(F.col("lsn"), F.lit(2))
+    )
+    feed.write.parquet(f"file://{tmp_path}/lfeed")
+    target = str(tmp_path / "ltokens")
+    run(capsys, [
+        "replay", "--feed", f"file://{tmp_path}/lfeed", "--target", target,
+    ])
+    live = {r["doc_id"] for r in spark.read.parquet(
+        f"file://{tmp_path}/lfeed").select("doc_id").collect()}
+    some_live = sorted(live)[0]
+    out = run(capsys, [
+        "lookup", "--table", target, "--key", some_live, "no-such-key",
+    ])
+    assert out["requested"] == 2
+    assert out["missing"] == ["no-such-key"]
+    if out["found"]:  # the probed key may have been deleted by the feed
+        assert out["rows"][0]["doc_id"] == some_live
