@@ -416,11 +416,19 @@ class CdcPipeline:
 
         if self.auto_compact_max_deltas is not None and not stats.skipped:
             from ..lake.merge import compact
+            from ..lake.table import CommitConflict
 
-            compact(
-                self.spark, self.target,
-                max_delta_files_per_bucket=self.auto_compact_max_deltas,
-            )
+            # opportunistic maintenance: the batch's merge is already
+            # committed, so a compaction CAS loss to a concurrent writer
+            # (DML, view/index refresher) must NOT surface as a failure of a
+            # successfully applied batch — the next batch retries compaction
+            try:
+                compact(
+                    self.spark, self.target,
+                    max_delta_files_per_bucket=self.auto_compact_max_deltas,
+                )
+            except CommitConflict:
+                pass
         return ApplyResult(stats=stats, rows_in=rows_in, quarantined=n_rejects)
 
     def final_state(self, include_hidden: bool = False) -> DataFrame:

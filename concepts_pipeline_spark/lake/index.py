@@ -73,13 +73,27 @@ class TokenIndex:
         self.table = LakeTable.create(
             index_path, schema, ["token", "shard"],
             num_buckets=num_buckets, if_not_exists=True,
-            properties={"num_shards": num_shards},
+            properties={
+                "num_shards": num_shards,
+                "tokens_col": tokens_col,
+                "doc_col": doc_col,
+            },
         )
         # shard count is a PHYSICAL property of the stored postings: reopening
         # with a different count would route deletes to the wrong shard row
         # and leave stale pairs behind — always adopt the stored value
-        stored = (self.table.manifest().properties or {}).get("num_shards")
+        props = self.table.manifest().properties or {}
+        stored = props.get("num_shards")
         self.num_shards = int(stored) if stored is not None else num_shards
+        # the indexed columns are LOGICAL spec: folding diffs of a different
+        # column into existing postings silently corrupts the index — refuse
+        for prop, want in (("tokens_col", tokens_col), ("doc_col", doc_col)):
+            have = props.get(prop)
+            if have is not None and have != want:
+                raise ValueError(
+                    f"index at {index_path} was created over {prop}={have!r}, "
+                    f"reopened with {want!r} — refusing to fold mismatched diffs"
+                )
 
     # ------------------------------------------------------------------
 

@@ -916,38 +916,51 @@ def compact(
     spark: SparkSession,
     table: LakeTable,
     max_delta_files_per_bucket: int = 4,
+    max_retries: int = 2,
 ) -> int:
     """Fold buckets whose delta-file count exceeds the threshold back to a single
     base generation. Idempotent; concurrent writers are protected by the
-    optimistic manifest commit. Returns the number of compacted buckets."""
+    optimistic manifest commit, and a lost CAS race re-plans against the
+    winner's manifest (same discipline as merge_into — a concurrent DML or
+    view-refresh commit landing mid-compaction must not surface as an error
+    for maintenance work). Returns the number of compacted buckets."""
     from ..operators.lww import lww_latest
+    from .table import CommitConflict
 
-    m = table.manifest()
-    per_bucket: dict[int, int] = {}
-    for f in m.files:
-        if f.kind == "delta":
-            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
-    targets = {b for b, n in per_bucket.items() if n > max_delta_files_per_bucket}
-    if not targets:
-        return 0
-    victim_files = [f for f in m.files if f.bucket in targets]
-    keep_files = [f for f in m.files if f.bucket not in targets]
-    resolved = lww_latest(
-        table._read_files(spark, m, victim_files),
-        m.key_cols,
-        lsn_col=HIDDEN_LSN,
-        op_col=None,
-    )
-    sid = table._current_schema_id(m)
-    new_files = table.write_data_files(resolved, m, sid, kind="base")
-    table.commit(
-        m,
-        keep_files + new_files,
-        summary={
-            "operation": "compact",
-            "buckets": sorted(targets),
-            "files_removed": len(victim_files),
-            "files_added": len(new_files),
-        },
-    )
-    return len(targets)
+    attempt = 0
+    while True:
+        m = table.manifest()
+        per_bucket: dict[int, int] = {}
+        for f in m.files:
+            if f.kind == "delta":
+                per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        targets = {b for b, n in per_bucket.items() if n > max_delta_files_per_bucket}
+        if not targets:
+            return 0
+        victim_files = [f for f in m.files if f.bucket in targets]
+        keep_files = [f for f in m.files if f.bucket not in targets]
+        resolved = lww_latest(
+            table._read_files(spark, m, victim_files),
+            m.key_cols,
+            lsn_col=HIDDEN_LSN,
+            op_col=None,
+        )
+        sid = table._current_schema_id(m)
+        new_files = table.write_data_files(resolved, m, sid, kind="base")
+        try:
+            table.commit(
+                m,
+                keep_files + new_files,
+                summary={
+                    "operation": "compact",
+                    "buckets": sorted(targets),
+                    "files_removed": len(victim_files),
+                    "files_added": len(new_files),
+                },
+            )
+        except CommitConflict:
+            if attempt >= max_retries:
+                raise
+            attempt += 1
+            continue
+        return len(targets)

@@ -69,11 +69,32 @@ class IncrementalAggView:
         sum_cols: dict[str, str] | None = None,
         num_buckets: int = 4,
     ):
+        import json
+
         self.spark = spark
         self.base = base
         self.group_cols = list(group_cols)
         self.sum_cols = dict(sum_cols or {})
-        base_schema = base.manifest().schema
+        base_m = base.manifest()
+        base_schema = base_m.schema
+        # constructor-time validation: every referenced column must be a
+        # VISIBLE base column (hidden engine columns are not aggregatable
+        # surfaces), caught here with a clear error instead of an unresolved
+        # old_<col> AnalysisException deep inside the first refresh
+        visible = {
+            f.name for f in base_schema.fields if not f.name.startswith("_")
+        }
+        self._base_keys = set(base_m.key_cols)
+        missing = [c for c in self.group_cols if c not in visible]
+        missing += [s for s in self.sum_cols.values() if s not in visible]
+        if missing:
+            raise ValueError(
+                f"view references column(s) {sorted(set(missing))} not in the "
+                f"base table's visible schema {sorted(visible)}"
+            )
+        clash = (set(self.sum_cols) | {"n_rows"}) & set(self.group_cols)
+        if clash:
+            raise ValueError(f"output column(s) {sorted(clash)} collide with group columns")
         fields = [
             StructField(c, base_schema[c].dataType, True) for c in group_cols
         ]
@@ -84,13 +105,28 @@ class IncrementalAggView:
         self._schema = StructType(fields)
         self._num_buckets = num_buckets
         self._path = view_path
+        # the spec is a LOGICAL property of the stored aggregates: reopening
+        # with a different grouping or sum mapping would silently fold wrong
+        # deltas into existing rows — persist it at create, enforce on reopen
+        # (same discipline as TokenIndex.num_shards)
+        spec = json.dumps(
+            {"group_cols": self.group_cols, "sum_cols": self.sum_cols},
+            sort_keys=True,
+        )
         self.table = LakeTable.create(
             view_path,
             self._schema,
             group_cols,
             num_buckets=num_buckets,
             if_not_exists=True,
+            properties={"ivm_spec": spec},
         )
+        stored = (self.table.manifest().properties or {}).get("ivm_spec")
+        if stored is not None and stored != spec:
+            raise ValueError(
+                f"view at {view_path} was created with spec {stored}, "
+                f"reopened with {spec} — refusing to fold mismatched deltas"
+            )
 
     # ------------------------------------------------------------------
 
@@ -113,11 +149,18 @@ class IncrementalAggView:
                 for out, src in self.sum_cols.items()
             ],
         )
+        # pre-image columns: snapshot_diff emits old_<c> for PAYLOAD columns
+        # only — a key column IS the row identity, identical pre/post image,
+        # so the minus side reads it directly (this is what makes grouping a
+        # view by a base key column, e.g. per-doc counts, legal)
+        def pre(c):
+            return F.col(c) if c in self._base_keys else F.col(f"old_{c}")
+
         minus = d.filter(F.col("change_type") != "insert").select(
-            *[F.col(f"old_{c}").alias(c) for c in self.group_cols],
+            *[pre(c).alias(c) for c in self.group_cols],
             F.lit(-1).cast("long").alias("n_rows"),
             *[
-                (-F.coalesce(F.col(f"old_{src}").cast("long"), zero)).alias(out)
+                (-F.coalesce(pre(src).cast("long"), zero)).alias(out)
                 for out, src in self.sum_cols.items()
             ],
         )

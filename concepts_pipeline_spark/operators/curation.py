@@ -89,18 +89,38 @@ def cap_tokens_per_source(
     the full corpus and serializes each source through a single sorted
     partition: a hot source (half the corpus at 100 TB) becomes one task.
     This implementation gets identical output with the window confined to one
-    hash-cell per source:
+    hash-cell per source, fully distributed (no driver-side materialization):
 
       1. aggregate token sums per (source, hex4-cell) — 65,536 cells max per
          source, map-side partial agg;
-      2. driver-side exclusive prefix sum over each source's cell list
-         (O(sources × cells) metadata, broadcast back);
-      3. cells fully inside the budget are kept with NO window; cells fully
-         outside are dropped; exactly ONE boundary cell per source runs the
+      2. an exclusive prefix sum over each source's CELL SUMMARY (a window
+         over ≤65,536 metadata rows per source — parallel across sources,
+         trivial within one) finds each source's single BOUNDARY cell: the
+         first cell, in hash order, whose cumulative sum overflows the
+         budget. Because the kept region is a prefix, that one
+         (boundary_cell, leftover_budget) row per source is the ENTIRE
+         decision state — O(sources) rows, broadcast;
+      3. rows in cells before the boundary are kept with NO window; rows past
+         it are dropped; exactly ONE boundary cell per source runs the
          within-cell window (≈ 1/65,536 of the source's rows).
 
     Output: the input columns plus the assigned cell — only surviving rows.
     """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    if isinstance(budget, dict):
+        # contract (and the token_mixture oracle's WHERE source IN ...): a
+        # source absent from the dict is dropped ENTIRELY — including its
+        # zero-token docs, which budget-0 cum<=0 semantics would keep
+        df = df.filter(F.col(source_col).isin(list(budget)))
+        budget_df = spark.createDataFrame(
+            [(s, int(b)) for s, b in budget.items()],
+            f"{source_col} string, __budget long",
+        )
+    else:
+        budget_df = None
+
     cell = _hex4(F.col(key_col), salt).alias("__cell")
     with_cell = df.withColumn("__cell", cell)
 
@@ -108,61 +128,52 @@ def cap_tokens_per_source(
         with_cell.groupBy(source_col, "__cell")
         .agg(F.sum(F.col(token_col).cast("long")).alias("__cell_toks"))
     )
-    # O(sources × occupied-cells) metadata — the only driver-side step
-    rows = per_cell.collect()
-    by_source: dict[str, list] = {}
-    for r in rows:
-        by_source.setdefault(r[source_col], []).append((r["__cell"], r["__cell_toks"]))
+    if budget_df is not None:
+        per_cell = per_cell.join(F.broadcast(budget_df), source_col, "inner")
+    else:
+        per_cell = per_cell.withColumn(
+            "__budget", F.lit(int(budget)).cast("long")
+        )
 
-    keep_whole: list[tuple[str, str]] = []  # (source, cell) fully within budget
-    boundary: dict[str, tuple[str, int]] = {}  # source -> (cell, budget_left)
-    for src, cells in by_source.items():
-        b = budget.get(src, 0) if isinstance(budget, dict) else budget
-        cells.sort()
-        run = 0
-        for cx, toks in cells:
-            if run + toks <= b:
-                keep_whole.append((src, cx))
-                run += toks
-            else:
-                # left == 0 still needs the boundary window: the spec keeps
-                # zero-token docs whose running sum EQUALS the budget (cum <=
-                # budget), and a mixed cell's leading zeros qualify
-                left = b - run
-                if left >= 0:
-                    boundary[src] = (cx, left)
-                break
-
-    spark = df.sparkSession
-    whole_df = spark.createDataFrame(
-        keep_whole or [("", "")], f"{source_col} string, __cell string"
+    wsrc = Window.partitionBy(source_col).orderBy("__cell")
+    summary = per_cell.withColumn(
+        "__excl", F.sum("__cell_toks").over(wsrc) - F.col("__cell_toks")
     )
-    kept = with_cell.join(
-        F.broadcast(whole_df), on=[source_col, "__cell"], how="left_semi"
+    # the first overflowing cell per source; its exclusive prefix is the sum
+    # of all kept-whole cells, so leftover = budget − excl is ≥ 0 there.
+    # leftover == 0 still needs the boundary window: the spec keeps zero-token
+    # docs whose running sum EQUALS the budget (cum <= budget), and a mixed
+    # cell's leading zeros qualify
+    bound = (
+        summary.filter(
+            F.col("__excl") + F.col("__cell_toks") > F.col("__budget")
+        )
+        .groupBy(source_col)
+        .agg(
+            F.min("__cell").alias("__bcell"),
+            F.min_by(F.col("__budget") - F.col("__excl"), F.col("__cell")).alias(
+                "__left"
+            ),
+        )
     )
 
-    if boundary:
-        bound_df = spark.createDataFrame(
-            [(s, c, l) for s, (c, l) in boundary.items()],
-            f"{source_col} string, __cell string, __left long",
-        )
-        from pyspark.sql.window import Window
+    routed = with_cell.join(F.broadcast(bound), on=source_col, how="left")
+    kept = routed.filter(
+        F.col("__bcell").isNull() | (F.col("__cell") < F.col("__bcell"))
+    ).drop("__bcell", "__left")
 
-        edge = with_cell.join(
-            F.broadcast(bound_df), on=[source_col, "__cell"], how="inner"
-        )
-        w = (
-            Window.partitionBy(source_col, "__cell")
-            .orderBy(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), key_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        edge_kept = (
-            edge.withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(w))
-            .filter(F.col("__cum") <= F.col("__left"))
-            .drop("__cum", "__left")
-        )
-        kept = kept.unionByName(edge_kept)
-    return kept
+    edge = routed.filter(F.col("__cell") == F.col("__bcell"))
+    w = (
+        Window.partitionBy(source_col, "__cell")
+        .orderBy(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    edge_kept = (
+        edge.withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(w))
+        .filter(F.col("__cum") <= F.col("__left"))
+        .drop("__cum", "__bcell", "__left")
+    )
+    return kept.unionByName(edge_kept)
 
 
 def mixture_budgets(weights: dict[str, float], total_tokens: int) -> dict[str, int]:

@@ -122,3 +122,62 @@ def test_mix_sources_budgets_and_exclusion(spark):
 
     with pytest.raises(ValueError, match="negative"):
         mix_sources(docs, {"src0": -0.1}, 100)
+
+
+def test_cap_thousand_sources_matches_naive_spec(spark):
+    """The boundary computation is fully distributed (a window over the cell
+    summary, never a driver collect): at 1,000 sources with per-source dict
+    budgets the output must still equal the naive one-window-per-source spec."""
+    n_src = 1000
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % n_src).cast("string")).alias("source"),
+        (F.pmod(F.col("id") * 13 + 7, F.lit(50)) + 1).alias("n_tok"),
+    )
+    budgets = {f"s{i}": 200 + (i % 5) * 100 for i in range(n_src)}
+    got = {
+        r["doc_id"]
+        for r in cap_tokens_per_source(
+            docs, "source", "n_tok", "doc_id", budget=budgets
+        ).collect()
+    }
+
+    from pyspark.sql.window import Window
+
+    hx = F.md5(F.concat(F.lit("cap-v1"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(hx, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bmap = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    want = {
+        r["doc_id"]
+        for r in docs.withColumn("cum", F.sum("n_tok").over(w))
+        .filter(F.col("cum") <= bmap[F.col("source")])
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_cap_dict_budget_drops_unlisted_source_even_zero_token_docs(spark):
+    """A source absent from a dict budget is dropped ENTIRELY — including its
+    zero-token docs, which budget-0 cum<=0 semantics would otherwise keep
+    (the engine/oracle gate contract: WHERE source IN (budget keys))."""
+    docs = spark.createDataFrame(
+        [("a", "listed", 5), ("b", "unlisted", 0), ("c", "unlisted", 3)],
+        "doc_id string, source string, n_tok int",
+    )
+    kept = cap_tokens_per_source(
+        docs, "source", "n_tok", "doc_id", budget={"listed": 100}
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {"a"}
+    # an EXPLICIT zero budget keeps cum<=0 semantics: zero-token docs survive
+    kept0 = cap_tokens_per_source(
+        docs, "source", "n_tok", "doc_id",
+        budget={"listed": 100, "unlisted": 0},
+    )
+    assert {r["doc_id"] for r in kept0.collect()} == {"a", "b"}

@@ -324,3 +324,86 @@ def test_coalesced_refresh_recomputes_after_losing_race(
     assert as_map(slow.read()) == as_map(slow.recompute()) == {
         "s": (4, 4),
     }
+
+
+def test_view_spec_persisted_and_reopen_mismatch_refused(spark, tmp_path):
+    """The view spec (group_cols + sum_cols mapping) is stored in table
+    properties at create time; reopening the same path with a different spec
+    must raise instead of silently folding wrong deltas (corrupt aggregates)."""
+    import pytest
+
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(
+        _batch(spark, [("a", 1, "I", [1], 1, "web")]), fence_token="b0"
+    )
+    v = _view(spark, pipe, tmp_path)
+    v.refresh()
+    # same spec reopens fine and keeps the cursor
+    again = _view(spark, pipe, tmp_path)
+    assert again.applied_version() == v.applied_version()
+    # same output column name, DIFFERENT base column — the silent-corruption case
+    with pytest.raises(ValueError, match="spec"):
+        IncrementalAggView(
+            spark, pipe.target, str(tmp_path / "v"),
+            group_cols=["source"], sum_cols={"tok_sum": "doc_id"},
+        )
+    # different grouping
+    with pytest.raises(ValueError, match="spec"):
+        IncrementalAggView(
+            spark, pipe.target, str(tmp_path / "v"),
+            group_cols=["doc_id"], sum_cols={"tok_sum": "n_tok"},
+        )
+
+
+def test_view_validates_columns_at_construction(spark, tmp_path):
+    import pytest
+
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(
+        _batch(spark, [("a", 1, "I", [1], 1, "web")]), fence_token="b0"
+    )
+    with pytest.raises(ValueError, match="not in the base"):
+        IncrementalAggView(
+            spark, pipe.target, str(tmp_path / "bad1"),
+            group_cols=["nope"], sum_cols={},
+        )
+    with pytest.raises(ValueError, match="not in the base"):
+        IncrementalAggView(
+            spark, pipe.target, str(tmp_path / "bad2"),
+            group_cols=["source"], sum_cols={"s": "_lsn"},
+        )
+    with pytest.raises(ValueError, match="collide"):
+        IncrementalAggView(
+            spark, pipe.target, str(tmp_path / "bad3"),
+            group_cols=["source"], sum_cols={"source": "n_tok"},
+        )
+
+
+def test_view_grouped_by_key_column(spark, tmp_path):
+    """Grouping by a base KEY column works: the key is the row identity
+    (identical pre/post image), so the minus side reads it directly."""
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 1, "I", [1, 2], 2, "web"),
+            ("b", 2, "I", [3], 1, "web"),
+        ]),
+        fence_token="b0",
+    )
+    v = IncrementalAggView(
+        spark, pipe.target, str(tmp_path / "perdoc"),
+        group_cols=["doc_id"], sum_cols={"tok_sum": "n_tok"},
+    )
+    v.refresh()
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 10, "U", [9], 1, "web"),
+            ("b", 11, "D", None, None, None),
+        ]),
+        fence_token="b1",
+    )
+    v.refresh()
+    got = {r["doc_id"]: (r["n_rows"], r["tok_sum"]) for r in v.read().collect()}
+    assert got == {"a": (1, 1)}
+    want = {r["doc_id"]: (r["n_rows"], r["tok_sum"]) for r in v.recompute().collect()}
+    assert got == want
