@@ -566,7 +566,11 @@ def cdc_token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pipe = _shared_pipe(spark, sf_dir)
     root = _scratch_dir("cps-tix-")
-    ix = TokenIndex(spark, pipe.target, f"{root}/ix", num_shards=8)
+    # max_postings exercises the adaptive Zipf-head split under the oracle:
+    # posting cells past the bound double their shard space (linear hashing),
+    # and the index content must STILL equal the declarative pair spec
+    ix = TokenIndex(spark, pipe.target, f"{root}/ix", num_shards=8,
+                    max_postings=8)
     ix.refresh()
     return ix.read_all()
 

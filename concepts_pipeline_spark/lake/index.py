@@ -12,15 +12,26 @@ table of SHARDED POSTING LISTS:
   that appears in 10^9 documents becomes ``num_shards`` rows of ~10^9/shards
   ids each, never one unbounded row — and posting updates for one commit
   spread across shards/buckets instead of hammering one key.
+- **Adaptive splitting for the Zipf head** (``max_postings``): a fixed shard
+  count is wrong for natural-language tokens — a stop word's document
+  frequency is orders of magnitude above the median, so ANY static
+  ``num_shards`` leaves its posting cells unbounded at scale. When a refresh
+  leaves a cell above ``max_postings``, the token's shard space DOUBLES
+  (linear-hashing style): per-token extra bits are kept in the manifest
+  property ``shard_bits``; slot ``s`` rehashes into ``s`` and
+  ``s + num_shards·2^bits`` on one extra hash bit, and the rewritten posting
+  rows commit in the SAME atomic manifest swap as the new bits map — routing
+  state can never disagree with stored data. Lookups stay point reads
+  (``num_shards · 2^bits(token)`` keys); cold tokens stay at 2^0.
 - Maintenance is CDF-driven (same discipline as lake/view.py): per base
   commit, diff with pre-images → exploded (token, doc_id) pairs → adds =
   new∖old, dels = old∖new → ONE fenced merge in ``array_patch`` mode
   (posting := sort(except(union(current, adds), dels))). The fence cursor
   makes refresh resumable and exactly-once; maintenance commits fold as empty
   diffs. Cost per commit: O(changed docs × tokens/doc), never a base re-scan.
-- Lookup is the engine's own stat-pruned point read: the ``num_shards`` keys
-  (token, 0..shards-1) bucket-prune to a handful of files; no scan of the
-  index, let alone the base.
+- Lookup is the engine's own stat-pruned point read: the slot keys
+  bucket-prune to a handful of files; no scan of the index, let alone the
+  base.
 
 The reference has exactly one index shape (ES's own inverted index, built by
 the store); here the ENGINE owns the index as a derived table with the same
@@ -28,6 +39,8 @@ exactly-once/lineage guarantees as any other target.
 """
 
 from __future__ import annotations
+
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +58,10 @@ from .table import LakeTable
 
 FENCE_PREFIX = "tix:"
 
+# a split that fails to shrink a cell past this many doublings means the
+# extra-bit hash is degenerate for that token's doc_ids — stop, don't spin
+_MAX_EXTRA_BITS = 24
+
 
 class TokenIndex:
     """Sharded inverted index over an ``array`` column of a CDC lake table."""
@@ -58,11 +75,13 @@ class TokenIndex:
         doc_col: str = "doc_id",
         num_shards: int = 16,
         num_buckets: int = 16,
+        max_postings: int | None = None,
     ):
         self.spark = spark
         self.base = base
         self.tokens_col = tokens_col
         self.doc_col = doc_col
+        self.max_postings = max_postings
         schema = StructType(
             [
                 StructField("token", IntegerType(), False),
@@ -94,11 +113,47 @@ class TokenIndex:
                     f"index at {index_path} was created over {prop}={have!r}, "
                     f"reopened with {want!r} — refusing to fold mismatched diffs"
                 )
+        self._bits = self._load_bits(props)
 
     # ------------------------------------------------------------------
+    # shard routing: base slot from xxhash64(doc), per-token extra bits
+    # from an independent hash dimension (so a split re-uses no base bits)
+    # ------------------------------------------------------------------
 
-    def _shard(self, doc):
-        return F.pmod(F.xxhash64(doc), F.lit(self.num_shards)).cast("int")
+    @staticmethod
+    def _load_bits(props: dict) -> dict[int, int]:
+        raw = (props or {}).get("shard_bits")
+        return {int(k): int(v) for k, v in json.loads(raw).items()} if raw else {}
+
+    def _extra_hash(self, doc):
+        return F.xxhash64(doc, F.lit("tix-split"))
+
+    def _nslots_expr(self, token_col, bits: dict[int, int]):
+        """token → 2^bits(token) as a column (the Zipf-head map is small —
+        a literal map expression, no join in the patch plan)."""
+        if not bits:
+            return F.lit(1)
+        m = F.create_map(
+            *[F.lit(x) for kv in bits.items() for x in (int(kv[0]), 1 << int(kv[1]))]
+        )
+        return F.coalesce(m[token_col], F.lit(1))
+
+    def _shard(self, doc, token_col=None, bits: dict[int, int] | None = None):
+        base = F.pmod(F.xxhash64(doc), F.lit(self.num_shards))
+        n = self._nslots_expr(
+            token_col if token_col is not None else F.col("token"),
+            self._bits if bits is None else bits,
+        )
+        extra = F.pmod(self._extra_hash(doc), n)
+        return (base + F.lit(self.num_shards) * extra).cast("int")
+
+    def _slots(self, token: int, bits: int | None = None) -> list[tuple[int, int]]:
+        b = self._bits.get(int(token), 0) if bits is None else bits
+        return [
+            (int(token), base + self.num_shards * e)
+            for e in range(1 << b)
+            for base in range(self.num_shards)
+        ]
 
     def applied_version(self) -> int:
         from .table import fence_cursor
@@ -118,12 +173,15 @@ class TokenIndex:
 
     def refresh(self, up_to_version: int | None = None) -> int:
         """Fold every unapplied base commit into the index — one diff + one
-        fenced array_patch merge per version (resumable, exactly-once)."""
+        fenced array_patch merge per version (resumable, exactly-once), then
+        split any posting cell the merge pushed past ``max_postings``."""
         target = (
             self.base.current_version()
             if up_to_version is None
             else up_to_version
         )
+        # bits may have advanced in another process — adopt the stored map
+        self._bits = self._load_bits(self.table.manifest().properties)
         applied = 0
         for v in range(self.applied_version() + 1, target + 1):
             # adds/dels each consume BOTH pair sets, and the merge's bucket
@@ -146,7 +204,8 @@ class TokenIndex:
                     adds.withColumn("__w", F.lit(1))
                     .unionByName(dels.withColumn("__w", F.lit(-1)))
                     .groupBy(
-                        "token", self._shard(F.col("doc_id")).alias("shard")
+                        "token",
+                        self._shard(F.col("doc_id"), F.col("token")).alias("shard"),
                     )
                     .agg(
                         F.sort_array(
@@ -175,12 +234,103 @@ class TokenIndex:
                     df.unpersist(blocking=False)
             if not stats.skipped:
                 applied += 1
+                if self.max_postings is not None:
+                    self._split_oversized(
+                        {pb["bucket"] for pb in stats.by_bucket}
+                    )
         return applied
+
+    # ------------------------------------------------------------------
+    # adaptive splitting
+    # ------------------------------------------------------------------
+
+    def _oversized_tokens(self, buckets: set[int]) -> list[int]:
+        """Tokens with any posting cell above the bound, checked over the
+        bucket subset a merge just touched (never a full index scan)."""
+        m = self.table.manifest()
+        files = [f for f in m.files if f.bucket in buckets or f.bucket == -1]
+        if not files:
+            return []
+        df = self.table._read_files(self.spark, m, files)
+        rows = (
+            df.filter(F.size("doc_ids") > int(self.max_postings))
+            .select("token")
+            .distinct()
+            .collect()
+        )
+        return [int(r["token"]) for r in rows]
+
+    def _split_oversized(self, touched_buckets: set[int]) -> int:
+        """Linear-hashing growth for hot tokens: double each oversized token's
+        shard space and rewrite its posting rows, atomically with the new
+        ``shard_bits`` map. Loops because one doubling may not suffice for a
+        token far past the bound; each pass re-reads REAL sizes, so the
+        procedure is idempotent across crashes with no extra fencing."""
+        splits = 0
+        buckets = set(touched_buckets)
+        for _ in range(_MAX_EXTRA_BITS):
+            tokens = [
+                t for t in self._oversized_tokens(buckets)
+                if self._bits.get(t, 0) < _MAX_EXTRA_BITS
+            ]
+            if not tokens:
+                return splits
+            old_bits = {t: self._bits.get(t, 0) for t in tokens}
+            new_bits = {t: b + 1 for t, b in old_bits.items()}
+
+            old_keys = [
+                k for t in tokens for k in self._slots(t, old_bits[t])
+            ]
+            current = read_for_keys(self.spark, self.table, old_keys)
+            exploded = current.select(
+                "token", F.explode("doc_ids").alias("doc_id")
+            )
+            regrouped = exploded.groupBy(
+                "token",
+                self._shard(F.col("doc_id"), F.col("token"), bits=new_bits).alias(
+                    "shard"
+                ),
+            ).agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
+            # every slot of the NEW shard space gets a row — a slot whose ids
+            # all moved away must be overwritten to empty, or its stale copy
+            # would double-count on read
+            all_slots = [
+                k for t in tokens for k in self._slots(t, new_bits[t])
+            ]
+            slot_df = self.spark.createDataFrame(
+                all_slots, "token int, shard int"
+            )
+            patch = slot_df.join(regrouped, ["token", "shard"], "left").select(
+                "token",
+                "shard",
+                F.coalesce(
+                    "doc_ids", F.array().cast("array<string>")
+                ).alias("doc_ids"),
+                F.lit("U").alias("op"),
+            )
+            bits_after = {**self._bits, **new_bits}
+            stats = merge_into(
+                self.spark,
+                self.table,
+                patch,
+                update_mode="replace",
+                set_properties={
+                    "shard_bits": json.dumps(
+                        {str(k): v for k, v in sorted(bits_after.items())}
+                    )
+                },
+            )
+            self._bits = bits_after
+            splits += len(tokens)
+            buckets = {pb["bucket"] for pb in stats.by_bucket}
+        return splits
+
+    # ------------------------------------------------------------------
 
     def lookup(self, tokens: list[int]) -> DataFrame:
         """(token, doc_id) rows for the probed tokens — a bucket+stat-pruned
-        point read of num_shards keys per token, no scan."""
-        keys = [(int(t), s) for t in tokens for s in range(self.num_shards)]
+        point read of each token's slot keys, no scan."""
+        keys = [k for t in tokens for k in self._slots(int(t))]
         got = read_for_keys(self.spark, self.table, keys)
         return got.filter(F.size("doc_ids") > 0).select(
             "token", F.explode("doc_ids").alias("doc_id")
@@ -202,3 +352,12 @@ class TokenIndex:
         m = self.base.manifest()
         live = read_live(self.spark, self.base, m, {f.bucket for f in m.files})
         return self._pairs(live, self.tokens_col)
+
+    def max_cell_size(self) -> int:
+        """Largest posting cell in the index (test/ops surface)."""
+        r = (
+            self.table.read(self.spark)
+            .agg(F.max(F.size("doc_ids")).alias("m"))
+            .first()
+        )
+        return int(r["m"] or 0)

@@ -99,6 +99,7 @@ def merge_into(
     max_retries: int = 2,
     sum_cols: list[str] | None = None,
     patch_cols: dict[str, tuple[str, str]] | None = None,
+    set_properties: dict | None = None,
 ) -> MergeStats:
     """Optimistic-concurrency wrapper: on CommitConflict (another writer won the
     manifest swap) the merge re-reads the NEW snapshot and re-runs — correct
@@ -115,7 +116,7 @@ def merge_into(
                 spark, table, source, op_col, delete_op, update_mode,
                 array_union_cols, evolve, fence_token, lsn_col,
                 touched_buckets, touched_num_buckets, changes_table, strategy,
-                sum_cols, patch_cols,
+                sum_cols, patch_cols, set_properties,
             )
         except CommitConflict:
             if attempt >= max_retries:
@@ -140,6 +141,7 @@ def _merge_into_once(
     strategy: str = "cow",
     sum_cols: list[str] | None = None,
     patch_cols: dict[str, tuple[str, str]] | None = None,
+    set_properties: dict | None = None,
 ) -> MergeStats:
     """Apply a deduplicated change batch (≤1 row per key, see operators.lww) to table.
 
@@ -162,6 +164,11 @@ def _merge_into_once(
     """
     t0 = time.time()
     m = table.manifest()
+    new_props = (
+        {**(m.properties or {}), **set_properties}
+        if set_properties is not None
+        else None
+    )
     if fence_token and fence_token in m.fence_tokens:
         # Replayed batch. The outbox is appended AFTER the target commit, so a
         # crash in between leaves the target fenced but the outbox missing its
@@ -241,7 +248,7 @@ def _merge_into_once(
             )
         return _mor_append(
             table, m, src, new_schema, schema_json, schemas, schema_id,
-            op_col, fence_token, t0,
+            op_col, fence_token, t0, new_props,
         )
     if strategy != "cow":
         raise ValueError(f"unknown merge strategy {strategy!r}")
@@ -273,6 +280,7 @@ def _merge_into_once(
             m, m.files, schema_json=schema_json, schemas=schemas,
             fence_token=fence_token,
             summary={"operation": "merge", "empty_batch": True},
+            properties=new_props,
         )
         # fence the outbox too — otherwise a replay of this batch finds the
         # target fenced but ':c' missing and writes a spurious hole marker
@@ -548,6 +556,7 @@ def _merge_into_once(
             schema_json=schema_json,
             schemas=schemas,
             fence_token=fence_token,
+            properties=new_props,
             summary={
                 "operation": "merge",
                 "inserted": stats.inserted,
@@ -638,6 +647,7 @@ def _mor_append(
     op_col: str,
     fence_token: str | None,
     t0: float,
+    new_props: dict | None = None,
 ) -> MergeStats:
     data_cols = [f.name for f in new_schema.fields]
     val_cols = [
@@ -675,6 +685,7 @@ def _mor_append(
         schema_json=schema_json,
         schemas=schemas,
         fence_token=fence_token,
+        properties=new_props,
         summary={
             "operation": "merge-mor",
             "delta_rows": stats.updated,

@@ -13,8 +13,17 @@ batch:
    expressions applied);
 3. on a CDC table (hidden ``_lsn``), stamp the batch with max(_lsn)+1 so the
    mutation wins last-writer-wins against everything already applied, and
-   loses — correctly — against any later-LSN change event that arrives
-   afterwards: DML is a point on the same total order, not a side channel;
+   loses — correctly — against any strictly-later-LSN change event that
+   arrives afterwards: DML is a point on the same total order, not a side
+   channel. EQUAL-LSN boundary (documented, deliberate): a source event
+   carrying exactly max(_lsn)+1 that arrives AFTER the DML is a same-LSN
+   tie against the already-applied DML row, and the merge's stale rule
+   (``s.lsn > t._lsn`` applies, ties are stale) resolves it in favor of the
+   DML — i.e. the DML occupies that LSN slot. A source that may still emit
+   that LSN should quiesce (or the caller fence on the source cursor) before
+   mutating; sub-LSN sequencing was considered and rejected because it would
+   widen the hidden-column contract for a race that admission ordering
+   already defines deterministically;
 4. merge with the usual fence token (idempotent replays, atomic manifest
    swap, lineage classification, outbox publication all come for free).
 

@@ -315,6 +315,7 @@ class LakeTable:
         schemas: dict[str, str] | None = None,
         fence_token: str | None = None,
         summary: dict | None = None,
+        properties: dict | None = None,
     ) -> Manifest:
         m = Manifest(
             version=base.version + 1,
@@ -327,7 +328,11 @@ class LakeTable:
                 base.fence_tokens + [fence_token] if fence_token else list(base.fence_tokens)
             ),
             summary=summary or {},
-            properties=base.properties,
+            # a properties override rides the SAME atomic manifest swap as the
+            # data change (e.g. a posting-shard split commits its rewritten
+            # rows and the new shard-bits map in one CAS — no window where
+            # routing state disagrees with stored data)
+            properties=base.properties if properties is None else properties,
         )
         m.summary.setdefault("committed_at_ms", int(time.time() * 1000))
         self._write_manifest(m, base=base)

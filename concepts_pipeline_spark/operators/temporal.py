@@ -197,7 +197,7 @@ def asof_join(
 def sequence_gap_audit(
     feed: DataFrame,
     seq_col: str,
-    block_size: int = 1 << 20,
+    block_size: int = 1 << 16,
 ) -> DataFrame:
     """Find every missing range in a sequence column — the WAL/binlog
     completeness audit a CDC consumer runs before trusting a replay
@@ -212,6 +212,12 @@ def sequence_gap_audit(
     Scale — why not one window over all LSNs: a global ``ORDER BY seq``
     window is a single-partition sort of the whole feed. Instead, sequence
     values group into fixed blocks of ``block_size`` consecutive values:
+
+    Memory bound: a DENSE block materializes one sorted array of up to
+    ``block_size`` longs inside a single aggregation buffer — 2^16 (default)
+    is ~512 KB worst-case per group, trivially safe; raise it only to shrink
+    the block-summary side (10^10 LSNs / 2^16 ≈ 153k summary rows — still one
+    light task for the cross-block lag window).
 
     1. per-block (hash-distributed groupBy, map-side partial): the distinct
        seqs collapse to a sorted array bounded by block_size, from which

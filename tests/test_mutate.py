@@ -179,3 +179,28 @@ def test_dml_conflict_retry_recomputes_against_winner(
     )
     # recomputed against the winner: 2+100 stamped lsn 11 (not stale 1+100@6)
     assert state(pipe, spark) == {"a": (102, "web")}
+
+
+def test_dml_wins_equal_lsn_tie_loses_strictly_later(spark, tmp_path):
+    """The documented equal-LSN boundary: DML stamps max(_lsn)+1; a source
+    event arriving AFTERWARDS with exactly that LSN is a same-LSN tie and is
+    stale (the merge applies only s.lsn > t._lsn) — the DML occupies the
+    slot. A strictly later event wins over the DML as usual."""
+    pipe = _pipe(spark, tmp_path, name="tie")
+    pipe.apply_batch(
+        _batch(spark, [("a", 5, "I", [1], 1, "web")]), fence_token="b0"
+    )
+    update_where(
+        spark, pipe.target, {"source": F.lit("dml")},
+        F.col("doc_id") == "a", fence_token="dml:1",
+    )  # stamped _lsn = 6
+    # equal-LSN event arrives after the DML: tie → stale → DML keeps the slot
+    pipe.apply_batch(
+        _batch(spark, [("a", 6, "U", [9], 1, "tie-loser")]), fence_token="b1"
+    )
+    assert state(pipe, spark)["a"] == (1, "dml")
+    # strictly later event beats the DML
+    pipe.apply_batch(
+        _batch(spark, [("a", 7, "U", [9], 1, "later")]), fence_token="b2"
+    )
+    assert state(pipe, spark)["a"] == (1, "later")

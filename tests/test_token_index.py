@@ -179,3 +179,66 @@ def test_array_patch_requires_patch_cols(spark, tmp_path):
     ).withColumn("op", F.lit("U"))
     with pytest.raises(ValueError, match="requires patch_cols"):
         merge_into(spark, t, src, update_mode="array_patch", fence_token="g0")
+
+
+def test_index_spec_mismatch_refused_on_reopen(spark, tmp_path):
+    import pytest
+
+    pipe = _pipe(spark, tmp_path, name="ts")
+    pipe.apply_batch(
+        _batch(spark, [("a", 1, "I", [7], 1, "s")]), fence_token="b0"
+    )
+    ix = TokenIndex(spark, pipe.target, str(tmp_path / "ixs"), num_shards=4)
+    ix.refresh()
+    with pytest.raises(ValueError, match="tokens_col"):
+        TokenIndex(
+            spark, pipe.target, str(tmp_path / "ixs"),
+            tokens_col="n_tok", num_shards=4,
+        )
+
+
+def test_hot_token_posting_cells_stay_bounded(spark, tmp_path):
+    """The Zipf-head scenario VERDICT r3 flagged: one token in >50% of docs.
+    With max_postings set, adaptive splitting must keep EVERY posting cell at
+    or under the bound, while content stays exactly equal to the recompute
+    spec and lookups keep working across the split."""
+    n_docs = 120
+    rows = []
+    for i in range(n_docs):
+        toks = [999] if i % 2 == 0 else [999, i]  # 999 in every doc; half get a rare token too
+        rows.append((f"d{i}", i + 1, "I", toks, len(toks), "s"))
+    pipe = _pipe(spark, tmp_path, name="th")
+    pipe.apply_batch(_batch(spark, rows), fence_token="b0")
+
+    bound = 8
+    ix = TokenIndex(
+        spark, pipe.target, str(tmp_path / "ixh"),
+        num_shards=2, max_postings=bound,
+    )
+    ix.refresh()
+    assert ix.max_cell_size() <= bound
+    assert ix._bits.get(999, 0) >= 1  # the hot token actually split
+    # content is exactly the declarative spec
+    assert pairs(ix.read_all()) == pairs(ix.recompute())
+    # bits map survived persistence: a fresh handle lookups correctly
+    ix2 = TokenIndex(
+        spark, pipe.target, str(tmp_path / "ixh"),
+        num_shards=2, max_postings=bound,
+    )
+    assert len(pairs(ix2.lookup([999]))) == n_docs
+
+    # post-split maintenance: delete a doc and update another — dels must
+    # route to the SPLIT slots (a mis-route would leave a stale pair behind)
+    pipe.apply_batch(
+        _batch(spark, [
+            ("d0", 1000, "D", None, None, None),
+            ("d1", 1001, "U", [42], 1, "s"),
+        ]),
+        fence_token="b1",
+    )
+    ix2.refresh()
+    got = pairs(ix2.read_all())
+    assert got == pairs(ix2.recompute())
+    assert ("d0" not in {d for _, d in got})
+    assert (999, "d1") not in got and (42, "d1") in got
+    assert ix2.max_cell_size() <= bound
