@@ -12,10 +12,10 @@ driver's pandas canonicalizer requires hashable cells; Spark's ``to_json`` and
 DuckDB's ``CAST(to_json(..) AS VARCHAR)`` are byte-identical) — the engine
 keeps real ArrayType columns internally.
 
-Non-SQL-expressible entries (hyperplane/IVF ANN top-k, Arrow mapInPandas
-multimodal plumbing) intentionally omit oracles — the driver records the
-weaker rows-only check for those (3 of 64; the ANN paths additionally get a
-bounded-correctness oracle via `ann_recall`).
+Non-SQL-expressible entries (hyperplane/IVF ANN top-k) intentionally omit
+oracles — the driver records the weaker rows-only check for those (2 of the
+registry; both additionally get a bounded-correctness oracle via
+`ann_recall`).
 """
 
 from __future__ import annotations
@@ -997,11 +997,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode (operators/multimodal.py): every document renders to
+    a REAL PNG/WAV/PPM container; the engine then parses the BYTES back
+    (IHDR / RIFF fmt / P6 header + full pixel/sample decode) via Arrow
+    mapInPandas. The oracle recomputes the expected (kind, width, height)
+    from the md5 derivations that sized the containers — so a parse bug on
+    either side (encode or decode) breaks the gate. n_bytes and the decoded
+    sample features are pinned in pytest (PNG byte length is zlib-dependent,
+    not SQL-expressible)."""
     docs = _t(spark, sf_dir, "documents")
     media = synth_media(docs, "text", "doc_id")
-    return extract_features(media).select(
-        "media_id", "kind", "n_bytes", "width", "height", _j("features")
-    )
+    return extract_features(media).select("media_id", "kind", "width", "height")
 
 
 # ---------------------------------------------------------------------------
@@ -2526,8 +2532,30 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT key_a, key_b, CAST(hamming AS INT) AS hamming
             FROM pairs WHERE hamming <= 3
         """,
-        # ann_lsh_topk / media_features:
-        # Python-hash-/stub-based — intentionally rows-only.
+        # the containers were SIZED by these md5 derivations; the engine
+        # answers by PARSING THE ENCODED BYTES (IHDR / RIFF fmt / P6) — the
+        # gate closes the loop: encode-side and decode-side must both be
+        # correct for the values to meet
+        "media_features": """
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS INTEGER) % 3 AS k,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))
+                          AS INTEGER) % 48 AS b1,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))
+                          AS INTEGER) % 48 AS b2
+              FROM documents)
+            SELECT media_id,
+                   (['image','audio','video'])[k + 1] AS kind,
+                   CAST(CASE WHEN k = 1 THEN 8000 + 50 * b1
+                             ELSE 16 + b1 END AS INTEGER) AS width,
+                   CAST(CASE WHEN k = 1 THEN 1 + (b2 % 4)
+                             ELSE 16 + b2 END AS INTEGER) AS height
+            FROM m
+        """,
+        # ann_lsh_topk / ann_ivf_topk:
+        # Python-hash-based — intentionally rows-only (bounded by ann_recall).
     }
 
 
