@@ -575,6 +575,40 @@ def cdc_token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.read_all()
 
 
+def cdc_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-served search (lake/index.TokenIndex.search): find every doc
+    containing at least one probe token — answered ENTIRELY from the inverted
+    index (point read of the probes' posting slots, no base scan, no
+    token-array decode), then the matched rows fetched by the engine's
+    stat-pruned point read (the _mget composition,
+    ref: recorder/MultiGetFlow.scala:20-53 against ES's own terms query).
+    Probe set: every distinct token ≡ 0 (mod 53) in the final state — derived
+    identically by the oracle, so the probe workload is deterministic."""
+    from concepts_pipeline_spark.lake.index import TokenIndex
+    from concepts_pipeline_spark.lake.merge import HIDDEN_DELETED, read_for_keys
+
+    pipe = _shared_pipe(spark, sf_dir)
+    root = _scratch_dir("cps-tixs-")
+    ix = TokenIndex(spark, pipe.target, f"{root}/ix", num_shards=8,
+                    max_postings=8)
+    ix.refresh()
+    probes = [
+        int(r["token"])
+        for r in pipe.final_state()
+        .select(F.explode("tokens").alias("token"))
+        .filter(F.col("token") % 7 == 3)
+        .distinct()
+        .collect()
+    ]
+    hits = ix.search(probes, mode="any")
+    hit_ids = [r["doc_id"] for r in hits.select("doc_id").collect()]
+    rows = read_for_keys(spark, pipe.target, hit_ids)
+    live = rows.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+    return live.join(F.broadcast(hits), "doc_id").select(
+        "doc_id", "n_matched", "n_tok", "source"
+    )
+
+
 def cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL completeness audit (operators/temporal.sequence_gap_audit): find
     every missing LSN range in a lossy feed — here the change log with two
@@ -1543,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_agg": cdc_incremental_agg,
         "cdc_dml_mutations": cdc_dml_mutations,
         "cdc_token_index": cdc_token_index,
+        "cdc_index_search": cdc_index_search,
         "cdc_gap_audit": cdc_gap_audit,
         "anti_join_new_keys": q_anti_join,
         "anti_join_new_multi_keys": q_anti_join_multi,
@@ -1839,6 +1874,22 @@ def _oracle_sql_base() -> dict[str, str]:
         "cdc_token_index": f"""
             SELECT DISTINCT CAST(unnest(tokens) AS INT) AS token, doc_id
             FROM ({FINAL_STATE_SQL})
+        """,
+        # index-served ANY search: same probe derivation (token % 7 == 3
+        # over the final state), per-doc distinct probe-hit counts
+        "cdc_index_search": f"""
+            WITH fs AS ({FINAL_STATE_SQL}),
+            pairs AS (SELECT DISTINCT doc_id,
+                             CAST(unnest(tokens) AS INT) AS token
+                      FROM fs),
+            probes AS (SELECT DISTINCT token FROM pairs WHERE token % 7 = 3)
+            SELECT p.doc_id,
+                   CAST(count(DISTINCT p.token) AS BIGINT) AS n_matched,
+                   fs.n_tok, fs.source
+            FROM pairs p
+            JOIN probes pr ON pr.token = p.token
+            JOIN fs ON fs.doc_id = p.doc_id
+            GROUP BY p.doc_id, fs.n_tok, fs.source
         """,
         "cdc_gap_audit": f"""
             WITH {LOG_CTE_SQL},

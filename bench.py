@@ -139,6 +139,7 @@ def bench_queries(spark):
         "merge_precedence": run_named("merge_precedence"),
         "cdc_snapshot_diff": run_named("cdc_snapshot_diff"),
         "cdc_token_index": run_named("cdc_token_index"),
+        "cdc_index_search": run_named("cdc_index_search"),
         "cdc_scd2_history": run_named("cdc_scd2_history"),
         "cdc_asof_enrich": run_named("cdc_asof_enrich"),
         "cdc_incremental_agg": run_named("cdc_incremental_agg"),

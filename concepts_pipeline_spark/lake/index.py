@@ -336,6 +336,27 @@ class TokenIndex:
             "token", F.explode("doc_ids").alias("doc_id")
         )
 
+    def search(self, tokens: list[int], mode: str = "any") -> DataFrame:
+        """Documents matching a probe token set, answered ENTIRELY from the
+        index (no base scan, no token-array decode): ``mode='any'`` returns
+        docs containing at least one probe token, ``'all'`` docs containing
+        every probe token. Output: (doc_id, n_matched).
+
+        Scale shape: one point read of the probes' slot keys (bucket + stat
+        pruned), one explode of just those posting cells, one partial-agg
+        count per doc — cost is O(df of the probed tokens), independent of
+        table size. The ES analogue is the terms query the reference delegates
+        to its store; here the engine owns it."""
+        if mode not in ("any", "all"):
+            raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+        probes = sorted({int(t) for t in tokens})
+        hits = self.lookup(probes).groupBy("doc_id").agg(
+            F.count_distinct("token").alias("n_matched")
+        )
+        if mode == "all":
+            hits = hits.filter(F.col("n_matched") == len(probes))
+        return hits
+
     def read_all(self) -> DataFrame:
         """The full index content as (token, doc_id) rows (gate/test surface)."""
         return (

@@ -242,3 +242,27 @@ def test_hot_token_posting_cells_stay_bounded(spark, tmp_path):
     assert ("d0" not in {d for _, d in got})
     assert (999, "d1") not in got and (42, "d1") in got
     assert ix2.max_cell_size() <= bound
+
+
+def test_index_search_any_and_all(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, name="tsrch")
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 1, "I", [1, 2, 3], 3, "s"),
+            ("b", 2, "I", [2, 3], 2, "s"),
+            ("c", 3, "I", [3], 1, "s"),
+            ("d", 4, "I", [9], 1, "s"),
+        ]),
+        fence_token="b0",
+    )
+    ix = TokenIndex(spark, pipe.target, str(tmp_path / "ixq"), num_shards=4)
+    ix.refresh()
+    any_hits = {r["doc_id"]: r["n_matched"] for r in ix.search([1, 2]).collect()}
+    assert any_hits == {"a": 2, "b": 1}
+    all_hits = {r["doc_id"] for r in ix.search([2, 3], mode="all").collect()}
+    assert all_hits == {"a", "b"}
+    assert ix.search([2, 3, 9], mode="all").count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        ix.search([1], mode="nope")

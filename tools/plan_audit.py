@@ -185,6 +185,25 @@ def main() -> None:
     ))
     sections.append(("AS-OF join — union-and-carry, no join operator", p))
 
+    # 11. per-source token capping: the corpus-side decision is ONE broadcast
+    # join against O(sources) boundary rows (never a shuffle of the corpus
+    # against the cell summary, never a cartesian); the only Window nodes
+    # range over the cell summary and the single boundary cell per source
+    from concepts_pipeline_spark.operators.curation import cap_tokens_per_source
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    p = explain_str(cap_tokens_per_source(
+        docs_df, "source", "n_chars", "doc_id",
+        budget={"src0": 1000, "src1": 500},
+    ))
+    results.append(check("token capping has NO cartesian/nested-loop join", p,
+                         r"(CartesianProduct|BroadcastNestedLoop)",
+                         must_match=False))
+    results.append(check("token capping routes rows via BroadcastHashJoin "
+                         "(O(sources) boundary rows)", p,
+                         r"BroadcastHashJoin"))
+    sections.append(("per-source token capping — broadcast boundary routing", p))
+
     with open("PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`python tools/plan_audit.py`)\n\n")
         fh.write("Asserted properties (see tool for the exact regexes):\n\n")
