@@ -609,6 +609,20 @@ def cdc_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (lake/table.count_live — Iceberg's
+    metadata-count optimization): the live row count of the replayed table
+    answered purely from per-file live_rows manifest stats, collected by the
+    footer-stat pass every commit already runs. ZERO data files are opened
+    and zero Spark jobs launched to answer; the oracle is the real
+    COUNT(*) over the final-state spec. (The reference counts via an ES
+    _count query — a store-side scan.)"""
+    pipe = _shared_pipe(spark, sf_dir)
+    n = pipe.target.count_live()
+    assert n is not None, "CoW manifest must carry live_rows stats"
+    return spark.createDataFrame([(n,)], "n_live long")
+
+
 def cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL completeness audit (operators/temporal.sequence_gap_audit): find
     every missing LSN range in a lossy feed — here the change log with two
@@ -1019,6 +1033,27 @@ def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         source_col="source", token_col="n_chars", key_col="doc_id",
     )
     return kept.select("doc_id", "source", "n_chars")
+
+
+def q_remap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer migration (tokenops.remap_tokens): rewrite the CDC target's
+    token arrays through an (old→new) vocabulary mapping table — posexplode →
+    ONE broadcast equi-join → position-ordered re-aggregation; each token
+    crosses the wire once, no map-literal cap, no Python. Mapping here: every
+    token ≡ 0 (mod 5) moves up by 1,000,000; everything else is identity —
+    the oracle applies the same mapping as a list_transform CASE."""
+    from concepts_pipeline_spark.operators.tokenops import remap_tokens
+
+    pipe = _shared_pipe(spark, sf_dir)
+    df = pipe.final_state()
+    mapping = (
+        df.select(F.explode("tokens").alias("old_id"))
+        .filter(F.col("old_id") % 5 == 0)
+        .distinct()
+        .withColumn("new_id", F.col("old_id") + 1_000_000)
+    )
+    out = remap_tokens(df, mapping, tokens_col="tokens", key_col="doc_id")
+    return out.select("doc_id", _j("tokens"), "n_tok", "source")
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1578,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dml_mutations": cdc_dml_mutations,
         "cdc_token_index": cdc_token_index,
         "cdc_index_search": cdc_index_search,
+        "cdc_metadata_count": cdc_metadata_count,
         "cdc_gap_audit": cdc_gap_audit,
         "anti_join_new_keys": q_anti_join,
         "anti_join_new_multi_keys": q_anti_join_multi,
@@ -1610,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_mixture": q_token_mixture,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "remap_tokens": q_remap_tokens,
         "media_features": q_media_features,
         "skos_transform": q_skos_transform,
         "concept_extraction": q_concept_extraction,
@@ -1874,6 +1911,19 @@ def _oracle_sql_base() -> dict[str, str]:
         "cdc_token_index": f"""
             SELECT DISTINCT CAST(unnest(tokens) AS INT) AS token, doc_id
             FROM ({FINAL_STATE_SQL})
+        """,
+        # tokenizer migration: same mapping (t % 5 == 0 → t + 1,000,000) as a
+        # list_transform CASE over the final-state spec
+        "remap_tokens": f"""
+            SELECT doc_id,
+                   CAST(to_json(list_transform(tokens,
+                        t -> CASE WHEN t % 5 = 0 THEN t + 1000000
+                                  ELSE t END)) AS VARCHAR) AS tokens,
+                   n_tok, source
+            FROM ({FINAL_STATE_SQL})
+        """,
+        "cdc_metadata_count": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_live FROM ({FINAL_STATE_SQL})
         """,
         # index-served ANY search: same probe derivation (token % 7 == 3
         # over the final state), per-doc distinct probe-hit counts

@@ -140,6 +140,8 @@ def bench_queries(spark):
         "cdc_snapshot_diff": run_named("cdc_snapshot_diff"),
         "cdc_token_index": run_named("cdc_token_index"),
         "cdc_index_search": run_named("cdc_index_search"),
+        "cdc_metadata_count": run_named("cdc_metadata_count"),
+        "remap_tokens": run_named("remap_tokens"),
         "cdc_scd2_history": run_named("cdc_scd2_history"),
         "cdc_asof_enrich": run_named("cdc_asof_enrich"),
         "cdc_incremental_agg": run_named("cdc_incremental_agg"),

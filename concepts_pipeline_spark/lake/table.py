@@ -76,6 +76,11 @@ class DataFileEntry:
     # 'base' = fully merged; 'delta' = merge-on-read increment (LWW over _lsn
     # resolves base∪delta at read time; compaction folds deltas back to base)
     kind: str = "base"
+    # non-tombstone rows in this file (rows minus _deleted=true), collected by
+    # the same footer-stat pass that reads min/max — what makes COUNT(*) of
+    # the live table a manifest-only aggregate on CoW tables (Iceberg's
+    # metadata-count optimization). None on pre-upgrade manifests.
+    live_rows: int | None = None
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -340,6 +345,17 @@ class LakeTable:
 
     # ---------- read ----------
 
+    def count_live(self, version: int | None = None) -> int | None:
+        """COUNT(*) of the live (non-tombstone) table from MANIFEST STATS ONLY
+        — zero data files opened, zero Spark jobs (Iceberg's metadata-count
+        answer). Returns None when the count is not metadata-derivable: MoR
+        delta files shadow base rows key-by-key (their net effect needs a
+        read), and pre-upgrade manifests lack per-file live_rows."""
+        m = self.manifest(version)
+        if any(f.kind != "base" or f.live_rows is None for f in m.files):
+            return None
+        return sum(f.live_rows for f in m.files)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest(version)
         return self._read_files(spark, m, m.files)
@@ -465,10 +481,9 @@ class LakeTable:
 
             def stat(item: tuple[str, int]):
                 rel, bucket = item
-                rows, kmin, kmax, mc = _parquet_stats(
-                    os.path.join(self.path, rel), key0, metric_cols
-                )
-                return rel, bucket, rows, kmin, kmax, mc
+                full = os.path.join(self.path, rel)
+                rows, kmin, kmax, mc = _parquet_stats(full, key0, metric_cols)
+                return rel, bucket, rows, kmin, kmax, mc, _parquet_live_rows(full)
 
             workers = min(16, max(4, len(staged)))
             with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -476,7 +491,7 @@ class LakeTable:
 
         entries: list[DataFileEntry] = []
         counts: dict[tuple[int, str], int] = {}
-        for rel, bucket, rows, kmin, kmax, mc in stats:
+        for rel, bucket, rows, kmin, kmax, mc, live in stats:
             if rows == 0:
                 os.unlink(os.path.join(self.path, rel))
                 continue
@@ -486,7 +501,7 @@ class LakeTable:
             entries.append(
                 DataFileEntry(
                     path=rel, bucket=bucket, rows=rows, schema_id=schema_id,
-                    min_key=kmin, max_key=kmax, kind=kind,
+                    min_key=kmin, max_key=kmax, kind=kind, live_rows=live,
                 )
             )
         shutil.rmtree(tmp, ignore_errors=True)
@@ -551,6 +566,7 @@ class LakeTable:
         entry = DataFileEntry(
             path=rel, bucket=-1, rows=len(rows),
             schema_id=self._current_schema_id(m),
+            live_rows=len(rows),  # driver-side appends carry no tombstones
         )
         return self.commit(
             m, m.files + [entry], fence_token=fence_token,
@@ -731,7 +747,7 @@ def _distributed_stats(
     staged: list[tuple[str, int]],
     key0: str,
     metric_cols: list[str] | None = None,
-) -> list[tuple[str, int, int, str | None, str | None, dict | None]]:
+) -> list[tuple[str, int, int, str | None, str | None, dict | None, int]]:
     """Footer stats as a Spark job: each task reads its files' parquet footers
     with pyarrow on the executor. Requires the table path to be visible from
     executors (true for shared storage on a real cluster and for local mode)."""
@@ -741,9 +757,9 @@ def _distributed_stats(
         for pdf in batches:
             rows_out = []
             for rel, bucket in zip(pdf["rel"], pdf["bucket"]):
-                rows, kmin, kmax, mc = _parquet_stats(
-                    os.path.join(table_path, rel), key0, metric_cols
-                )
+                full = os.path.join(table_path, rel)
+                rows, kmin, kmax, mc = _parquet_stats(full, key0, metric_cols)
+                live = _parquet_live_rows(full)
                 # stats may be native int/float (numeric keys) — JSON-encode to
                 # cross the fixed-type Arrow boundary without stringifying them
                 rows_out.append((
@@ -751,10 +767,11 @@ def _distributed_stats(
                     None if kmin is None else json.dumps(kmin),
                     None if kmax is None else json.dumps(kmax),
                     None if mc is None else json.dumps(mc),
+                    live,
                 ))
             yield pd.DataFrame(
                 rows_out,
-                columns=["rel", "bucket", "rows", "kmin", "kmax", "mc"],
+                columns=["rel", "bucket", "rows", "kmin", "kmax", "mc", "live"],
             )
 
     sdf = spark.createDataFrame(staged, "rel string, bucket int").repartition(
@@ -762,7 +779,8 @@ def _distributed_stats(
     )
     out = sdf.mapInPandas(
         read_stats,
-        schema="rel string, bucket int, rows long, kmin string, kmax string, mc string",
+        schema=("rel string, bucket int, rows long, kmin string, kmax string, "
+                "mc string, live long"),
     ).collect()
     return [
         (
@@ -770,6 +788,7 @@ def _distributed_stats(
             None if r["kmin"] is None else json.loads(r["kmin"]),
             None if r["kmax"] is None else json.loads(r["kmax"]),
             None if r["mc"] is None else json.loads(r["mc"]),
+            int(r["live"]),
         )
         for r in out
     ]
@@ -797,9 +816,15 @@ def _arrow_type(dt):
 def _parquet_stats(path: str, key_col: str, metric_cols: list[str] | None = None):
     """Row count + min/max of the key column from the parquet footer (like
     Iceberg manifest stats), plus non-null counts of ``metric_cols`` when
-    requested. Numeric stats keep their native type so numeric keys can be
-    range-pruned; byte stats decode to str; anything else is stringified
-    (and then only usable for string-typed keys)."""
+    requested, plus the LIVE (non-tombstone) row count. Numeric stats keep
+    their native type so numeric keys can be range-pruned; byte stats decode
+    to str; anything else is stringified (and then only usable for
+    string-typed keys).
+
+    Live rows: files of non-CDC tables (no ``_deleted`` column) are all live;
+    for CDC files the boolean column's footer min/max usually decides
+    (min==max==false → no tombstones; min==max==true → all tombstones), and
+    only a mixed file pays one read of the RLE'd boolean column."""
     md = pq.ParquetFile(path).metadata
     rows = md.num_rows
     kmin = kmax = None
@@ -853,3 +878,38 @@ def _parquet_stats(path: str, key_col: str, metric_cols: list[str] | None = None
             tbl = pq.read_table(path, columns=[c])
             mc[c] = len(tbl) - tbl.column(0).null_count
     return rows, kmin, kmax, mc
+
+
+def _parquet_live_rows(path: str, md=None) -> int:
+    """Non-tombstone rows of one data file (see _parquet_stats docstring)."""
+    DELETED = "_deleted"  # merge.HIDDEN_DELETED (merge imports table — no cycle)
+    if md is None:
+        md = pq.ParquetFile(path).metadata
+    arrow_schema = md.schema.to_arrow_schema()
+    try:
+        didx = arrow_schema.get_field_index(DELETED)
+    except Exception:
+        didx = -1
+    if didx < 0:
+        return md.num_rows
+    live, decided = 0, True
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        st = rgm.column(didx).statistics
+        nulls = st.null_count if st is not None and st.null_count is not None else None
+        if st is not None and st.has_min_max and st.min == st.max and nulls == 0:
+            live += 0 if st.min else rgm.num_rows
+        elif st is not None and st.has_min_max and st.min == st.max and st.min is False:
+            # false-or-null rows are all live
+            live += rgm.num_rows
+        else:
+            decided = False
+            break
+    if decided:
+        return live
+    col = pq.read_table(path, columns=[DELETED]).column(0)
+    import pyarrow.compute as pc
+
+    return md.num_rows - pc.sum(
+        pc.fill_null(col, False).cast("int64")
+    ).as_py()

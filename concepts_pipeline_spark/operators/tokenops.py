@@ -283,3 +283,84 @@ def token_vocab_topk(
         F.countDistinct(key_col).alias("n_docs"),
     )
     return agg.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+
+
+def remap_tokens(
+    df: DataFrame,
+    mapping: DataFrame,
+    tokens_col: str = "tokens",
+    key_col: str = "doc_id",
+    drop_unmapped: bool = False,
+) -> DataFrame:
+    """Tokenizer migration / vocabulary surgery: rewrite every token array
+    through a (old_id → new_id) mapping table — the re-tokenization step a
+    training pipeline runs when the vocabulary changes (merged BPE ranks,
+    reserved-id moves, vocab truncation).
+
+    ``mapping``: DataFrame with columns (old_id, new_id). Tokens absent from
+    the mapping pass through unchanged (identity default) unless
+    ``drop_unmapped=True``, which removes them (vocab truncation semantics).
+
+    Scale shape: a map-literal expression would cap at expression-tree limits
+    (a real vocab is 10^5-10^6 entries) and a per-row Python UDF would leave
+    the JVM. Instead: ``posexplode`` the arrays (each token crosses once),
+    ONE equi-join against the mapping — Spark broadcasts it when small, and a
+    10^6-row mapping is still far under any broadcast threshold worth raising
+    — then re-aggregate ordered by position. Order restoration uses
+    array_sort over (pos, token) structs inside the aggregation buffer: no
+    window, no second shuffle beyond the re-grouping one.
+
+    Output: the input columns with ``tokens_col`` rewritten and ``n_tok``
+    (when present) recomputed.
+    """
+    other = [c for c in df.columns if c != tokens_col]
+    # posexplode_outer collapses NULL and [] to the same single NULL-pos row;
+    # carry the nullness through so they re-aggregate distinguishably
+    exploded = df.withColumn("__was_null", F.col(tokens_col).isNull()).select(
+        *other, "__was_null",
+        F.posexplode_outer(F.col(tokens_col)).alias("__pos", "__old"),
+    )
+    other = [*other, "__was_null"]
+    m = mapping.select(
+        F.col("old_id").alias("__old"), F.col("new_id").alias("__new")
+    )
+    joined = exploded.join(F.broadcast(m), "__old", "left")
+    mapped = F.coalesce(
+        "__new", F.lit(None) if drop_unmapped else F.col("__old")
+    )
+    joined = joined.withColumn("__m", mapped)
+    if drop_unmapped:
+        joined = joined.filter(
+            F.col("__m").isNotNull() | F.col("__pos").isNull()
+        )
+    # a NULL __pos row marks a doc whose array was NULL (posexplode_outer):
+    # re-aggregate it back to a NULL array, not an empty one
+    regrouped = (
+        joined.groupBy(*other)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", F.col("__m").alias("t")))
+            ).alias("__pairs")
+        )
+        .withColumn(
+            tokens_col,
+            F.when(
+                F.col("__was_null"),
+                F.lit(None).cast(df.schema[tokens_col].dataType),
+            ).otherwise(
+                F.filter(
+                    F.transform("__pairs", lambda p: p["t"]),
+                    lambda t: t.isNotNull(),
+                ).cast(df.schema[tokens_col].dataType)
+            ),
+        )
+        .drop("__pairs")
+    )
+    if "n_tok" in other:
+        regrouped = regrouped.withColumn(
+            "n_tok",
+            F.when(F.col(tokens_col).isNull(), F.lit(None))
+            .otherwise(F.size(tokens_col))
+            .cast(df.schema["n_tok"].dataType),
+        )
+    return regrouped.select(*df.columns)

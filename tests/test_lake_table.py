@@ -172,3 +172,51 @@ def test_bloom_ndv_property_writes_parquet_blooms(spark, tmp_path):
     keys = ["doc00005", "doc01999", "nope"]
     got = {r["doc_id"] for r in read_for_keys(spark, tables["bloom"], keys).collect()}
     assert got == {"doc00005", "doc01999"}
+
+
+def test_count_live_is_manifest_only_and_exact(spark, tmp_path):
+    """Metadata-only COUNT(*): exact on CoW tables (tombstones netted out via
+    per-file live_rows footer stats), None under MoR deltas (which shadow
+    base rows), exact again after compaction folds them."""
+    from concepts_pipeline_spark.cdc.apply import CdcPipeline
+    from concepts_pipeline_spark.lake.merge import compact
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, lsn long, op string, tokens array<int>, "
+            "n_tok int, source string",
+        )
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "cl"), TOKENS_SCHEMA, ["doc_id"],
+        num_buckets=4, salt_buckets=2,
+    )
+    pipe.apply_batch(
+        batch([
+            ("a", 1, "I", [1], 1, "s"),
+            ("b", 2, "I", [2], 1, "s"),
+            ("c", 3, "I", [3], 1, "s"),
+        ]),
+        fence_token="b0",
+    )
+    assert pipe.target.count_live() == 3
+    pipe.apply_batch(
+        batch([("b", 10, "D", None, None, None), ("d", 11, "I", [4], 1, "s")]),
+        fence_token="b1",
+    )
+    # tombstone for b nets out; d arrives — all from manifest stats
+    assert pipe.target.count_live() == 3 + 1 - 1
+    assert pipe.target.count_live() == pipe.final_state().count()
+    # time travel: the count is per-snapshot
+    assert pipe.target.count_live(version=1) == 3
+
+    mor = CdcPipeline(
+        spark, str(tmp_path / "ml"), TOKENS_SCHEMA, ["doc_id"],
+        num_buckets=4, salt_buckets=2, strategy="mor",
+    )
+    mor.apply_batch(batch([("a", 1, "I", [1], 1, "s")]), fence_token="b0")
+    mor.apply_batch(batch([("a", 2, "U", [2], 1, "s")]), fence_token="b1")
+    assert mor.target.count_live() is None  # deltas shadow base rows
+    compact(spark, mor.target, max_delta_files_per_bucket=0)
+    assert mor.target.count_live() == 1

@@ -147,3 +147,41 @@ def test_token_vocab_topk_counts_and_cut(spark):
         ("bb", 2, 2),
         ("!", 1, 1),  # ties at count 1 cut by token asc: '!' < 'cc' < 'dd'
     ]
+
+
+def test_remap_tokens_identity_default_drop_and_null_empty(spark):
+    from concepts_pipeline_spark.operators.tokenops import remap_tokens
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 2, 3, 2], 4, "s"),
+            ("b", [5], 1, "s"),
+            ("c", [], 0, "s"),       # empty array stays empty, not NULL
+            ("d", None, None, "s"),  # NULL array stays NULL
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    mapping = spark.createDataFrame(
+        [(2, 200), (5, 500)], "old_id int, new_id int"
+    )
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_tok"])
+        for r in remap_tokens(df, mapping).collect()
+    }
+    assert got == {
+        "a": ([1, 200, 3, 200], 4),  # order + duplicates preserved
+        "b": ([500], 1),
+        "c": ([], 0),
+        "d": (None, None),
+    }
+    # vocab truncation: unmapped ids drop, n_tok recomputed
+    dropped = {
+        r["doc_id"]: (r["tokens"], r["n_tok"])
+        for r in remap_tokens(df, mapping, drop_unmapped=True).collect()
+    }
+    assert dropped == {
+        "a": ([200, 200], 2),
+        "b": ([500], 1),
+        "c": ([], 0),
+        "d": (None, None),
+    }
