@@ -147,7 +147,10 @@ def _replayed_pipe(
     return pipe
 
 
+import threading as _threading
+
 _SHARED_PIPES: dict[str, CdcPipeline] = {}
+_SHARED_LOCK = _threading.Lock()
 
 
 def _shared_pipe(spark: SparkSession, sf_dir: str) -> CdcPipeline:
@@ -161,15 +164,16 @@ def _shared_pipe(spark: SparkSession, sf_dir: str) -> CdcPipeline:
 
     Queries that MUTATE the table (DML, compaction, bucket rescale) or change
     the write strategy/batching keep private replays via _replayed_pipe."""
-    pipe = _SHARED_PIPES.get(sf_dir)
-    if pipe is None:
-        pipe = _replayed_pipe(
-            spark, sf_dir, "shared",
-            quarantine_path="quarantine", lineage_path="lineage",
-            changes_path="changes",
-        )
-        _SHARED_PIPES[sf_dir] = pipe
-    return pipe
+    with _SHARED_LOCK:
+        pipe = _SHARED_PIPES.get(sf_dir)
+        if pipe is None:
+            pipe = _replayed_pipe(
+                spark, sf_dir, "shared",
+                quarantine_path="quarantine", lineage_path="lineage",
+                changes_path="changes",
+            )
+            _SHARED_PIPES[sf_dir] = pipe
+        return pipe
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +230,45 @@ def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h.query.awaitTermination()
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
+def cdc_stream_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cascade: the live tail (foreachBatch, checkpointed,
+    fence-token exactly-once) drives DERIVED-table maintenance through the
+    ``after_batch`` hook — every applied micro-batch is immediately folded
+    into an IncrementalAggView. The view's own fences make the chain
+    exactly-once even if the stream dies between apply and hook (the next
+    trigger folds the missed commits). The gate holds the streamed,
+    incrementally-cascaded view equal to the declarative per-source aggregate
+    over the final state — the same oracle as cdc_incremental_agg, reached
+    through the streaming path."""
+    from concepts_pipeline_spark.lake.view import IncrementalAggView
+    from concepts_pipeline_spark.streaming.runner import run_stream
+
+    log = derived_change_log(spark, sf_dir)
+    root = _scratch_dir("cps-cascade-")
+    log.repartition(4).write.mode("overwrite").parquet(f"file://{root}/feed")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        num_buckets=16,
+        salt_buckets=4,
+    )
+    view = IncrementalAggView(
+        spark, pipe.target, f"{root}/view",
+        group_cols=["source"], sum_cols={"total_tokens": "n_tok"},
+    )
+    h = run_stream(
+        spark, pipe, f"{root}/feed", f"{root}/ckpt",
+        name="cascade", max_files_per_trigger=2, schema=log.schema,
+        after_batch=lambda b, r: view.refresh(),
+    )
+    h.query.awaitTermination()
+    return view.read().select(
+        "source", F.col("n_rows").alias("n_docs"), "total_tokens"
+    )
 
 
 def cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1594,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": cdc_replay_final_state,
         "cdc_replay_mor": cdc_replay_mor,
         "cdc_stream_final_state": cdc_stream_final_state,
+        "cdc_stream_cascade": cdc_stream_cascade,
         "cdc_bootstrap_handoff": cdc_bootstrap_handoff,
         "cdc_replicated_state": cdc_replicated_state,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -1892,6 +1936,16 @@ def _oracle_sql_base() -> dict[str, str]:
         # aggregate from per-commit CDF deltas; the oracle RECOMPUTES it from
         # the declarative final state — they must be equal
         "cdc_incremental_agg": f"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens
+            FROM ({FINAL_STATE_SQL})
+            GROUP BY source
+        """,
+        # the streaming-cascaded view is held to the SAME declarative
+        # aggregate — one spec, two maintenance paths (bulk refresh cursor vs
+        # per-micro-batch after_batch hook)
+        "cdc_stream_cascade": f"""
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_tok) AS BIGINT) AS total_tokens

@@ -333,6 +333,34 @@ def cmd_index_refresh(args) -> dict:
             "num_shards": ix.num_shards}
 
 
+def cmd_search(args) -> dict:
+    from .lake import LakeTable
+    from .lake.index import TokenIndex
+
+    spark = _spark("cps-search")
+    ix = TokenIndex(spark, LakeTable(args.base), args.index,
+                    tokens_col=args.tokens_col)
+    hits = ix.search([int(t) for t in args.token], mode=args.mode)
+    rows = sorted(
+        ((r["doc_id"], r["n_matched"]) for r in hits.collect()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return {"mode": args.mode, "probes": len(set(args.token)),
+            "hits": len(rows), "docs": rows[: args.limit]}
+
+
+def cmd_count(args) -> dict:
+    from .lake import LakeTable
+
+    t = LakeTable(args.table)
+    n = t.count_live(args.version)
+    return {"table": args.table, "version": args.version,
+            "live_rows": n,
+            "metadata_only": n is not None,
+            "note": None if n is not None else
+            "MoR deltas or pre-upgrade manifest: run compact, or count via a read"}
+
+
 def cmd_replicate(args) -> dict:
     from .lake import LakeTable
     from .lake.replicate import Replica
@@ -477,6 +505,27 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--coalesce", action="store_true",
                    help="ship the whole lag as ONE telescoped span diff")
     g.set_defaults(fn=cmd_replicate)
+
+    g = sub.add_parser(
+        "search",
+        help="index-served terms query: docs containing ANY/ALL probe tokens "
+             "(posting point reads, no base scan)",
+    )
+    g.add_argument("--base", required=True)
+    g.add_argument("--index", required=True)
+    g.add_argument("--token", nargs="+", required=True)
+    g.add_argument("--mode", choices=["any", "all"], default="any")
+    g.add_argument("--tokens-col", default="tokens")
+    g.add_argument("--limit", type=int, default=50)
+    g.set_defaults(fn=cmd_search)
+
+    g = sub.add_parser(
+        "count",
+        help="metadata-only live COUNT(*) from manifest stats (no Spark job)",
+    )
+    g.add_argument("--table", required=True)
+    g.add_argument("--version", type=int, default=None)
+    g.set_defaults(fn=cmd_count)
     return p
 
 

@@ -232,3 +232,36 @@ def test_cli_lookup(spark, tmp_path, capsys):
     assert out["missing"] == ["no-such-key"]
     if out["found"]:  # the probed key may have been deleted by the feed
         assert out["rows"][0]["doc_id"] == some_live
+
+
+def test_cli_search_and_count(spark, tmp_path, capsys):
+    feed = derived_change_log(spark, SF).withColumn(
+        "batch_id", F.pmod(F.col("lsn"), F.lit(2))
+    )
+    feed.write.parquet(f"file://{tmp_path}/sfeed")
+    target = str(tmp_path / "stokens")
+    run(capsys, [
+        "replay", "--feed", f"file://{tmp_path}/sfeed", "--target", target,
+    ])
+    run(capsys, [
+        "index-refresh", "--base", target, "--index", str(tmp_path / "six"),
+        "--shards", "4",
+    ])
+    # pick a token that exists in the live state
+    from concepts_pipeline_spark.cdc.apply import CdcPipeline  # noqa: F401
+    live = spark.read.parquet(f"file://{tmp_path}/sfeed")
+    tok = None
+    from concepts_pipeline_spark.lake.index import TokenIndex
+    ix = TokenIndex(spark, LakeTable(target), str(tmp_path / "six"))
+    r = ix.read_all().limit(1).collect()
+    assert r, "index should not be empty"
+    tok, doc = r[0]["token"], r[0]["doc_id"]
+    out = run(capsys, [
+        "search", "--base", target, "--index", str(tmp_path / "six"),
+        "--token", str(tok), "--mode", "any",
+    ])
+    assert out["hits"] >= 1 and any(d == doc for d, _ in out["docs"])
+
+    out = run(capsys, ["count", "--table", target])
+    assert out["metadata_only"] is True
+    assert out["live_rows"] == 12  # the sf0.001 final state
