@@ -62,20 +62,28 @@ QUARANTINE_EXTRA = [StructField("reject_reason", StringType(), True)]
 def valid_event_expr(
     op_col: str = "op",
     tokens_col: str = "tokens",
-    n_tok_col: str = "n_tok",
+    n_tok_col: str | None = "n_tok",
     delete_op: str = "D",
     vocab_size: int = VOCAB_SIZE,
 ) -> F.Column:
     """Reject reason per event, NULL when valid. Pure column expressions (JVM-side,
-    whole-stage-codegen'd) — the fast path."""
-    op, toks, n = F.col(op_col), F.col(tokens_col), F.col(n_tok_col)
-    return (
+    whole-stage-codegen'd) — the fast path. ``n_tok_col=None`` skips the
+    count-consistency check (a feed that does not carry the count column —
+    e.g. after a RENAME COLUMN — cannot be held to it)."""
+    op, toks = F.col(op_col), F.col(tokens_col)
+    expr = (
         F.when(~op.isin("I", "U", delete_op), F.lit("unknown_op"))
         .when(op == delete_op, F.lit(None).cast("string"))  # deletes carry no payload
         .when(toks.isNull(), F.lit("null_tokens"))
         .when(F.size(toks) == 0, F.lit("empty_tokens"))
-        .when(n.isNull() | (n != F.size(toks)), F.lit("n_tok_mismatch"))
-        .when(
+    )
+    if n_tok_col is not None:
+        n = F.col(n_tok_col)
+        expr = expr.when(
+            n.isNull() | (n != F.size(toks)), F.lit("n_tok_mismatch")
+        )
+    return (
+        expr.when(
             F.exists(toks, lambda t: t.isNull() | (t < 0) | (t >= vocab_size)),
             F.lit("token_out_of_vocab"),
         )
@@ -109,7 +117,13 @@ def validate_events(
     batch: DataFrame, vocab_size: int = VOCAB_SIZE
 ) -> tuple[DataFrame, DataFrame]:
     """Split a batch into (valid, quarantined-with-reason)."""
-    tagged = batch.withColumn("reject_reason", valid_event_expr(vocab_size=vocab_size))
+    tagged = batch.withColumn(
+        "reject_reason",
+        valid_event_expr(
+            vocab_size=vocab_size,
+            n_tok_col="n_tok" if "n_tok" in batch.columns else None,
+        ),
+    )
     valid = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
     rejects = tagged.filter(F.col("reject_reason").isNotNull())
     return valid, rejects
@@ -296,7 +310,11 @@ class CdcPipeline:
         work_cols = [c for c in batch.columns if c != "batch_id"]
         batch = batch.select(*work_cols)
         tagged = batch.withColumn(
-            "reject_reason", valid_event_expr(vocab_size=self.vocab_size)
+            "reject_reason",
+            valid_event_expr(
+                vocab_size=self.vocab_size,
+                n_tok_col="n_tok" if "n_tok" in batch.columns else None,
+            ),
         )
 
         if on_reject == "fail":

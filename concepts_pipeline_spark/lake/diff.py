@@ -112,7 +112,17 @@ def snapshot_diff(
         [f for f in m_to.schema.fields if not f.name.startswith("_")]
     )
 
-    old = conform(read_live(spark, table, m_from, buckets), visible)
+    old = read_live(spark, table, m_from, buckets)
+    # a rename committed between the two snapshots: the from-side reads under
+    # its own (pre-rename) naming — remap with the renames the to-side added,
+    # or conform() would NULL the pre-images of every renamed column and an
+    # incremental consumer would subtract wrong values across the span
+    ren_from = (m_from.properties or {}).get("renamed_cols", [])
+    ren_to = (m_to.properties or {}).get("renamed_cols", [])
+    for old_name, new_name in ren_to[len(ren_from):]:
+        if old_name in old.columns and new_name not in old.columns:
+            old = old.withColumnRenamed(old_name, new_name)
+    old = conform(old, visible)
     new = read_live(spark, table, m_to, buckets)
 
     payload = [c for c in visible.fieldNames() if c not in keys]

@@ -212,6 +212,24 @@ def _merge_into_once(
     )
     if evolve:
         new_schema = evolve_schema(m.schema, payload_schema)
+        # name-based storage cannot resurrect-proof a re-added column the way
+        # Iceberg's field IDs can: old data files still hold the dropped
+        # column's bytes under the same name, so re-adding it would read stale
+        # values back. DROP records the name; re-adding is refused until a
+        # full rewrite clears the tombstone (lake/table.drop_column docstring).
+        dead = set((m.properties or {}).get("dropped_cols", []))
+        revived = {
+            f.name for f in new_schema.fields if f.name in dead
+        } - {f.name for f in m.schema.fields}
+        if revived:
+            from .schema import SchemaEvolutionError
+
+            raise SchemaEvolutionError(
+                f"column(s) {sorted(revived)} were previously dropped; "
+                "re-adding the same name would resurrect stale values from "
+                "old data files (name-based storage) — rewrite the table or "
+                "pick a new name"
+            )
     else:
         new_schema = m.schema
     schema_json = new_schema.json()

@@ -35,7 +35,7 @@ from functools import reduce
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from .schema import conform
 
@@ -343,6 +343,71 @@ class LakeTable:
         self._write_manifest(m, base=base)
         return m
 
+    # ---------- column DDL ----------
+
+    def drop_column(self, name: str) -> Manifest:
+        """DROP COLUMN as a metadata-only commit: the new table schema omits
+        the column; old data files are untouched (read-side conformance
+        already projects them onto the table schema, so the bytes become
+        invisible). Time travel still sees the column at older versions.
+
+        The dropped NAME is tombstoned in table properties: with name-based
+        storage (no Iceberg field IDs), re-adding the same name would read
+        the old files' stale bytes back — the merge path refuses it."""
+        m = self.manifest()
+        visible = [f.name for f in m.schema.fields]
+        if name not in visible:
+            raise ValueError(f"no such column {name!r}")
+        if name in m.key_cols:
+            raise ValueError(f"cannot drop key column {name!r}")
+        if name.startswith("_"):
+            raise ValueError(f"cannot drop hidden engine column {name!r}")
+        new_schema = StructType(
+            [f for f in m.schema.fields if f.name != name]
+        )
+        props = dict(m.properties or {})
+        props["dropped_cols"] = sorted(
+            set(props.get("dropped_cols", [])) | {name}
+        )
+        return self.commit(
+            m, m.files, schema_json=new_schema.json(), properties=props,
+            summary={"operation": "drop_column", "column": name},
+        )
+
+    def rename_column(self, old: str, new: str) -> Manifest:
+        """RENAME COLUMN as a metadata-only commit. Old file generations keep
+        the old physical name; reads remap it (``renamed_cols`` in
+        properties, applied in commit order, so chained renames compose).
+        The old name is tombstoned like a drop — re-adding it would collide
+        with the rename map."""
+        m = self.manifest()
+        names = [f.name for f in m.schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if old in m.key_cols:
+            raise ValueError(f"cannot rename key column {old!r}")
+        if old.startswith("_") or new.startswith("_"):
+            raise ValueError("cannot rename hidden engine columns")
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in m.schema.fields
+            ]
+        )
+        props = dict(m.properties or {})
+        props["renamed_cols"] = list(props.get("renamed_cols", [])) + [[old, new]]
+        props["dropped_cols"] = sorted(
+            set(props.get("dropped_cols", [])) | {old}
+        )
+        return self.commit(
+            m, m.files, schema_json=new_schema.json(), properties=props,
+            summary={"operation": "rename_column", "from": old, "to": new},
+        )
+
     # ---------- read ----------
 
     def count_live(self, version: int | None = None) -> int | None:
@@ -371,9 +436,17 @@ class LakeTable:
         by_sid: dict[int, list[str]] = {}
         for f in files:
             by_sid.setdefault(f.schema_id, []).append(os.path.join(self.path, f.path))
+        # renames recorded by rename_column, applied in commit order: a file
+        # generation that physically stores the old name reads back under the
+        # new one (files written after the rename already carry the new name
+        # physically and are skipped by the containment check)
+        renames = (m.properties or {}).get("renamed_cols", [])
         parts = []
         for sid, paths in sorted(by_sid.items()):
             df = spark.read.schema(m.schema_for(sid)).parquet(*paths)
+            for old, new in renames:
+                if old in df.columns and new not in df.columns:
+                    df = df.withColumnRenamed(old, new)
             parts.append(conform(df, table_schema))
         return reduce(lambda a, b: a.unionByName(b), parts)
 
