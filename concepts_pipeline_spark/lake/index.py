@@ -96,6 +96,9 @@ class TokenIndex:
                 "num_shards": num_shards,
                 "tokens_col": tokens_col,
                 "doc_col": doc_col,
+                # lookup-heavy table: key-sorted files give tight row-group
+                # token min/max, so a point probe skips row groups
+                "sort_on_write": True,
             },
         )
         # shard count is a PHYSICAL property of the stored postings: reopening

@@ -892,24 +892,37 @@ def read_for_keys(
     files = [f for f in m.files if file_may_contain(f)]
     if not files:
         return spark.createDataFrame([], m.schema)
-    if multi:
-        # point-lookup key lists are small; an OR of per-tuple conjunctions
-        # stays a plain scan predicate (isin cannot build struct literals)
-        from functools import reduce as _reduce
-
-        residual = _reduce(
-            lambda a, b: a | b,
-            [
-                _reduce(
-                    lambda a, b: a & b,
-                    [F.col(c) == F.lit(v) for c, v in zip(m.key_cols, k)],
-                )
-                for k in keys
-            ],
-        )
+    base_df = table._read_files(spark, m, files)
+    # Two probe regimes. SMALL lists become a scan predicate (pushable to
+    # parquet row-group stats — the true point-lookup path). LARGE lists —
+    # e.g. an index lookup fanning one token into thousands of posting slots
+    # — must NOT become an expression: a multi-key OR-chain is a
+    # deeply-nested tree (StackOverflow at ~10^4 keys, seen at sf0.1) and a
+    # 10^5-literal IN bloats analysis; a broadcast LEFT SEMI against the
+    # probe frame is the scalable shape (one hash join over the pruned
+    # files), which is what Spark would rewrite a giant IN into anyway.
+    MAX_EXPR_KEYS = 256
+    if len(keys) > MAX_EXPR_KEYS:
+        df = base_df.join(F.broadcast(one), on=list(m.key_cols), how="left_semi")
     else:
-        residual = F.col(key0).isin(list(keys))
-    df = table._read_files(spark, m, files).filter(residual)
+        if multi:
+            # an OR of per-tuple conjunctions (isin cannot build struct
+            # literals); bounded by MAX_EXPR_KEYS so tree depth stays trivial
+            from functools import reduce as _reduce
+
+            residual = _reduce(
+                lambda a, b: a | b,
+                [
+                    _reduce(
+                        lambda a, b: a & b,
+                        [F.col(c) == F.lit(v) for c, v in zip(m.key_cols, k)],
+                    )
+                    for k in keys
+                ],
+            )
+        else:
+            residual = F.col(key0).isin(list(keys))
+        df = base_df.filter(residual)
     if any(f.kind == "delta" for f in files):
         df = lww_latest(df, m.key_cols, lsn_col=HIDDEN_LSN, op_col=None)
     return df

@@ -497,6 +497,15 @@ class LakeTable:
         out = out.withColumn("__bucket", bucket_expr(m.key_cols, m.num_buckets))
         if repartition:
             out = out.repartition(m.num_buckets, "__bucket")
+        # opt-in key-clustered files (table property "sort_on_write"): a local
+        # sort per output partition tightens the parquet row-group min/max on
+        # the key columns, so point reads (read_for_keys' pushed IN filter)
+        # skip row groups inside big files — Iceberg's sort-order story. Off
+        # by default: the ingest path's throughput headline should not pay a
+        # write-side sort it doesn't need; lookup-heavy derived tables (the
+        # posting index) turn it on at create time.
+        if (m.properties or {}).get("sort_on_write"):
+            out = out.sortWithinPartitions("__bucket", *m.key_cols)
         writer = out.write.partitionBy("__bucket").mode("overwrite")
         # Opt-in parquet bloom filter on the key column (table property
         # "bloom_ndv"): at 100 TB the per-file [min_key, max_key] range stats
