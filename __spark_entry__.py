@@ -176,6 +176,33 @@ def _shared_pipe(spark: SparkSession, sf_dir: str) -> CdcPipeline:
         return pipe
 
 
+_SHARED_INDEXES: dict[str, object] = {}
+
+
+def _shared_index(spark: SparkSession, sf_dir: str):
+    """ONE memoized TokenIndex over the shared replay (same sharing argument
+    as _shared_pipe: both index gate queries only READ it after the refresh;
+    the refresh itself is deterministic)."""
+    from concepts_pipeline_spark.lake.index import TokenIndex
+
+    with _SHARED_LOCK:
+        ix = _SHARED_INDEXES.get(sf_dir)
+        if ix is None:
+            pipe = _SHARED_PIPES.get(sf_dir)
+            if pipe is None:
+                raise RuntimeError("build the shared pipe before the index")
+            root = _scratch_dir("cps-tix-")
+            # max_postings exercises the adaptive Zipf-head split under the
+            # oracle: posting cells past the bound double their shard space
+            # (linear hashing), and the index content must STILL equal the
+            # declarative pair spec
+            ix = TokenIndex(spark, pipe.target, f"{root}/ix", num_shards=8,
+                            max_postings=8)
+            ix.refresh()
+            _SHARED_INDEXES[sf_dir] = ix
+        return ix
+
+
 # ---------------------------------------------------------------------------
 # CDC engine (the flagship): derived change log → full pipeline → final state
 # ---------------------------------------------------------------------------
@@ -605,17 +632,8 @@ def cdc_token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec (distinct token↦doc pairs over the final state): the engine-owned
     secondary index answers "which docs contain token t" without decoding a
     single token array at query time."""
-    from concepts_pipeline_spark.lake.index import TokenIndex
-
-    pipe = _shared_pipe(spark, sf_dir)
-    root = _scratch_dir("cps-tix-")
-    # max_postings exercises the adaptive Zipf-head split under the oracle:
-    # posting cells past the bound double their shard space (linear hashing),
-    # and the index content must STILL equal the declarative pair spec
-    ix = TokenIndex(spark, pipe.target, f"{root}/ix", num_shards=8,
-                    max_postings=8)
-    ix.refresh()
-    return ix.read_all()
+    _shared_pipe(spark, sf_dir)
+    return _shared_index(spark, sf_dir).read_all()
 
 
 def cdc_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,14 +645,10 @@ def cdc_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref: recorder/MultiGetFlow.scala:20-53 against ES's own terms query).
     Probe set: every distinct token ≡ 0 (mod 53) in the final state — derived
     identically by the oracle, so the probe workload is deterministic."""
-    from concepts_pipeline_spark.lake.index import TokenIndex
-    from concepts_pipeline_spark.lake.merge import HIDDEN_DELETED, read_for_keys
+    from concepts_pipeline_spark.lake.merge import HIDDEN_DELETED, read_for_keys_df
 
     pipe = _shared_pipe(spark, sf_dir)
-    root = _scratch_dir("cps-tixs-")
-    ix = TokenIndex(spark, pipe.target, f"{root}/ix", num_shards=8,
-                    max_postings=8)
-    ix.refresh()
+    ix = _shared_index(spark, sf_dir)
     probes = [
         int(r["token"])
         for r in pipe.final_state()
@@ -644,8 +658,10 @@ def cdc_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     hits = ix.search(probes, mode="any")
-    hit_ids = [r["doc_id"] for r in hits.select("doc_id").collect()]
-    rows = read_for_keys(spark, pipe.target, hit_ids)
+    # set-oriented fetch: the hit set never lands on the driver — bucket-pruned
+    # semi-join against the base (read_for_keys_df), then the small hits frame
+    # broadcast back for the per-doc match counts
+    rows = read_for_keys_df(spark, pipe.target, hits.select("doc_id"))
     live = rows.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
     return live.join(F.broadcast(hits), "doc_id").select(
         "doc_id", "n_matched", "n_tok", "source"

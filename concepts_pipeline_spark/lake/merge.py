@@ -774,6 +774,43 @@ def rescale_buckets(
     return out
 
 
+def read_for_keys_df(
+    spark: SparkSession,
+    table: LakeTable,
+    keys_df,
+    version: int | None = None,
+):
+    """Set-oriented batched lookup: ``read_for_keys`` with the probe set as a
+    DATAFRAME — nothing key-shaped ever lands on the driver, so the probe set
+    can be as large as an index answer (millions of doc ids at 100 TB).
+
+    Pruning: the probes' bucket ids are collected (bounded by num_buckets —
+    metadata, not keys), files outside those buckets are never read, and the
+    surviving files semi-join against the broadcast probe frame. Per-file
+    min/max stat pruning needs driver-side key values and is deliberately
+    skipped here — bucket pruning alone bounds the read, and the semi-join
+    discards non-matches before any downstream work."""
+    from ..operators.lww import lww_latest as _lww
+
+    m = table.manifest(version)
+    probe = keys_df.select(*m.key_cols).distinct()
+    buckets = {
+        int(r[0])
+        for r in probe.select(
+            bucket_expr(m.key_cols, m.num_buckets)
+        ).distinct().collect()
+    }
+    files = [f for f in m.files if f.bucket in buckets or f.bucket == -1]
+    if not files:
+        return spark.createDataFrame([], m.schema)
+    df = table._read_files(spark, m, files).join(
+        F.broadcast(probe), on=list(m.key_cols), how="left_semi"
+    )
+    if any(f.kind == "delta" for f in files):
+        df = _lww(df, m.key_cols, lsn_col=HIDDEN_LSN, op_col=None)
+    return df
+
+
 def read_for_keys(
     spark: SparkSession,
     table: LakeTable,

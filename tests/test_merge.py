@@ -292,3 +292,46 @@ def test_merge_sum_cols_accumulates_counters(spark, tmp_path):
     with pytest.raises(ValueError, match="not a payload column"):
         merge_into(spark, t, b2, update_mode="array_union",
                    array_union_cols=["tokens"], sum_cols=["nope"])
+
+
+def test_read_for_keys_df_set_oriented_lookup(spark, tmp_path):
+    """DataFrame-probe lookup: bucket-pruned semi-join, no driver-side key
+    materialization — equal to the list-probe path, MoR-resolving."""
+    from concepts_pipeline_spark.cdc.apply import CdcPipeline
+    from concepts_pipeline_spark.lake.merge import (
+        HIDDEN_DELETED, read_for_keys, read_for_keys_df,
+    )
+    from tests.test_lake_table import TOKENS_SCHEMA
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "rk"), TOKENS_SCHEMA, ["doc_id"],
+        num_buckets=4, salt_buckets=2, strategy="mor",
+    )
+    rows = [(f"k{i}", i + 1, "I", [i], 1, "s") for i in range(50)]
+    pipe.apply_batch(
+        spark.createDataFrame(
+            rows,
+            "doc_id string, lsn long, op string, tokens array<int>, "
+            "n_tok int, source string",
+        ),
+        fence_token="b0",
+    )
+    pipe.apply_batch(
+        spark.createDataFrame(
+            [("k1", 100, "U", [99], 1, "s"), ("k2", 101, "D", None, None, None)],
+            "doc_id string, lsn long, op string, tokens array<int>, "
+            "n_tok int, source string",
+        ),
+        fence_token="b1",
+    )
+    keys = ["k1", "k2", "k3", "nope"]
+    probe_df = spark.createDataFrame([(k,) for k in keys], "doc_id string")
+    a = read_for_keys(spark, pipe.target, keys)
+    b = read_for_keys_df(spark, pipe.target, probe_df)
+    norm = lambda df: sorted(
+        (r["doc_id"], tuple(r["tokens"] or []), bool(r[HIDDEN_DELETED]))
+        for r in df.collect()
+    )
+    assert norm(a) == norm(b)
+    live = {r["doc_id"] for r in b.filter(~F.col(HIDDEN_DELETED)).collect()}
+    assert live == {"k1", "k3"}  # k2 tombstoned, nope absent
