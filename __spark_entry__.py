@@ -185,12 +185,10 @@ def _shared_index(spark: SparkSession, sf_dir: str):
     the refresh itself is deterministic)."""
     from concepts_pipeline_spark.lake.index import TokenIndex
 
+    pipe = _shared_pipe(spark, sf_dir)  # outside the lock (Lock is non-reentrant)
     with _SHARED_LOCK:
         ix = _SHARED_INDEXES.get(sf_dir)
         if ix is None:
-            pipe = _SHARED_PIPES.get(sf_dir)
-            if pipe is None:
-                raise RuntimeError("build the shared pipe before the index")
             root = _scratch_dir("cps-tix-")
             # max_postings exercises the adaptive Zipf-head split under the
             # oracle: posting cells past the bound double their shard space
