@@ -361,6 +361,20 @@ def cmd_count(args) -> dict:
             "MoR deltas or pre-upgrade manifest: run compact, or count via a read"}
 
 
+def cmd_drop_column(args) -> dict:
+    from .lake import LakeTable
+
+    m = LakeTable(args.table).drop_column(args.column)
+    return {"dropped": args.column, "version": m.version}
+
+
+def cmd_rename_column(args) -> dict:
+    from .lake import LakeTable
+
+    m = LakeTable(args.table).rename_column(args.old, args.new)
+    return {"renamed": [args.old, args.new], "version": m.version}
+
+
 def cmd_replicate(args) -> dict:
     from .lake import LakeTable
     from .lake.replicate import Replica
@@ -518,6 +532,23 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--tokens-col", default="tokens")
     g.add_argument("--limit", type=int, default=50)
     g.set_defaults(fn=cmd_search)
+
+    g = sub.add_parser(
+        "drop-column",
+        help="DROP COLUMN (metadata-only; name tombstoned against re-adds)",
+    )
+    g.add_argument("--table", required=True)
+    g.add_argument("--column", required=True)
+    g.set_defaults(fn=cmd_drop_column)
+
+    g = sub.add_parser(
+        "rename-column",
+        help="RENAME COLUMN (metadata-only; old files remap on read)",
+    )
+    g.add_argument("--table", required=True)
+    g.add_argument("--old", required=True)
+    g.add_argument("--new", required=True)
+    g.set_defaults(fn=cmd_rename_column)
 
     g = sub.add_parser(
         "count",

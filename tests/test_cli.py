@@ -265,3 +265,22 @@ def test_cli_search_and_count(spark, tmp_path, capsys):
     out = run(capsys, ["count", "--table", target])
     assert out["metadata_only"] is True
     assert out["live_rows"] == 12  # the sf0.001 final state
+
+
+def test_cli_column_ddl(spark, tmp_path, capsys):
+    feed = derived_change_log(spark, SF).withColumn(
+        "batch_id", F.pmod(F.col("lsn"), F.lit(2))
+    )
+    feed.write.parquet(f"file://{tmp_path}/dfeed")
+    target = str(tmp_path / "dtokens")
+    run(capsys, [
+        "replay", "--feed", f"file://{tmp_path}/dfeed", "--target", target,
+    ])
+    out = run(capsys, [
+        "rename-column", "--table", target, "--old", "source", "--new", "origin",
+    ])
+    assert out["renamed"] == ["source", "origin"]
+    out = run(capsys, ["drop-column", "--table", target, "--column", "n_tok"])
+    assert out["dropped"] == "n_tok"
+    cols = LakeTable(target).manifest().schema.fieldNames()
+    assert "origin" in cols and "source" not in cols and "n_tok" not in cols
