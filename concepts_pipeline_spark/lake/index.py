@@ -187,38 +187,52 @@ class TokenIndex:
         self._bits = self._load_bits(self.table.manifest().properties)
         applied = 0
         for v in range(self.applied_version() + 1, target + 1):
-            # adds/dels each consume BOTH pair sets, and the merge's bucket
-            # discovery materializes the patch a second time — persist the
-            # diff and the pair sets so the diff subtree runs once, not 4x
+            # both sides of the pair union read the diff — persist it so the
+            # diff subtree runs once (the merge persists the patch itself)
             d = snapshot_diff(
                 self.spark, self.base, v - 1, v, include_old=True
             ).persist()
-            new_pairs = self._pairs(
-                d.filter(F.col("change_type") != "delete"), self.tokens_col
-            ).persist()
-            old_pairs = self._pairs(
-                d.filter(F.col("change_type") != "insert"),
-                f"old_{self.tokens_col}",
-            ).persist()
             try:
-                adds = new_pairs.subtract(old_pairs)
-                dels = old_pairs.subtract(new_pairs)
+                # adds = new∖old and dels = old∖new in ONE (token, doc)
+                # aggregation over side-tagged raw pairs (no per-side
+                # distinct, no subtract — those cost 4 shuffles; this costs
+                # one, plus the (token, shard) regroup): max(side flags)
+                # collapses in-array multiplicity, and a token present on
+                # BOTH sides nets to no patch
+                new_raw = d.filter(F.col("change_type") != "delete").select(
+                    F.explode(F.col(self.tokens_col)).alias("token"),
+                    F.col(self.doc_col).alias("doc_id"),
+                    F.lit(1).alias("__n"),
+                    F.lit(0).alias("__o"),
+                )
+                old_raw = d.filter(F.col("change_type") != "insert").select(
+                    F.explode(F.col(f"old_{self.tokens_col}")).alias("token"),
+                    F.col(self.doc_col).alias("doc_id"),
+                    F.lit(0).alias("__n"),
+                    F.lit(1).alias("__o"),
+                )
+                delta = (
+                    new_raw.unionByName(old_raw)
+                    .select(F.col("token").cast("int").alias("token"),
+                            "doc_id", "__n", "__o")
+                    .groupBy("token", "doc_id")
+                    .agg(F.max("__n").alias("__n"), F.max("__o").alias("__o"))
+                    .filter(F.col("__n") != F.col("__o"))
+                )
                 patch = (
-                    adds.withColumn("__w", F.lit(1))
-                    .unionByName(dels.withColumn("__w", F.lit(-1)))
-                    .groupBy(
+                    delta.groupBy(
                         "token",
                         self._shard(F.col("doc_id"), F.col("token")).alias("shard"),
                     )
                     .agg(
                         F.sort_array(
                             F.collect_set(
-                                F.when(F.col("__w") > 0, F.col("doc_id"))
+                                F.when(F.col("__n") > F.col("__o"), F.col("doc_id"))
                             )
                         ).alias("add_ids"),
                         F.sort_array(
                             F.collect_set(
-                                F.when(F.col("__w") < 0, F.col("doc_id"))
+                                F.when(F.col("__o") > F.col("__n"), F.col("doc_id"))
                             )
                         ).alias("del_ids"),
                     )
@@ -233,8 +247,7 @@ class TokenIndex:
                     fence_token=f"{FENCE_PREFIX}{v}",
                 )
             finally:
-                for df in (new_pairs, old_pairs, d):
-                    df.unpersist(blocking=False)
+                d.unpersist(blocking=False)
             if not stats.skipped:
                 applied += 1
                 if self.max_postings is not None:
