@@ -227,6 +227,71 @@ def cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
+def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 4-batch out-of-order replay through write-audit-publish: each
+    batch is staged on a branch (its own manifest chain sharing the data dir),
+    the FULLY merged candidate state is audited, and main fast-forwards to the
+    branch head in one CAS commit (Iceberg's WAP pattern). A deliberately
+    poisoned fifth batch — deletes for every live key, individually valid
+    events — is audit-rejected: the branch is dropped, main's version and
+    state are untouched, and its fence stays unclaimed. Final state must equal
+    the SAME FINAL_STATE_SQL oracle as direct replay: the staging indirection
+    is invisible to correctness.
+
+    No reference analogue (the ES sink exposes every bulk write immediately)."""
+    from concepts_pipeline_spark.cdc.apply import BatchAuditError
+
+    log = derived_change_log(spark, sf_dir)
+    root = _scratch_dir("cps-wap-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        quarantine_path=f"{root}/quarantine",
+        num_buckets=16,
+        salt_buckets=4,
+    )
+
+    def audit(s, branch, result):
+        # table-level invariants over the candidate state: the publish must
+        # keep at least one live row, and no live row may carry a NULL/empty
+        # token array (validation should have quarantined those upstream)
+        live = branch.read(s).filter(~F.coalesce("_deleted", F.lit(False)))
+        n_live, n_bad = live.select(
+            F.count(F.lit(1)),
+            F.sum((F.col("tokens").isNull() | (F.size("tokens") == 0)).cast("int")),
+        ).first()
+        return n_live > 0 and int(n_bad or 0) == 0
+
+    for b in range(4):
+        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
+        pipe.apply_batch_wap(batch, fence_token=f"wap:{b}", audit=audit)
+
+    v_before = pipe.target.current_version()
+    poison = pipe.final_state().select(
+        "doc_id",
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit("D").alias("op"),
+        # strictly above every applied LSN (pmod keeps it non-negative — a
+        # signed xxhash64 could otherwise go stale and no-op the delete)
+        (F.lit(10**15) + F.pmod(F.xxhash64("doc_id"), F.lit(10**9))).alias("lsn"),
+    )
+    try:
+        pipe.apply_batch_wap(poison, fence_token="wap:poison", audit=audit)
+    except BatchAuditError:
+        pass
+    else:
+        raise AssertionError("poison batch passed the WAP audit")
+    if pipe.target.current_version() != v_before:
+        raise AssertionError("rejected WAP batch moved the main table")
+    if pipe.target.list_branches():
+        raise AssertionError("rejected WAP batch leaked its staging branch")
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
 def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME replay through Structured Streaming: land the derived change log
     as files, tail it with foreachBatch (checkpointed, fence-token exactly-once,
@@ -1650,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": cdc_replay_final_state,
         "cdc_replay_mor": cdc_replay_mor,
+        "cdc_wap_publish": cdc_wap_publish,
         "cdc_stream_final_state": cdc_stream_final_state,
         "cdc_stream_cascade": cdc_stream_cascade,
         "cdc_bootstrap_handoff": cdc_bootstrap_handoff,
@@ -1789,6 +1855,9 @@ def _oracle_sql_base() -> dict[str, str]:
     return {
         "cdc_replay_final_state": FINAL_STATE_JSON_SQL,
         "cdc_replay_mor": FINAL_STATE_JSON_SQL,
+        # WAP: staged-audited-published replay equals the direct-replay spec;
+        # the audit-rejected poison batch is asserted inside the query
+        "cdc_wap_publish": FINAL_STATE_JSON_SQL,
         "cdc_stream_final_state": FINAL_STATE_JSON_SQL,
         "cdc_replay_compacted": FINAL_STATE_JSON_SQL,
         "cdc_replay_rescaled": FINAL_STATE_JSON_SQL,

@@ -245,6 +245,27 @@ def cmd_stats(args) -> dict:
     return LakeTable(args.table).table_stats(args.version)
 
 
+def cmd_branch(args) -> dict:
+    """Branch lifecycle: create / list / publish / drop (write-audit-publish:
+    point any write command at the branch path via `stats`-style tooling,
+    audit with `diff`/`count`, then `branch --publish`)."""
+    from .lake import LakeTable
+
+    t = LakeTable(args.table)
+    if args.create:
+        b = t.create_branch(args.create, if_not_exists=args.if_not_exists)
+        return {"created": b.branch_name, "fork_version": b.fork_version()}
+    if args.publish:
+        m = t.publish_branch(args.publish)
+        if args.drop_after:
+            t.drop_branch(args.publish)
+        return {"published": args.publish, "main_version": m.version}
+    if args.drop:
+        t.drop_branch(args.drop)
+        return {"dropped": args.drop}
+    return {"branches": t.list_branches()}
+
+
 def cmd_diff(args) -> dict:
     from pyspark.sql import functions as F
 
@@ -457,6 +478,17 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--table", required=True)
     g.add_argument("--version", type=int, default=None)
     g.set_defaults(fn=cmd_stats)
+
+    g = sub.add_parser("branch", help="branch lifecycle (write-audit-publish)")
+    g.add_argument("--table", required=True)
+    g.add_argument("--create", metavar="NAME")
+    g.add_argument("--if-not-exists", action="store_true")
+    g.add_argument("--publish", metavar="NAME",
+                   help="fast-forward main to the branch head (fails if main moved)")
+    g.add_argument("--drop-after", action="store_true",
+                   help="drop the branch after a successful publish")
+    g.add_argument("--drop", metavar="NAME")
+    g.set_defaults(fn=cmd_branch)
 
     g = sub.add_parser(
         "diff",

@@ -153,6 +153,20 @@ class BatchRejectedError(RuntimeError):
         )
 
 
+class BatchAuditError(RuntimeError):
+    """Raised by apply_batch_wap when the audit callback rejects the staged
+    batch. The staging branch has been dropped; the main table is untouched
+    (no merge, no fence — the batch can be corrected and re-submitted under
+    the same fence token)."""
+
+    def __init__(self, fence_token: str, detail: str = ""):
+        self.fence_token = fence_token
+        super().__init__(
+            f"batch {fence_token!r} failed write-audit-publish audit"
+            + (f": {detail}" if detail else "")
+        )
+
+
 class CdcPipeline:
     """Owns the three tables (target, quarantine, lineage) and applies batches.
 
@@ -448,6 +462,81 @@ class CdcPipeline:
             except CommitConflict:
                 pass
         return ApplyResult(stats=stats, rows_in=rows_in, quarantined=n_rejects)
+
+    def apply_batch_wap(
+        self,
+        batch: DataFrame,
+        fence_token: str,
+        audit,
+        on_reject: str = "quarantine",
+        max_retries: int = 2,
+    ) -> ApplyResult:
+        """Write-audit-publish: stage the batch on a branch, audit the staged
+        state, then fast-forward main — the Iceberg WAP pattern for CDC
+        quality gates. ``audit(spark, branch_table, result) -> bool`` sees the
+        FULLY merged candidate state (not just the batch), so invariants like
+        "no NULL token arrays survive" or "live count within tolerance" are
+        checked against exactly what publish would expose. A False return
+        drops the branch and raises :class:`BatchAuditError`; main never
+        observes the batch, and its fence remains unclaimed for a corrected
+        resubmit. Exactly-once is unchanged: the branch forks with main's
+        fence set (an already-applied batch short-circuits before forking),
+        and publish carries the branch's fences back to main atomically with
+        the data.
+
+        Concurrency: a main commit landing between fork and publish makes the
+        publish non-fast-forward (CommitConflict) — the wrapper re-forks from
+        the new head and re-applies, same optimistic shape as merge_into.
+
+        Quarantine/lineage rows written while staging persist even when the
+        audit rejects: they are the audit trail of the ATTEMPT, not published
+        state (mirroring Iceberg WAP, which does not roll back external logs).
+
+        No reference analogue (the reference's ES sink exposes every bulk
+        write immediately); the audit hook is the engine-side home for the
+        reference's index-level validation jobs."""
+        from ..lake.table import CommitConflict
+
+        if self.changes is not None:
+            # the outbox announces per-key actions to downstream consumers as
+            # part of the merge itself — under WAP that would publish actions
+            # for a batch the audit may still reject. Outbox pipes must apply
+            # directly (or derive the outbox from snapshot_diff post-publish).
+            raise ValueError("apply_batch_wap is incompatible with changes_path")
+        if self.target.has_fence_token(fence_token):
+            return self.apply_batch(batch, fence_token, on_reject=on_reject)
+        if self.target.branch_name is not None:
+            raise ValueError("apply_batch_wap targets the main table view")
+        name = f"wap-{fence_token}"
+        main = self.target
+        attempt = 0
+        while True:
+            try:
+                # a crashed/stale attempt's branch forked from an older head —
+                # branch work is redoable (main's fence decides exactly-once),
+                # so always re-fork fresh
+                main.drop_branch(name)
+            except FileNotFoundError:
+                pass
+            branch = main.create_branch(name)
+            self.target = branch
+            try:
+                result = self.apply_batch(batch, fence_token, on_reject=on_reject)
+            finally:
+                self.target = main
+            if not audit(self.spark, branch, result):
+                main.drop_branch(name)
+                raise BatchAuditError(fence_token)
+            try:
+                main.publish_branch(name)
+            except CommitConflict:
+                attempt += 1
+                if attempt > max_retries:
+                    main.drop_branch(name)
+                    raise
+                continue
+            main.drop_branch(name)
+            return result
 
     def final_state(self, include_hidden: bool = False) -> DataFrame:
         """The user-visible table: tombstones filtered, hidden columns dropped.

@@ -40,6 +40,7 @@ from pyspark.sql.types import StructField, StructType
 from .schema import conform
 
 MANIFEST_DIR = "_manifests"
+BRANCH_DIR = "_branches"
 DATA_DIR = "data"
 
 # Sharded manifests: above this file count the root manifest stores
@@ -167,8 +168,15 @@ def bucket_expr(key_cols: list[str], num_buckets: int):
 
 
 class LakeTable:
-    def __init__(self, path: str):
+    def __init__(self, path: str, manifest_dir: str = MANIFEST_DIR,
+                 branch_name: str | None = None):
         self.path = os.path.abspath(path)
+        # main table: manifest_dir == MANIFEST_DIR, branch_name None.
+        # branch view: manifest_dir == _branches/<name>, its own linear CAS
+        # chain of full-snapshot manifests SHARING the main table's data/ dir
+        # (data files are immutable and uuid-named, so chains never collide).
+        self.manifest_dir = manifest_dir
+        self.branch_name = branch_name
 
     # ---------- DDL ----------
 
@@ -201,14 +209,14 @@ class LakeTable:
         return t
 
     def exists(self) -> bool:
-        return os.path.isdir(os.path.join(self.path, MANIFEST_DIR)) and bool(
+        return os.path.isdir(os.path.join(self.path, self.manifest_dir)) and bool(
             self._manifest_versions()
         )
 
     # ---------- snapshots ----------
 
     def _manifest_versions(self) -> list[int]:
-        d = os.path.join(self.path, MANIFEST_DIR)
+        d = os.path.join(self.path, self.manifest_dir)
         if not os.path.isdir(d):
             return []
         out = []
@@ -224,7 +232,7 @@ class LakeTable:
         return versions[-1]
 
     def _manifest_raw(self, version: int) -> dict:
-        p = os.path.join(self.path, MANIFEST_DIR, f"v{version:012d}.json")
+        p = os.path.join(self.path, self.manifest_dir, f"v{version:012d}.json")
         with open(p) as fh:
             return json.load(fh)
 
@@ -251,7 +259,7 @@ class LakeTable:
         a commit touching k buckets rewrites O(k/bucket_range) shard files,
         not the whole list. Losing/crashed attempts leave orphan shard files
         that expire_snapshots reclaims."""
-        d = os.path.join(self.path, MANIFEST_DIR)
+        d = os.path.join(self.path, self.manifest_dir)
         os.makedirs(d, exist_ok=True)
         payload = m.to_json()
         if len(m.files) > INLINE_FILES_MAX:
@@ -274,7 +282,7 @@ class LakeTable:
                 if br is not None and br.get("hash") == h:
                     refs.append(br)  # unchanged shard: carried by reference
                     continue
-                rel = os.path.join(MANIFEST_DIR, f"s-{h}.json")
+                rel = os.path.join(self.manifest_dir, f"s-{h}.json")
                 sp = os.path.join(self.path, rel)
                 if not os.path.exists(sp):  # content-addressed: write once
                     stmp = sp + f".tmp-{uuid.uuid4().hex}"
@@ -696,6 +704,129 @@ class LakeTable:
         self._write_manifest(m, base=cur)
         return m
 
+    # ---------- branches (write-audit-publish) ----------
+    #
+    # A branch is its own linear manifest chain under _branches/<name>/,
+    # sharing the main table's data/ directory (Iceberg's branch refs, realized
+    # as per-chain CAS instead of a shared refs map — the same lock-free
+    # link(2) commit protocol guards each chain independently). Creating a
+    # branch hardlinks the current main manifest into the branch dir, so the
+    # fork costs O(1) metadata and zero data copies; every existing writer
+    # (merge_into, DML, compaction, schema DDL) works on a branch unchanged
+    # because a branch IS a LakeTable. Publish fast-forwards main to the
+    # branch head with one ordinary CAS commit — the write-audit-publish
+    # pattern: stage a batch on a branch, audit it, then expose it atomically.
+
+    def _branch_dir(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid branch name {name!r}")
+        return os.path.join(BRANCH_DIR, name)
+
+    def create_branch(self, name: str, if_not_exists: bool = False) -> "LakeTable":
+        """Fork a branch at the current snapshot. Atomic: the hardlink of the
+        fork manifest is the creation; two racing creators get EEXIST."""
+        if self.branch_name is not None:
+            raise ValueError("cannot create a branch from a branch")
+        rel = self._branch_dir(name)
+        bdir = os.path.join(self.path, rel)
+        os.makedirs(bdir, exist_ok=True)
+        cur = self.current_version()
+        src = os.path.join(self.path, self.manifest_dir, f"v{cur:012d}.json")
+        dst = os.path.join(bdir, f"v{cur:012d}.json")
+        try:
+            os.link(src, dst)
+        except FileExistsError:
+            if not if_not_exists:
+                raise FileExistsError(f"branch {name!r} already exists")
+        return LakeTable(self.path, manifest_dir=rel, branch_name=name)
+
+    def branch(self, name: str) -> "LakeTable":
+        rel = self._branch_dir(name)
+        b = LakeTable(self.path, manifest_dir=rel, branch_name=name)
+        if not b.exists():
+            raise FileNotFoundError(f"no branch {name!r} at {self.path}")
+        return b
+
+    def list_branches(self) -> list[str]:
+        d = os.path.join(self.path, BRANCH_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d)
+            if os.path.isdir(os.path.join(d, n))
+            and LakeTable(self.path, os.path.join(BRANCH_DIR, n), n).exists()
+        )
+
+    def fork_version(self) -> int:
+        """Branch view only: the main-table version this branch forked at (the
+        chain's lowest manifest — the hardlinked fork snapshot)."""
+        if self.branch_name is None:
+            raise ValueError("fork_version is a branch-view property")
+        return self._manifest_versions()[0]
+
+    def publish_branch(self, name: str) -> Manifest:
+        """Fast-forward main to the branch head (the WAP 'publish' step).
+
+        Requires main unmoved since the fork — a concurrent main commit means
+        the branch folded from a stale base, so publishing would silently drop
+        that commit; that is a CommitConflict, not a merge. The branch's fence
+        tokens (a superset of the fork's) carry over, so a batch applied on
+        the branch fences identically on main after publish — replaying it
+        against main is a no-op, exactly-once end to end."""
+        if self.branch_name is not None:
+            raise ValueError("publish from the main table view")
+        b = self.branch(name)
+        head = b.manifest()
+        fork = b.fork_version()
+        cur = self.manifest()
+        if cur.version != fork:
+            raise CommitConflict(
+                f"main advanced to v{cur.version} since branch {name!r} forked "
+                f"at v{fork} — re-fork and replay (fast-forward only)"
+            )
+        if head.version == fork:
+            return cur  # nothing committed on the branch
+        m = Manifest(
+            version=cur.version + 1,
+            schema_json=head.schema_json,
+            key_cols=head.key_cols,
+            num_buckets=head.num_buckets,
+            files=head.files,
+            schemas=dict(head.schemas),
+            fence_tokens=list(head.fence_tokens),
+            summary={"operation": "publish", "branch": name,
+                     "branch_version": head.version,
+                     "committed_at_ms": int(time.time() * 1000)},
+            properties=head.properties,
+        )
+        self._write_manifest(m, base=cur)
+        return m
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch chain. Data files only it referenced become
+        orphans; the next expire_snapshots orphan sweep reclaims them past
+        the age grace."""
+        if self.branch_name is not None:
+            raise ValueError("drop from the main table view")
+        bdir = os.path.join(self.path, self._branch_dir(name))
+        if not os.path.isdir(bdir):
+            raise FileNotFoundError(f"no branch {name!r} at {self.path}")
+        shutil.rmtree(bdir)
+
+    def _branch_live_paths(self) -> tuple[set[str], set[str]]:
+        """(data paths, shard paths) referenced by ANY version of ANY live
+        branch — pinned against expire_snapshots on the main chain."""
+        data: set[str] = set()
+        shards: set[str] = set()
+        for name in self.list_branches():
+            b = self.branch(name)
+            for v in b._manifest_versions():
+                raw = b._manifest_raw(v)
+                for r in raw.get("files_shards") or []:
+                    shards.add(r["path"])
+                data.update(f.path for f in b.manifest(v).files)
+        return data, shards
+
     def table_stats(self, version: int | None = None) -> dict:
         """Operational summary of a snapshot: file/row/bucket counts, delta
         ratio (MoR health — drives compaction), snapshot count, schema id."""
@@ -737,10 +868,22 @@ class LakeTable:
         margin, not a tuning knob to shrink)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        if self.branch_name is not None:
+            # a branch view sees only its own chain — its orphan sweep would
+            # reclaim every main-chain data file as unreferenced
+            raise ValueError("expire_snapshots runs on the main table view")
         versions = self._manifest_versions()
         keep = versions[-keep_last:]
         drop = versions[:-keep_last]
         live = {f.path for v in keep for f in self.manifest(v).files}
+        # live branches pin everything their chains reference (data written on
+        # a branch appears in NO main manifest; the fork manifest's shards may
+        # belong to a main version being dropped) — only drop_branch releases
+        # these, after which the orphan sweep reclaims them
+        branch_data, branch_shards = (
+            self._branch_live_paths() if self.branch_name is None else (set(), set())
+        )
+        live |= branch_data
         dropped_refs = {f.path for v in drop for f in self.manifest(v).files}
         removed_files = 0
         # files referenced only by dropped manifests: committed once, now
@@ -793,19 +936,19 @@ class LakeTable:
                     out.add(r["path"])
             return out
 
-        live_shards = shard_paths(keep)
+        live_shards = shard_paths(keep) | branch_shards
         for rel in shard_paths(drop) - live_shards:
             try:
                 os.unlink(os.path.join(self.path, rel))
                 removed_files += 1
             except FileNotFoundError:
                 pass
-        mdir = os.path.join(self.path, MANIFEST_DIR)
-        all_shards = shard_paths(self._manifest_versions())
+        mdir = os.path.join(self.path, self.manifest_dir)
+        all_shards = shard_paths(self._manifest_versions()) | branch_shards
         for name in os.listdir(mdir):
             if not (name.startswith("s-") and name.endswith(".json")):
                 continue
-            rel = os.path.join(MANIFEST_DIR, name)
+            rel = os.path.join(self.manifest_dir, name)
             if rel in all_shards:
                 continue
             p = os.path.join(mdir, name)
@@ -816,7 +959,7 @@ class LakeTable:
             except OSError:
                 continue
         for v in drop:
-            os.unlink(os.path.join(self.path, MANIFEST_DIR, f"v{v:012d}.json"))
+            os.unlink(os.path.join(self.path, self.manifest_dir, f"v{v:012d}.json"))
         return (len(drop), removed_files)
 
 

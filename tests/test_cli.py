@@ -135,6 +135,39 @@ def test_cli_rollback_and_stats(spark, tmp_path, capsys):
     assert pipe.final_state().count() == 1
 
 
+def test_cli_branch_lifecycle(spark, tmp_path, capsys):
+    import json
+
+    from concepts_pipeline_spark.__main__ import main
+    from concepts_pipeline_spark.cdc.apply import CdcPipeline
+    from tests.test_cdc_apply import TARGET_SCHEMA
+
+    LOG = ("lsn long, op string, doc_id string, tokens array<int>, "
+           "n_tok int, source string")
+    pipe = CdcPipeline(spark, str(tmp_path / "t"), TARGET_SCHEMA, ["doc_id"],
+                       num_buckets=2, salt_buckets=2)
+    pipe.apply_batch(
+        spark.createDataFrame([(1, "I", "a", [1], 1, "s")], LOG), "c:1")
+    table = str(tmp_path / "t")
+
+    out = run(capsys, ["branch", "--table", table, "--create", "wap"])
+    assert out["created"] == "wap" and out["fork_version"] >= 1
+    # stage a batch onto the branch by swapping the pipeline's target view
+    pipe.target = pipe.target.branch("wap")
+    pipe.apply_batch(
+        spark.createDataFrame([(2, "I", "b", [2], 1, "s")], LOG), "c:2")
+    pipe.target = LakeTable(table)
+
+    out = run(capsys, ["branch", "--table", table])
+    assert out["branches"] == ["wap"]
+    out = run(capsys, ["branch", "--table", table, "--publish", "wap",
+                       "--drop-after"])
+    assert out["published"] == "wap"
+    assert pipe.final_state().count() == 2
+    out = run(capsys, ["branch", "--table", table])
+    assert out["branches"] == []
+
+
 def test_cli_view_refresh(spark, tmp_path, capsys):
     feed = derived_change_log(spark, SF).withColumn(
         "batch_id", F.pmod(F.col("lsn"), F.lit(2))
