@@ -266,6 +266,20 @@ def cmd_branch(args) -> dict:
     return {"branches": t.list_branches()}
 
 
+def cmd_tag(args) -> dict:
+    """Named immutable snapshots (dataset release pins — survive expiry)."""
+    from .lake import LakeTable
+
+    t = LakeTable(args.table)
+    if args.create:
+        v = t.create_tag(args.create, version=args.version)
+        return {"created": args.create, "version": v}
+    if args.drop:
+        t.drop_tag(args.drop)
+        return {"dropped": args.drop}
+    return {"tags": t.list_tags()}
+
+
 def cmd_diff(args) -> dict:
     from pyspark.sql import functions as F
 
@@ -489,6 +503,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drop the branch after a successful publish")
     g.add_argument("--drop", metavar="NAME")
     g.set_defaults(fn=cmd_branch)
+
+    g = sub.add_parser("tag", help="named immutable snapshots (release pins)")
+    g.add_argument("--table", required=True)
+    g.add_argument("--create", metavar="NAME")
+    g.add_argument("--version", type=int, default=None,
+                   help="snapshot to pin (default: current)")
+    g.add_argument("--drop", metavar="NAME")
+    g.set_defaults(fn=cmd_tag)
 
     g = sub.add_parser(
         "diff",

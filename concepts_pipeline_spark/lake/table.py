@@ -41,6 +41,7 @@ from .schema import conform
 
 MANIFEST_DIR = "_manifests"
 BRANCH_DIR = "_branches"
+TAG_DIR = "_tags"
 DATA_DIR = "data"
 
 # Sharded manifests: above this file count the root manifest stores
@@ -813,9 +814,73 @@ class LakeTable:
             raise FileNotFoundError(f"no branch {name!r} at {self.path}")
         shutil.rmtree(bdir)
 
+    # ---------- tags (named immutable snapshots) ----------
+    #
+    # A tag hardlinks one manifest to _tags/<name>.json: a frozen, named
+    # snapshot (Iceberg tags; the natural home for training-data release
+    # pins — "the exact table state run X trained on"). Tags survive
+    # expire_snapshots: the expiry pins every file/shard a tag references,
+    # so a release stays readable after its version leaves the time-travel
+    # window; drop_tag releases it to the ordinary orphan sweep.
+
+    def _tag_path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        return os.path.join(self.path, TAG_DIR, f"{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under a name. Atomic (link(2)); racing creators get
+        EEXIST. Returns the pinned version."""
+        v = self.current_version() if version is None else version
+        src = os.path.join(self.path, self.manifest_dir, f"v{v:012d}.json")
+        if not os.path.exists(src):
+            raise FileNotFoundError(f"no snapshot v{v} to tag")
+        dst = self._tag_path(name)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except FileExistsError:
+            raise FileExistsError(f"tag {name!r} already exists") from None
+        return v
+
+    def tag_manifest(self, name: str) -> Manifest:
+        p = self._tag_path(name)
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+        except FileNotFoundError:
+            raise FileNotFoundError(f"no tag {name!r} at {self.path}") from None
+        m = Manifest.from_json(d)
+        refs = d.get("files_shards")
+        if refs:
+            files: list[DataFileEntry] = []
+            for r in refs:
+                with open(os.path.join(self.path, r["path"])) as fh:
+                    files.extend(DataFileEntry.from_json(x) for x in json.load(fh))
+            m.files = files
+            m.shard_refs = refs
+        return m
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        m = self.tag_manifest(name)
+        return self._read_files(spark, m, m.files)
+
+    def list_tags(self) -> list[str]:
+        d = os.path.join(self.path, TAG_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(n[:-5] for n in os.listdir(d) if n.endswith(".json"))
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.unlink(self._tag_path(name))
+        except FileNotFoundError:
+            raise FileNotFoundError(f"no tag {name!r} at {self.path}") from None
+
     def _branch_live_paths(self) -> tuple[set[str], set[str]]:
         """(data paths, shard paths) referenced by ANY version of ANY live
-        branch — pinned against expire_snapshots on the main chain."""
+        branch OR any tag — pinned against expire_snapshots on the main
+        chain."""
         data: set[str] = set()
         shards: set[str] = set()
         for name in self.list_branches():
@@ -825,6 +890,11 @@ class LakeTable:
                 for r in raw.get("files_shards") or []:
                     shards.add(r["path"])
                 data.update(f.path for f in b.manifest(v).files)
+        for name in self.list_tags():
+            m = self.tag_manifest(name)
+            for r in m.shard_refs or []:
+                shards.add(r["path"])
+            data.update(f.path for f in m.files)
         return data, shards
 
     def table_stats(self, version: int | None = None) -> dict:

@@ -155,6 +155,55 @@ def test_expire_pins_branch_files(spark, tmp_path):
     assert set(_state(spark, t)) == {"a", "c"}
 
 
+def test_tag_pins_release_across_expiry(spark, tmp_path):
+    """A tag is a frozen named snapshot (training-data release pin): it stays
+    byte-identical and readable after the tagged version leaves the
+    time-travel window and its files would otherwise be vacuumed."""
+    t = _table(spark, tmp_path)
+    merge_into(spark, t, _events(spark, [("a", [1], 1, "s", "U", 1)]),
+               fence_token="b1", lsn_col="lsn")
+    v = t.create_tag("release-1")
+    assert v == t.current_version()
+    assert t.list_tags() == ["release-1"]
+    with pytest.raises(FileExistsError):
+        t.create_tag("release-1")
+    with pytest.raises(ValueError):
+        t.create_tag("bad/name")
+    # the table moves on: 'a' is overwritten, old versions expire + vacuum
+    merge_into(spark, t, _events(spark, [("a", [9, 9], 2, "s", "U", 2),
+                                         ("b", [2], 1, "s", "U", 2)]),
+               fence_token="b2", lsn_col="lsn")
+    tagged_files = {f.path for f in t.tag_manifest("release-1").files}
+    t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    for rel in tagged_files:
+        assert os.path.exists(os.path.join(t.path, rel))
+    pinned = {r["doc_id"]: list(r["tokens"])
+              for r in t.read_tag(spark, "release-1").collect()}
+    assert pinned == {"a": [1]}
+    assert {r["doc_id"] for r in t.read(spark).collect()} == {"a", "b"}
+    # dropping the tag releases its files to the orphan sweep
+    t.drop_tag("release-1")
+    with pytest.raises(FileNotFoundError):
+        t.tag_manifest("release-1")
+    t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+    live_now = {f.path for f in t.manifest().files}
+    for rel in tagged_files - live_now:
+        assert not os.path.exists(os.path.join(t.path, rel))
+
+
+def test_tag_pins_explicit_version(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    merge_into(spark, t, _events(spark, [("a", [1], 1, "s", "U", 1)]),
+               fence_token="b1", lsn_col="lsn")
+    v1 = t.current_version()
+    merge_into(spark, t, _events(spark, [("b", [2], 1, "s", "U", 2)]),
+               fence_token="b2", lsn_col="lsn")
+    assert t.create_tag("old", version=v1) == v1
+    assert {r["doc_id"] for r in t.read_tag(spark, "old").collect()} == {"a"}
+    with pytest.raises(FileNotFoundError):
+        t.create_tag("ghost", version=999)
+
+
 @pytest.fixture(scope="module")
 def wap_log(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("wap") / "log")

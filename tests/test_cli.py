@@ -167,6 +167,13 @@ def test_cli_branch_lifecycle(spark, tmp_path, capsys):
     out = run(capsys, ["branch", "--table", table])
     assert out["branches"] == []
 
+    out = run(capsys, ["tag", "--table", table, "--create", "rel-1"])
+    assert out["created"] == "rel-1" and out["version"] >= 1
+    out = run(capsys, ["tag", "--table", table])
+    assert out["tags"] == ["rel-1"]
+    out = run(capsys, ["tag", "--table", table, "--drop", "rel-1"])
+    assert out["dropped"] == "rel-1"
+
 
 def test_cli_view_refresh(spark, tmp_path, capsys):
     feed = derived_change_log(spark, SF).withColumn(
