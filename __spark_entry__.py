@@ -1115,6 +1115,18 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (curation.shuffle_epoch): a reproducible
+    global permutation keyed only by (seed, doc_id) — epoch ordering for
+    training-data loaders, identical on any cluster topology. The engine runs
+    the two-phase distributed prefix-rank (NO single-partition sort); the
+    oracle is the naive global window."""
+    from concepts_pipeline_spark.operators.curation import shuffle_epoch
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_epoch(docs, seed=42).select("doc_id", "position")
+
+
 def q_cap_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget capping (curation.cap_tokens_per_source): keep the
     hash-ordered prefix of each source within a fixed budget. The engine runs
@@ -1766,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "repetition_quality": q_repetition_quality,
         "hash_split": q_hash_split,
+        "epoch_shuffle": q_epoch_shuffle,
         "cap_tokens_per_source": q_cap_tokens_per_source,
         "token_mixture": q_token_mixture,
         "lang_id": q_lang_id,
@@ -2504,6 +2517,15 @@ def _oracle_sql_base() -> dict[str, str]:
         # uses; lexicographic compare of fixed-length lowercase hex == numeric
         "hash_split": f"""
             SELECT doc_id, {_hash_split_case_sql()} AS split FROM documents
+        """,
+        # the naive global-window spec; the engine's distributed two-phase
+        # prefix rank must produce the identical permutation
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY md5('42' || chr(31) || CAST(doc_id AS VARCHAR)),
+                                 CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS position
+            FROM documents
         """,
         # the naive declarative spec: one window over the whole corpus ordered
         # by (md5, key) per source; the engine's bucketed two-phase plan must

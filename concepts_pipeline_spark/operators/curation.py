@@ -217,3 +217,40 @@ def mix_sources(
         budget=budgets,
         salt=salt,
     )
+
+
+def shuffle_epoch(
+    df: DataFrame,
+    seed: int | str,
+    key_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic epoch shuffle: add ``position`` — the row's rank in a
+    reproducible global permutation keyed only by ``(seed, key)``. Each
+    training epoch shuffles with its own seed; re-running the pipeline (on
+    any cluster topology) reproduces the identical order, unlike
+    ``rand(seed)``, whose values depend on partition layout.
+
+    Scale shape (the 100 TB question): NO single-partition global sort. The
+    md5 rank key is uniform, so ``repartitionByRange`` over it splits evenly;
+    the global position is recovered by the same two-phase distributed prefix
+    sum as sequence packing (tokenops.global_running_offsets): per-partition
+    local ranks in parallel, then an exclusive scan over O(P) partition
+    totals broadcast back. Keys must be unique (they are the permutation
+    domain); ties are impossible because the key itself is the rank
+    tie-break.
+    """
+    from .tokenops import global_running_offsets
+
+    key_s = F.col(key_col).cast("string")
+    rk = F.concat(
+        F.md5(F.concat_ws("\x1f", F.lit(str(seed)), key_s)),
+        F.lit("\x1f"),
+        key_s,
+    )
+    tagged = df.withColumn("__rk", rk).withColumn("__one", F.lit(1))
+    out = global_running_offsets(tagged, "__one", "__rk", num_partitions)
+    return (
+        out.withColumn("position", (F.col("tok_end") - F.lit(1)).cast("long"))
+        .drop("__rk", "__one", "tok_start", "tok_end")
+    )

@@ -181,3 +181,27 @@ def test_cap_dict_budget_drops_unlisted_source_even_zero_token_docs(spark):
         budget={"listed": 100, "unlisted": 0},
     )
     assert {r["doc_id"] for r in kept0.collect()} == {"a", "b"}
+
+
+def test_shuffle_epoch_is_deterministic_permutation(spark):
+    from concepts_pipeline_spark.operators.curation import shuffle_epoch
+
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", i % 3) for i in range(97)], "doc_id string, x int"
+    )
+    a = {r["doc_id"]: r["position"]
+         for r in shuffle_epoch(docs, seed=1, num_partitions=7).collect()}
+    b = {r["doc_id"]: r["position"]
+         for r in shuffle_epoch(docs, seed=1, num_partitions=3).collect()}
+    c = {r["doc_id"]: r["position"]
+         for r in shuffle_epoch(docs, seed=2, num_partitions=7).collect()}
+    # a permutation of 0..n-1
+    assert sorted(a.values()) == list(range(97))
+    # identical across topology (partition count must not matter)
+    assert a == b
+    # a different epoch seed is a different permutation
+    assert a != c
+    assert sorted(c.values()) == list(range(97))
+    # payload columns ride along untouched
+    row = shuffle_epoch(docs, seed=1).filter("doc_id = 'd005'").first()
+    assert row["x"] == 5 % 3
