@@ -51,6 +51,7 @@ def run_stream(
     schema=None,
     feed_format: str = "parquet",
     after_batch: Callable[[int, ApplyResult], None] | None = None,
+    audit: Callable[[SparkSession, object, ApplyResult], bool] | None = None,
 ) -> StreamHandle:
     """Tail a landed change-log directory and apply each micro-batch exactly once.
 
@@ -61,6 +62,13 @@ def run_stream(
     view's own fences make the whole chain exactly-once even if the stream
     dies between the apply and the hook — the next trigger's hook folds the
     missed commits; tests/test_incremental_view.py streaming test).
+    ``audit`` switches every micro-batch to write-audit-publish
+    (CdcPipeline.apply_batch_wap): the batch stages on a branch, the audit
+    sees the fully merged candidate state, and main only moves on publish. A
+    rejection raises BatchAuditError inside foreachBatch, stopping the stream
+    with main untouched and the fence unclaimed — restart replays the SAME
+    micro-batch from the checkpoint (deterministic offsets), so a corrected
+    audit (or feed fix) resumes exactly where the gate closed.
     """
     from ..cdc.feed import read_change_feed
 
@@ -69,7 +77,12 @@ def run_stream(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
             on_batch(batch_id, batch_df)
-        res = pipe.apply_batch(batch_df, fence_token=f"{name}:{batch_id}")
+        if audit is not None:
+            res = pipe.apply_batch_wap(
+                batch_df, fence_token=f"{name}:{batch_id}", audit=audit
+            )
+        else:
+            res = pipe.apply_batch(batch_df, fence_token=f"{name}:{batch_id}")
         applied.append((batch_id, res))
         if after_batch is not None:
             after_batch(batch_id, res)

@@ -153,3 +153,47 @@ def test_kill_and_resume_mor_with_compaction(spark, log_dir, tmp_path):
     # fold all remaining deltas and re-check (read path vs compacted base)
     compact(spark, pipe2.target, max_delta_files_per_bucket=0)
     assert engine_state(pipe2.final_state()) == oracle(log_dir)
+
+
+def test_streaming_wap_audit_gate_and_resume(spark, log_dir, tmp_path):
+    """Streaming + write-audit-publish: every micro-batch stages on a branch
+    and publishes only after the audit passes. An audit rejection stops the
+    stream with main untouched and the fence unclaimed; a restart from the
+    SAME checkpoint re-delivers the gated batch, and with the audit passing
+    the stream converges to the exact oracle state — the WAP gate composes
+    with exactly-once instead of fighting it."""
+    from concepts_pipeline_spark.cdc.apply import BatchAuditError
+
+    pipe = make_pipe(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    state = {"seen": 0}
+
+    def reject_third(s, branch, result):
+        state["seen"] += 1
+        return state["seen"] != 3  # audit closes the gate on the third batch
+
+    h1 = run_stream(
+        spark, pipe, log_dir, ckpt, name="wap-stream",
+        max_files_per_trigger=2, audit=reject_third,
+    )
+    with pytest.raises(Exception):
+        h1.query.awaitTermination()
+    assert len(h1.applied) == 2  # two published, third rejected
+    v_after_two = pipe.target.current_version()
+    assert not pipe.target.has_fence_token("wap-stream:2")
+    assert pipe.target.list_branches() == []
+
+    # restart from the same checkpoint with the audit passing: the gated
+    # batch is re-delivered first, then the tail drains
+    pipe2 = make_pipe(spark, tmp_path)
+    h2 = run_stream(
+        spark, pipe2, log_dir, ckpt, name="wap-stream",
+        max_files_per_trigger=2, audit=lambda s, br, r: True,
+    )
+    h2.query.awaitTermination()
+    assert pipe2.target.current_version() > v_after_two
+    assert engine_state(pipe2.final_state()) == oracle(log_dir)
+    tokens = pipe2.target.manifest().fence_tokens
+    assert len(tokens) == len(set(tokens))
+    assert pipe2.target.list_branches() == []
