@@ -224,6 +224,7 @@ def shuffle_epoch(
     seed: int | str,
     key_col: str = "doc_id",
     num_partitions: int | None = None,
+    _checkpoint: bool = True,
 ) -> DataFrame:
     """Deterministic epoch shuffle: add ``position`` — the row's rank in a
     reproducible global permutation keyed only by ``(seed, key)``. Each
@@ -249,7 +250,9 @@ def shuffle_epoch(
         key_s,
     )
     tagged = df.withColumn("__rk", rk).withColumn("__one", F.lit(1))
-    out = global_running_offsets(tagged, "__one", "__rk", num_partitions)
+    out = global_running_offsets(
+        tagged, "__one", "__rk", num_partitions, _checkpoint=_checkpoint
+    )
     return (
         out.withColumn("position", (F.col("tok_end") - F.lit(1)).cast("long"))
         .drop("__rk", "__one", "tok_start", "tok_end")

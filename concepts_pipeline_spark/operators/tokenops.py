@@ -41,6 +41,7 @@ def global_running_offsets(
     len_col: str,
     order_col: str,
     num_partitions: int | None = None,
+    _checkpoint: bool = True,
 ) -> DataFrame:
     """Add ``tok_start``/``tok_end`` — the global exclusive/inclusive running
     totals of ``len_col`` in ``order_col`` order — without a global
@@ -70,7 +71,12 @@ def global_running_offsets(
     w = Window.partitionBy("__pid").orderBy(order_col)
     local = parts.withColumn(
         "__local_end", F.sum(F.col(len_col).cast("long")).over(w)
-    ).localCheckpoint()
+    )
+    if _checkpoint:
+        # pins the range partition ids (see docstring); _checkpoint=False is
+        # for plan inspection ONLY (tools/plan_audit.py) — the checkpoint
+        # truncates explain() lineage, hiding the range exchange it asserts on
+        local = local.localCheckpoint()
     totals = local.groupBy("__pid").agg(F.max("__local_end").alias("__total"))
     # exclusive scan over one row per partition: single-partition window over
     # P metadata rows, not a data-path bottleneck

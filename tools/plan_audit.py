@@ -146,6 +146,27 @@ def main() -> None:
                          r"ObjectHashAggregate[\s\S]*Exchange[\s\S]*ObjectHashAggregate"))
     sections.append(("sequence packing — broadcast offsets + partial reassembly", p))
 
+    # 8b. epoch shuffle: same prefix-sum discipline as packing — rank locally
+    #     within range partitions, broadcast the O(P) offsets back; the only
+    #     unpartitioned window is over the P partition-total rows (metadata)
+    from concepts_pipeline_spark.operators.curation import shuffle_epoch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # _checkpoint=False ONLY so explain() shows the lineage the checkpoint
+    # would truncate — the executed query (q_epoch_shuffle) keeps the pin
+    sh = shuffle_epoch(docs, seed=42, _checkpoint=False).select("doc_id", "position")
+    p = explain_str(sh)
+    results.append(check("epoch shuffle has NO cartesian/nested-loop join", p,
+                         r"(CartesianProduct|BroadcastNestedLoopJoin)",
+                         must_match=False))
+    results.append(check("epoch shuffle broadcasts the per-partition offsets", p,
+                         r"BroadcastHashJoin"))
+    results.append(check("epoch shuffle range-partitions the rank key (no global sort of the data)", p,
+                         r"rangepartitioning\(__rk"))
+    results.append(check("epoch shuffle ranks locally per range partition", p,
+                         r"windowspecdefinition\(__pid"))
+    sections.append(("epoch shuffle — range-partitioned local ranks + broadcast offsets", p))
+
     # 9. repetition features: the n-gram stream must aggregate with map-side
     #    partials (two hash aggregations, no Window over the exploded stream),
     #    and the per-doc pivot is a conditional aggregate, not a join per n
