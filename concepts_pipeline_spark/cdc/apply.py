@@ -167,6 +167,18 @@ class BatchAuditError(RuntimeError):
         )
 
 
+def staged_changes(spark: SparkSession, branch) -> DataFrame:
+    """What a WAP publish would change: the CDF diff between the branch's fork
+    snapshot and its head, computed inside the branch's own chain. This is the
+    scale-correct audit input — O(changed buckets), never O(table) — for
+    invariants over the batch's effect ("no key lost its tokens", "delete
+    volume within tolerance"). Audits that scan the whole candidate state
+    (branch.read) are fine at test scale but pay O(table) per batch."""
+    from ..lake.diff import snapshot_diff
+
+    return snapshot_diff(spark, branch, branch.fork_version(), branch.current_version())
+
+
 class CdcPipeline:
     """Owns the three tables (target, quarantine, lineage) and applies batches.
 

@@ -266,6 +266,26 @@ def test_wap_replay_equals_direct_replay(spark, wap_log, tmp_path):
     assert res.stats.skipped
 
 
+def test_staged_changes_is_the_scoped_audit_input(spark, tmp_path):
+    """staged_changes(branch) = the CDF diff fork→head inside the branch
+    chain: exactly what publish would change, O(changed buckets) — the
+    scale-correct audit input."""
+    from concepts_pipeline_spark.cdc.apply import staged_changes
+
+    t = _table(spark, tmp_path)
+    merge_into(spark, t, _events(spark, [("a", [1], 1, "s", "U", 1),
+                                         ("b", [2], 1, "s", "U", 1)]),
+               fence_token="b1", lsn_col="lsn")
+    br = t.create_branch("wap")
+    merge_into(spark, br, _events(spark, [("a", [7, 7], 2, "s", "U", 2),
+                                          ("b", None, None, None, "D", 2),
+                                          ("c", [3], 1, "s", "I", 2)]),
+               fence_token="b2", lsn_col="lsn")
+    got = {r["doc_id"]: r["change_type"]
+           for r in staged_changes(spark, br).collect()}
+    assert got == {"a": "update", "b": "delete", "c": "insert"}
+
+
 def test_wap_audit_rejection_leaves_main_untouched(spark, tmp_path):
     pipe = _wap_pipe(spark, tmp_path)
     ok_batch = _events(spark, [("a", [1, 2], 2, "s", "U", 1)])
