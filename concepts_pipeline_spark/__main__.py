@@ -201,10 +201,31 @@ def cmd_stream(args) -> dict:
         num_buckets=args.buckets,
         strategy=args.strategy,
     )
+    audit = None
+    if args.wap_max_delete_frac is not None:
+        # built-in WAP gate: reject any micro-batch whose staged deletes
+        # exceed the fraction of the pre-batch live count — the classic
+        # "a bad upstream migration just tombstoned half the table" guard
+        from .cdc.apply import staged_changes
+
+        frac = args.wap_max_delete_frac
+
+        def audit(s, branch, result):
+            import pyspark.sql.functions as SF
+
+            before = branch.count_live(branch.fork_version()) or 0
+            dels = (
+                staged_changes(s, branch)
+                .filter(SF.col("change_type") == "delete")
+                .count()
+            )
+            return before == 0 or dels <= frac * before
+
     schema = spark.read.parquet(args.feed).schema
     h = run_stream(
         spark, pipe, args.feed, args.checkpoint,
         max_files_per_trigger=args.max_files_per_trigger, schema=schema,
+        audit=audit,
     )
     h.query.awaitTermination()
     return {
@@ -471,6 +492,10 @@ def build_parser() -> argparse.ArgumentParser:
         else:
             g.add_argument("--checkpoint", required=True)
             g.add_argument("--max-files-per-trigger", type=int, default=4)
+            g.add_argument("--wap-max-delete-frac", type=float, default=None,
+                           help="gate every micro-batch through write-audit-"
+                                "publish; reject if staged deletes exceed this "
+                                "fraction of the pre-batch live count")
         g.set_defaults(fn=fn)
 
     g = sub.add_parser("compact", help="fold merge-on-read deltas back to base files")

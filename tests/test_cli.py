@@ -175,6 +175,49 @@ def test_cli_branch_lifecycle(spark, tmp_path, capsys):
     assert out["dropped"] == "rel-1"
 
 
+def test_cli_stream_wap_delete_gate(spark, tmp_path, capsys):
+    """CLI stream --wap-max-delete-frac: a delete-heavy micro-batch is
+    audit-rejected (stream errors out, main untouched); rerunning with a
+    permissive gate from the same checkpoint converges."""
+    import pytest as _pytest
+
+    from concepts_pipeline_spark.lake import LakeTable
+
+    feed = str(tmp_path / "feed")
+    # file 0: three inserts; file 1: deletes for two of three keys (66% > 50%)
+    spark.createDataFrame(
+        [(1, "I", "a", [1], 1, "s"), (2, "I", "b", [2], 1, "s"),
+         (3, "I", "c", [3], 1, "s")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1).write.parquet(f"file://{feed}/f0")
+    spark.createDataFrame(
+        [(4, "D", "a", None, None, None), (5, "D", "b", None, None, None)],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1).write.parquet(f"file://{feed}/f1")
+    import glob
+    import shutil
+    flat = str(tmp_path / "flat")
+    import os as _os
+    _os.makedirs(flat)
+    for i, src in enumerate(sorted(glob.glob(f"{feed}/f*/part-*.parquet"))):
+        shutil.copy(src, f"{flat}/{i:02d}.parquet")
+
+    target = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    argv = ["stream", "--feed", flat, "--target", target,
+            "--checkpoint", ckpt, "--max-files-per-trigger", "1",
+            "--wap-max-delete-frac", "0.5"]
+    from concepts_pipeline_spark.__main__ import main
+    with _pytest.raises(Exception):
+        main(argv)
+    t = LakeTable(target)
+    assert t.list_branches() == []
+    assert {r["doc_id"] for r in t.read(spark).collect()} == {"a", "b", "c"}
+    # permissive gate from the same checkpoint: the gated batch re-delivers
+    out = run(capsys, argv[:-1] + ["1.0"])
+    assert out["final_rows"] == 1
+
+
 def test_cli_view_refresh(spark, tmp_path, capsys):
     feed = derived_change_log(spark, SF).withColumn(
         "batch_id", F.pmod(F.col("lsn"), F.lit(2))

@@ -91,7 +91,7 @@ def _jvm_cpu_seconds() -> float:
 
 
 def worker(cpus: int, num_batches: int, single_batch: bool = False,
-           strategy: str = "cow") -> None:
+           strategy: str = "cow", wap: bool = False) -> None:
     import tempfile
 
     from pyspark.sql import functions as F
@@ -136,24 +136,42 @@ def worker(cpus: int, num_batches: int, single_batch: bool = False,
         fence_token="warmup:0",
     )
 
+    if wap:
+        # the WAP level: every batch branch-staged, audited on the scoped
+        # staged_changes diff (O(changed buckets)), then fast-forward
+        # published — measures the quality gate's real overhead at scale
+        from concepts_pipeline_spark.cdc.apply import staged_changes
+
+        def audit(s, branch, result):
+            ch = staged_changes(s, branch)
+            n_del = ch.filter(F.col("change_type") == "delete").count()
+            return n_del <= n_events  # always true; the COST is what we time
+
+        def apply_one(batch, token):
+            return pipe.apply_batch_wap(batch, fence_token=token, audit=audit)
+    else:
+        def apply_one(batch, token):
+            return pipe.apply_batch(batch, fence_token=token)
+
     c0, t0 = _jvm_cpu_seconds(), time.time()
     applied = 0
     if single_batch:
         # batch size is a tuning knob (the reference tuned 25k/50k/100k bulk
         # batches, aggregator/reference.conf:10-14); one big micro-batch packs
         # stages best and is the steady-state-throughput configuration
-        res = pipe.apply_batch(feed.drop("batch_id"), fence_token="scale:all")
+        res = apply_one(feed.drop("batch_id"), "scale:all")
         applied += res.rows_in
     else:
         for b in range(num_batches):
             batch = feed.filter(F.col("batch_id") == b).drop("batch_id")
-            res = pipe.apply_batch(batch, fence_token=f"scale:{b}")
+            res = apply_one(batch, f"scale:{b}")
             applied += res.rows_in
     elapsed = time.time() - t0
     jvm_cpu = _jvm_cpu_seconds() - c0
     final_rows = pipe.final_state().count()
     print(json.dumps({
-        "cpus": cpus, "strategy": strategy, "events": n_events, "applied": applied,
+        "cpus": cpus, "strategy": strategy, "wap": wap,
+        "events": n_events, "applied": applied,
         "elapsed_sec": round(elapsed, 2),
         "events_per_sec": round(n_events / elapsed, 1),
         "jvm_cpu_sec": round(jvm_cpu, 1),
@@ -179,6 +197,8 @@ def main() -> None:
     ap.add_argument("--multi-batch", action="store_true",
                     help="apply per-segment micro-batches instead of one big batch")
     ap.add_argument("--strategy", default="cow", choices=["cow", "mor"])
+    ap.add_argument("--wap", action="store_true",
+                    help="stage-audit-publish every batch (write-audit-publish)")
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--prep-worker", action="store_true")
     args = ap.parse_args()
@@ -188,7 +208,7 @@ def main() -> None:
         return
     if args.worker is not None:
         worker(args.worker, args.batches, single_batch=not args.multi_batch,
-               strategy=args.strategy)
+               strategy=args.strategy, wap=args.wap)
         return
 
     prep(args.events, args.keys, args.batches)
@@ -211,6 +231,8 @@ def main() -> None:
                    "--strategy", args.strategy]
             if args.multi_batch:
                 cmd.append("--multi-batch")
+            if args.wap:
+                cmd.append("--wap")
             if not args.no_pin and os.path.exists("/usr/bin/taskset"):
                 cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd
             out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
