@@ -1115,6 +1115,38 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (textstats.pii_scrub): per-pattern counts and
+    the redacted text, pure JVM regex (one codegen'd map, no shuffle). The
+    synthetic corpus carries no natural PII, so the query injects emails /
+    phone numbers / IPv4s deterministically from doc_id — the oracle replays
+    the identical injection and the identical RE2-compatible patterns."""
+    from concepts_pipeline_spark.operators.textstats import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" contact u"), did.cast("string"), F.lit("@ex-ample.com")
+            )).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.concat(
+                F.lit(" call 555-010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            )).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.concat(
+                F.lit(" from 10.0."), (did % 256).cast("string"),
+                F.lit("."), (did % 200).cast("string"),
+            )).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(injected).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "redacted"
+    )
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle (curation.shuffle_epoch): a reproducible
     global permutation keyed only by (seed, doc_id) — epoch ordering for
@@ -1779,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_quality": q_repetition_quality,
         "hash_split": q_hash_split,
         "epoch_shuffle": q_epoch_shuffle,
+        "pii_scrub": q_pii_scrub,
         "cap_tokens_per_source": q_cap_tokens_per_source,
         "token_mixture": q_token_mixture,
         "lang_id": q_lang_id,
@@ -2517,6 +2550,29 @@ def _oracle_sql_base() -> dict[str, str]:
         # uses; lexicographic compare of fixed-length lowercase hex == numeric
         "hash_split": f"""
             SELECT doc_id, {_hash_split_case_sql()} AS split FROM documents
+        """,
+        # identical deterministic PII injection + the same RE2/Java-subset
+        # patterns; counts via regexp_extract_all, redaction via chained
+        # global regexp_replace in the same sorted-name order as the engine
+        "pii_scrub": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-ample.com' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END
+                     AS txt
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(txt, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(txt, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<PII>', 'g'),
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PII>', 'g') AS redacted
+            FROM t
         """,
         # the naive global-window spec; the engine's distributed two-phase
         # prefix rank must produce the identical permutation

@@ -128,6 +128,7 @@ def bench_queries(spark):
         "cap_tokens_per_source": run_named("cap_tokens_per_source"),
         "token_mixture": run_named("token_mixture"),
         "lang_id": run_named("lang_id"),
+        "pii_scrub": run_named("pii_scrub"),
         "doc_fingerprint": run_named("doc_fingerprint"),
         "pack_token_stream": run_named("pack_token_stream"),
         "decontaminate": run_named("decontaminate"),

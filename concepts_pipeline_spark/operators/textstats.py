@@ -241,3 +241,36 @@ def doc_fingerprint(
         lambda acc, w: F.pmod(acc * 1000003 + word_hash(w), p),
     )
     return df.withColumn("fingerprint", fp)
+
+
+# PII patterns — deliberately in the common Java-regex/RE2 subset so the same
+# pattern string runs identically in Spark (Java) and DuckDB (RE2), keeping
+# the operator oracle-checkable. Extend per deployment (IBANs, SSNs, ...).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replacement: str = "<PII>",
+) -> DataFrame:
+    """PII detection + redaction for training corpora: per-pattern match
+    counts (``n_<name>`` columns) and a ``redacted`` text column with every
+    match replaced. Pure JVM regex expressions — no Python on the hot path,
+    whole-stage codegen keeps this a single map over the corpus (100 TB = one
+    embarrassingly parallel pass, no shuffle). Patterns apply in sorted name
+    order so redaction is deterministic when patterns could overlap."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    out = df
+    red = F.col(text_col)
+    for name in sorted(pats):
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pats[name]))
+        )
+        red = F.regexp_replace(red, pats[name], replacement)
+    return out.withColumn("redacted", red)

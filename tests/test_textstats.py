@@ -90,3 +90,26 @@ def test_doc_fingerprint_rejects_unknown_hash(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         doc_fingerprint(df, "text", hash_fn="sha1")
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from concepts_pipeline_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "mail bob.smith+x@corp-mail.co.uk and jo@ex.io now"),
+            ("b", "call 555-010-1234 or 555.010.9999 from 192.168.0.1"),
+            ("c", "nothing here 12.34 and user at host dot com"),
+            ("d", "edge 999.999.999.999 still matches the ipv4 SHAPE"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (got["a"]["n_email"], got["a"]["n_phone"], got["a"]["n_ipv4"]) == (2, 0, 0)
+    assert got["a"]["redacted"] == "mail <PII> and <PII> now"
+    assert (got["b"]["n_phone"], got["b"]["n_ipv4"]) == (2, 1)
+    assert got["b"]["redacted"] == "call <PII> or <PII> from <PII>"
+    assert (got["c"]["n_email"], got["c"]["n_phone"], got["c"]["n_ipv4"]) == (0, 0, 0)
+    assert got["c"]["redacted"] == got["c"]["text"]
+    # the shape-matcher is deliberately permissive (pattern, not validator)
+    assert got["d"]["n_ipv4"] == 1
