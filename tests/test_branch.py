@@ -266,6 +266,33 @@ def test_wap_replay_equals_direct_replay(spark, wap_log, tmp_path):
     assert res.stats.skipped
 
 
+def test_branch_stages_schema_ddl_through_publish(spark, tmp_path):
+    """Schema evolution staged on a branch (rename + evolving merge) reaches
+    main only at publish — the WAP pattern for risky migrations: audit the
+    evolved state before anyone reads it."""
+    t = _table(spark, tmp_path)
+    merge_into(spark, t, _events(spark, [("a", [1], 1, "s", "U", 1)]),
+               fence_token="b1", lsn_col="lsn")
+    br = t.create_branch("mig")
+    br.rename_column("source", "origin")
+    ev = spark.createDataFrame(
+        [("b", [2], 1, "s2", "U", 2)],
+        "doc_id string, tokens array<int>, n_tok int, origin string, "
+        "op string, lsn long",
+    )
+    merge_into(spark, br, ev, fence_token="b2", lsn_col="lsn")
+    # main is untouched: old schema, old rows
+    assert "source" in t.manifest().schema.fieldNames()
+    assert {r["doc_id"] for r in t.read(spark).collect()} == {"a"}
+    t.publish_branch("mig")
+    t.drop_branch("mig")
+    cols = t.manifest().schema.fieldNames()
+    assert "origin" in cols and "source" not in cols
+    got = {r["doc_id"]: r["origin"] for r in t.read(spark).collect()}
+    # the pre-rename file generation remaps on read through the carried map
+    assert got == {"a": "s", "b": "s2"}
+
+
 def test_staged_changes_is_the_scoped_audit_input(spark, tmp_path):
     """staged_changes(branch) = the CDF diff fork→head inside the branch
     chain: exactly what publish would change, O(changed buckets) — the
