@@ -266,6 +266,16 @@ def cmd_stats(args) -> dict:
     return LakeTable(args.table).table_stats(args.version)
 
 
+def cmd_history(args) -> dict:
+    """Snapshot log (DESCRIBE HISTORY analogue) — manifest headers only."""
+    from .lake import LakeTable
+
+    t = LakeTable(args.table)
+    if args.as_of_ts is not None:
+        return {"version_as_of": t.version_as_of(args.as_of_ts)}
+    return {"history": t.history()[-args.last:]}
+
+
 def cmd_branch(args) -> dict:
     """Branch lifecycle: create / list / publish / drop (write-audit-publish:
     point any write command at the branch path via `stats`-style tooling,
@@ -517,6 +527,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--table", required=True)
     g.add_argument("--version", type=int, default=None)
     g.set_defaults(fn=cmd_stats)
+
+    g = sub.add_parser("history", help="snapshot log / timestamp time travel")
+    g.add_argument("--table", required=True)
+    g.add_argument("--last", type=int, default=20)
+    g.add_argument("--as-of-ts", type=int, default=None,
+                   help="resolve the snapshot as of this epoch-millis timestamp")
+    g.set_defaults(fn=cmd_history)
 
     g = sub.add_parser("branch", help="branch lifecycle (write-audit-publish)")
     g.add_argument("--table", required=True)

@@ -814,6 +814,48 @@ class LakeTable:
             raise FileNotFoundError(f"no branch {name!r} at {self.path}")
         shutil.rmtree(bdir)
 
+    def version_as_of(self, ts_ms: int) -> int:
+        """Timestamp time travel (Iceberg/Delta ``FOR SYSTEM_TIME AS OF``):
+        the highest version whose commit time is ≤ ``ts_ms``. Commit times
+        come from the manifest summaries the writers already stamp; the scan
+        reads O(snapshots) local manifest headers, no data I/O."""
+        best = None
+        for v in self._manifest_versions():
+            at = (self._manifest_raw(v).get("summary") or {}).get("committed_at_ms")
+            # the create manifest (v0) predates the stamp; treat missing as 0
+            if (at or 0) <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before ts_ms={ts_ms} "
+                f"(oldest retained may have been expired)"
+            )
+        return best
+
+    def history(self) -> list[dict]:
+        """Snapshot log, oldest first (DESCRIBE HISTORY analogue): version,
+        commit time, operation summary, file/row deltas — all from manifest
+        headers, no data I/O."""
+        out = []
+        prev_files = prev_rows = 0
+        for v in self._manifest_versions():
+            raw = self._manifest_raw(v)
+            m = self.manifest(v)
+            n_files = len(m.files)
+            n_rows = sum(f.rows for f in m.files)
+            s = raw.get("summary") or {}
+            out.append({
+                "version": v,
+                "committed_at_ms": s.get("committed_at_ms"),
+                "operation": s.get("operation", "merge"),
+                "files": n_files, "rows": n_rows,
+                "files_delta": n_files - prev_files,
+                "rows_delta": n_rows - prev_rows,
+                "fence_tokens": len(m.fence_tokens),
+            })
+            prev_files, prev_rows = n_files, n_rows
+        return out
+
     # ---------- tags (named immutable snapshots) ----------
     #
     # A tag hardlinks one manifest to _tags/<name>.json: a frozen, named

@@ -220,3 +220,42 @@ def test_count_live_is_manifest_only_and_exact(spark, tmp_path):
     assert mor.target.count_live() is None  # deltas shadow base rows
     compact(spark, mor.target, max_delta_files_per_bucket=0)
     assert mor.target.count_live() == 1
+
+
+def test_timestamp_time_travel_and_history(spark, tmp_path):
+    """version_as_of resolves the snapshot committed at-or-before a wall-clock
+    instant; history() reads the whole log from manifest headers only."""
+    import time as _time
+
+    from concepts_pipeline_spark.lake.merge import merge_into
+    from concepts_pipeline_spark.lake.table import LakeTable
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("_lsn", LongType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["doc_id"], 2)
+    ddl = "doc_id string, tokens array<int>, op string, lsn long"
+    merge_into(spark, t, spark.createDataFrame([("a", [1], "U", 1)], ddl),
+               fence_token="c1", lsn_col="lsn")
+    ts_between = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    merge_into(spark, t, spark.createDataFrame([("b", [2], "U", 2)], ddl),
+               fence_token="c2", lsn_col="lsn")
+
+    v = t.version_as_of(ts_between)
+    assert v == 1
+    assert {r["doc_id"] for r in t.read(spark, version=v).collect()} == {"a"}
+    assert t.version_as_of(int(_time.time() * 1000)) == t.current_version()
+    with pytest.raises(ValueError):
+        t.version_as_of(-1)
+
+    h = t.history()
+    assert [x["version"] for x in h] == [0, 1, 2]
+    assert h[0]["operation"] == "create" and h[0]["rows"] == 0
+    assert h[1]["rows_delta"] == 1 and h[2]["rows_delta"] == 1
+    assert h[2]["fence_tokens"] == 2
