@@ -1115,6 +1115,20 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, "doc_id").select("doc_id", "split")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling (curation.weighted_sample): keep a
+    doc with probability clamp(0.8 × n_chars/300) — spans p≈0.13 to the clamp at 1.0, decided only by
+    (salt, doc_id) — quality-weighted resampling as one codegen'd map, no
+    RNG state. The oracle replays the identical md5-derived uniform."""
+    from concepts_pipeline_spark.operators.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.col("n_chars").cast("double") / F.lit(300.0)
+    return weighted_sample(docs, w, base_rate=0.8).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (textstats.pii_scrub): per-pattern counts and
     the redacted text, pure JVM regex (one codegen'd map, no shuffle). The
@@ -1812,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "epoch_shuffle": q_epoch_shuffle,
         "pii_scrub": q_pii_scrub,
+        "weighted_sample": q_weighted_sample,
         "cap_tokens_per_source": q_cap_tokens_per_source,
         "token_mixture": q_token_mixture,
         "lang_id": q_lang_id,
@@ -2550,6 +2565,13 @@ def _oracle_sql_base() -> dict[str, str]:
         # uses; lexicographic compare of fixed-length lowercase hex == numeric
         "hash_split": f"""
             SELECT doc_id, {_hash_split_case_sql()} AS split FROM documents
+        """,
+        # the identical md5-uniform: 13 hex digits = 52 bits, exact in a
+        # double, so u and the comparison reproduce bit-identically
+        "weighted_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE CAST(CAST('0x' || substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 13) AS UBIGINT) AS DOUBLE) / 4503599627370496.0
+                  < least(1.0, greatest(0.0, 0.8 * (CAST(n_chars AS DOUBLE) / 300.0)))
         """,
         # identical deterministic PII injection + the same RE2/Java-subset
         # patterns; counts via regexp_extract_all, redaction via chained

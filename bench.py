@@ -125,6 +125,7 @@ def bench_queries(spark):
         "repetition_quality": run_named("repetition_quality"),
         "hash_split": run_named("hash_split"),
         "epoch_shuffle": run_named("epoch_shuffle"),
+        "weighted_sample": run_named("weighted_sample"),
         "cap_tokens_per_source": run_named("cap_tokens_per_source"),
         "token_mixture": run_named("token_mixture"),
         "lang_id": run_named("lang_id"),

@@ -257,3 +257,29 @@ def shuffle_epoch(
         out.withColumn("position", (F.col("tok_end") - F.lit(1)).cast("long"))
         .drop("__rk", "__one", "tok_start", "tok_end")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    key_col: str = "doc_id",
+    base_rate: float = 1.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row with probability
+    ``clamp(base_rate × weight, 0, 1)``, decided ONLY by (salt, key) — the
+    quality-weighted resampling step of a curation pipeline (upsample
+    high-quality sources, downsample boilerplate) with the same idempotence
+    discipline as hash_split: re-running on the same corpus reproduces the
+    identical sample, corpus growth never flips prior decisions, and the
+    decision is a pure expression (one codegen'd map, no shuffle, no RNG
+    state). Uniform driver: u = md5(salt‖key)[:13 hex] / 16^13 ∈ [0,1);
+    keep iff u < p. 13 hex digits = 52 bits fit a double's mantissa exactly,
+    so the arithmetic reproduces bit-identically in any engine with md5."""
+    key_s = F.col(key_col).cast("string")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key_s)), 1, 13), 16, 10
+    ).cast("double") / float(16 ** 13)
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0),
+                                       F.lit(float(base_rate)) * weight_col))
+    return df.filter(u < p)

@@ -205,3 +205,30 @@ def test_shuffle_epoch_is_deterministic_permutation(spark):
     # payload columns ride along untouched
     row = shuffle_epoch(docs, seed=1).filter("doc_id = 'd005'").first()
     assert row["x"] == 5 % 3
+
+
+def test_weighted_sample_deterministic_and_weight_monotone(spark):
+    from concepts_pipeline_spark.operators.curation import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(f"d{i:04d}", (i % 10) / 10.0) for i in range(2000)],
+        "doc_id string, w double",
+    )
+    a = {r["doc_id"] for r in weighted_sample(docs, F.col("w")).collect()}
+    b = {r["doc_id"] for r in
+         weighted_sample(docs.repartition(13), F.col("w")).collect()}
+    assert a == b  # partition-layout independent
+    # weight 0 never kept; weight ~1 kept ~always; rate monotone in weight
+    by_w = {}
+    for r in docs.collect():
+        by_w.setdefault(r["w"], []).append(r["doc_id"] in a)
+    rates = {w: sum(v) / len(v) for w, v in by_w.items()}
+    assert rates[0.0] == 0.0
+    assert rates[0.9] > 0.75
+    ws = sorted(rates)
+    # empirical rate tracks the target within sampling noise (200/bucket)
+    assert all(abs(rates[w] - w) < 0.12 for w in ws)
+    # base_rate scales inclusion; clamp caps at 1
+    c = {r["doc_id"] for r in
+         weighted_sample(docs, F.col("w"), base_rate=10.0).collect()}
+    assert len(c) / 2000 > 0.85
