@@ -78,6 +78,12 @@ class DataFileEntry:
     # 'base' = fully merged; 'delta' = merge-on-read increment (LWW over _lsn
     # resolves base∪delta at read time; compaction folds deltas back to base)
     kind: str = "base"
+    # optional per-column [min, max] for the table's stat_cols property,
+    # collected by the same footer pass — Iceberg's manifest column stats:
+    # predicate reads skip files whose range can't match (read_where). Keyed
+    # by the physical column name at write time; files without stats for a
+    # column are always kept (conservative).
+    col_stats: dict | None = None
     # non-tombstone rows in this file (rows minus _deleted=true), collected by
     # the same footer-stat pass that reads min/max — what makes COUNT(*) of
     # the live table a manifest-only aggregate on CoW tables (Iceberg's
@@ -563,9 +569,10 @@ class LakeTable:
         # DISTRIBUTED_STATS_MIN files the reads fan out as a Spark job (one
         # pyarrow footer read per file on the executors) so the stat phase is
         # never the serial tail of a large commit
+        stat_cols = (m.properties or {}).get("stat_cols")
         if len(staged) > DISTRIBUTED_STATS_MIN:
             stats = _distributed_stats(
-                df.sparkSession, self.path, staged, key0, metric_cols
+                df.sparkSession, self.path, staged, key0, metric_cols, stat_cols
             )
         else:
             from concurrent.futures import ThreadPoolExecutor
@@ -573,8 +580,10 @@ class LakeTable:
             def stat(item: tuple[str, int]):
                 rel, bucket = item
                 full = os.path.join(self.path, rel)
-                rows, kmin, kmax, mc = _parquet_stats(full, key0, metric_cols)
-                return rel, bucket, rows, kmin, kmax, mc, _parquet_live_rows(full)
+                rows, kmin, kmax, mc, cs = _parquet_stats(
+                    full, key0, metric_cols, stat_cols
+                )
+                return rel, bucket, rows, kmin, kmax, mc, cs, _parquet_live_rows(full)
 
             workers = min(16, max(4, len(staged)))
             with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -582,7 +591,7 @@ class LakeTable:
 
         entries: list[DataFileEntry] = []
         counts: dict[tuple[int, str], int] = {}
-        for rel, bucket, rows, kmin, kmax, mc, live in stats:
+        for rel, bucket, rows, kmin, kmax, mc, cs, live in stats:
             if rows == 0:
                 os.unlink(os.path.join(self.path, rel))
                 continue
@@ -592,7 +601,8 @@ class LakeTable:
             entries.append(
                 DataFileEntry(
                     path=rel, bucket=bucket, rows=rows, schema_id=schema_id,
-                    min_key=kmin, max_key=kmax, kind=kind, live_rows=live,
+                    min_key=kmin, max_key=kmax, kind=kind, col_stats=cs,
+                    live_rows=live,
                 )
             )
         shutil.rmtree(tmp, ignore_errors=True)
@@ -813,6 +823,53 @@ class LakeTable:
         if not os.path.isdir(bdir):
             raise FileNotFoundError(f"no branch {name!r} at {self.path}")
         shutil.rmtree(bdir)
+
+    @staticmethod
+    def files_where(m: Manifest, col: str, lo, hi) -> list[DataFileEntry]:
+        """Manifest-level file skipping on a payload column (Iceberg column
+        stats): keep a file iff its stored [min, max] for ``col`` can
+        intersect [lo, hi]. Files without stats for the column (older
+        generations, stats-incomplete footers, renamed columns) are KEPT —
+        pruning is an optimization, never a correctness filter. Comparison
+        only within the matching type domain (string stats never prune a
+        numeric probe and vice versa), mirroring read_for_keys."""
+        out = []
+        for f in m.files:
+            rng = (f.col_stats or {}).get(col)
+            if not rng:
+                out.append(f)
+                continue
+            fmin, fmax = rng
+            num_stat = isinstance(fmin, (int, float)) and not isinstance(fmin, bool)
+            num_probe = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+            if num_stat != num_probe:
+                out.append(f)  # cross-domain: cannot prune soundly
+                continue
+            if not (hi < fmin or lo > fmax):
+                out.append(f)
+        return out
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Predicate read with manifest-level file skipping: scan only the
+        files whose ``col`` range (table property ``stat_cols``) can match,
+        then apply the exact filter. With time/source-clustered ingest this
+        skips whole files BEFORE any I/O — at 10^6-file scale that is the
+        difference between a metadata decision and opening every footer
+        (parquet row-group stats still prune inside the files that remain).
+        Raw physical rows (hidden CDC columns included) like ``read``; MoR
+        tables still need read-side LWW resolution downstream."""
+        m = self.manifest(version)
+        hi = lo if hi is None else hi
+        files = self.files_where(m, col, lo, hi)
+        df = self._read_files(spark, m, files)
+        return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
 
     def version_as_of(self, ts_ms: int) -> int:
         """Timestamp time travel (Iceberg/Delta ``FOR SYSTEM_TIME AS OF``):
@@ -1084,7 +1141,8 @@ def _distributed_stats(
     staged: list[tuple[str, int]],
     key0: str,
     metric_cols: list[str] | None = None,
-) -> list[tuple[str, int, int, str | None, str | None, dict | None, int]]:
+    stat_cols: list[str] | None = None,
+) -> list[tuple]:
     """Footer stats as a Spark job: each task reads its files' parquet footers
     with pyarrow on the executor. Requires the table path to be visible from
     executors (true for shared storage on a real cluster and for local mode)."""
@@ -1095,7 +1153,9 @@ def _distributed_stats(
             rows_out = []
             for rel, bucket in zip(pdf["rel"], pdf["bucket"]):
                 full = os.path.join(table_path, rel)
-                rows, kmin, kmax, mc = _parquet_stats(full, key0, metric_cols)
+                rows, kmin, kmax, mc, cs = _parquet_stats(
+                    full, key0, metric_cols, stat_cols
+                )
                 live = _parquet_live_rows(full)
                 # stats may be native int/float (numeric keys) — JSON-encode to
                 # cross the fixed-type Arrow boundary without stringifying them
@@ -1104,11 +1164,13 @@ def _distributed_stats(
                     None if kmin is None else json.dumps(kmin),
                     None if kmax is None else json.dumps(kmax),
                     None if mc is None else json.dumps(mc),
+                    None if cs is None else json.dumps(cs),
                     live,
                 ))
             yield pd.DataFrame(
                 rows_out,
-                columns=["rel", "bucket", "rows", "kmin", "kmax", "mc", "live"],
+                columns=["rel", "bucket", "rows", "kmin", "kmax", "mc", "cs",
+                         "live"],
             )
 
     sdf = spark.createDataFrame(staged, "rel string, bucket int").repartition(
@@ -1117,7 +1179,7 @@ def _distributed_stats(
     out = sdf.mapInPandas(
         read_stats,
         schema=("rel string, bucket int, rows long, kmin string, kmax string, "
-                "mc string, live long"),
+                "mc string, cs string, live long"),
     ).collect()
     return [
         (
@@ -1125,6 +1187,7 @@ def _distributed_stats(
             None if r["kmin"] is None else json.loads(r["kmin"]),
             None if r["kmax"] is None else json.loads(r["kmax"]),
             None if r["mc"] is None else json.loads(r["mc"]),
+            None if r["cs"] is None else json.loads(r["cs"]),
             int(r["live"]),
         )
         for r in out
@@ -1150,10 +1213,12 @@ def _arrow_type(dt):
     raise TypeError(f"append_rows supports primitive columns only, got {dt}")
 
 
-def _parquet_stats(path: str, key_col: str, metric_cols: list[str] | None = None):
+def _parquet_stats(path: str, key_col: str, metric_cols: list[str] | None = None,
+                   stat_cols: list[str] | None = None):
     """Row count + min/max of the key column from the parquet footer (like
     Iceberg manifest stats), plus non-null counts of ``metric_cols`` when
-    requested, plus the LIVE (non-tombstone) row count. Numeric stats keep
+    requested, plus per-column [min, max] for ``stat_cols`` (manifest column
+    stats for predicate file-skipping), plus the LIVE (non-tombstone) row count. Numeric stats keep
     their native type so numeric keys can be range-pruned; byte stats decode
     to str; anything else is stringified (and then only usable for
     string-typed keys).
@@ -1187,8 +1252,33 @@ def _parquet_stats(path: str, key_col: str, metric_cols: list[str] | None = None
             lo, hi = norm(st.min), norm(st.max)
             kmin = lo if kmin is None or lo < kmin else kmin
             kmax = hi if kmax is None or hi > kmax else kmax
+    cstats = None
+    if stat_cols:
+        cstats = {}
+        for c in stat_cols:
+            try:
+                cidx = arrow_schema.get_field_index(c)
+            except Exception:
+                cidx = -1
+            if cidx < 0:
+                continue
+            cmin = cmax = None
+            complete = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(cidx).statistics
+                if st is None or not st.has_min_max:
+                    complete = False
+                    break
+                lo, hi = norm(st.min), norm(st.max)
+                cmin = lo if cmin is None or lo < cmin else cmin
+                cmax = hi if cmax is None or hi > cmax else cmax
+            # a row group without stats makes the file's range unknown — omit
+            # the column so pruning stays conservative
+            if complete and cmin is not None:
+                cstats[c] = [cmin, cmax]
+        cstats = cstats or None
     if metric_cols is None:
-        return rows, kmin, kmax, None
+        return rows, kmin, kmax, None, cstats
     # non-null count per indicator column from footer null_count — exact and
     # already in the footer this function opened; a (rare) writer that omitted
     # null_count falls back to reading just that column
@@ -1214,7 +1304,7 @@ def _parquet_stats(path: str, key_col: str, metric_cols: list[str] | None = None
         else:
             tbl = pq.read_table(path, columns=[c])
             mc[c] = len(tbl) - tbl.column(0).null_count
-    return rows, kmin, kmax, mc
+    return rows, kmin, kmax, mc, cstats
 
 
 def _parquet_live_rows(path: str, md=None) -> int:

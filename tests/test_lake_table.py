@@ -259,3 +259,55 @@ def test_timestamp_time_travel_and_history(spark, tmp_path):
     assert h[0]["operation"] == "create" and h[0]["rows"] == 0
     assert h[1]["rows_delta"] == 1 and h[2]["rows_delta"] == 1
     assert h[2]["fence_tokens"] == 2
+
+
+def test_column_stats_prune_files_on_read_where(spark, tmp_path):
+    """Manifest column stats (table property stat_cols): predicate reads skip
+    files whose stored [min,max] can't match — a metadata decision before any
+    I/O — while files without stats are kept conservatively."""
+    from concepts_pipeline_spark.lake.table import LakeTable
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("source", StringType()),
+        StructField("score", IntegerType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["doc_id"], 2,
+                         properties={"stat_cols": ["source", "score"]})
+    # two appends with disjoint source/score ranges → per-generation stats
+    t.append(spark.createDataFrame(
+        [(f"a{i}", "alpha", i) for i in range(20)], schema))
+    t.append(spark.createDataFrame(
+        [(f"b{i}", "beta", 100 + i) for i in range(20)], schema))
+    m = t.manifest()
+    assert all(f.col_stats and "source" in f.col_stats for f in m.files)
+
+    # string-domain prune: only the beta generation's files survive
+    beta_files = t.files_where(m, "source", "beta", "beta")
+    assert 0 < len(beta_files) < len(m.files)
+    got = {r["doc_id"] for r in t.read_where(spark, "source", "beta").collect()}
+    assert got == {f"b{i}" for i in range(20)}
+
+    # numeric-domain range prune
+    lo_files = t.files_where(m, "score", 0, 50)
+    assert 0 < len(lo_files) < len(m.files)
+    assert t.read_where(spark, "score", 0, 50).count() == 20
+
+    # conservative: un-statted column keeps everything; cross-domain probe too
+    assert len(t.files_where(m, "doc_id", "x", "x")) == len(m.files)
+    assert len(t.files_where(m, "source", 1, 2)) == len(m.files)
+
+    # a rewrite (merge) keeps collecting stats through the CoW path
+    from concepts_pipeline_spark.lake.merge import merge_into
+    phys = StructType(list(schema.fields))
+    ev = spark.createDataFrame(
+        [("a0", "alpha", 7, "U", 1)],
+        "doc_id string, source string, score int, op string, lsn long",
+    )
+    merge_into(spark, t, ev, fence_token="c1", lsn_col="lsn")
+    m2 = t.manifest()
+    rewritten = [f for f in m2.files if f.path not in {x.path for x in m.files}]
+    assert rewritten and all(f.col_stats for f in rewritten)

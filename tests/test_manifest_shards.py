@@ -123,13 +123,15 @@ def test_distributed_footer_stats_match_driver_path(spark, tmp_path, monkeypatch
     def build(path, thresh):
         monkeypatch.setattr(lt, "DISTRIBUTED_STATS_MIN", thresh)
         t = LakeTable.create(str(tmp_path / path), SCHEMA, ["doc_id"],
-                             num_buckets=16)
+                             num_buckets=16,
+                             properties={"stat_cols": ["source", "n_tok"]})
         df = spark.createDataFrame(
             [(f"k{i:03d}", [i], 1, "s") for i in range(200)], SCHEMA
         )
         t.append(df)
         return {
-            (f.path.split("-", 1)[1], f.bucket, f.rows, f.min_key, f.max_key)
+            (f.path.split("-", 1)[1], f.bucket, f.rows, f.min_key, f.max_key,
+             json.dumps(f.col_stats, sort_keys=True))
             for f in t.manifest().files
         }
 
