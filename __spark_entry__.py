@@ -292,6 +292,63 @@ def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
+def cdc_replay_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 4-batch replay fed through DEBEZIUM JSON envelopes — the
+    de-facto wire format of log-based CDC (MySQL binlog / Postgres WAL
+    connectors): the derived change log is wrapped as payload.{op: c|r|u|d,
+    before, after, ts_ms, source.lsn} strings, parsed back by
+    cdc.feed.parse_debezium (pure from_json expressions), and replayed.
+    Inserts alternate between 'c' and snapshot-'r' ops to exercise both
+    mappings; deletes carry the row image in `before` per Debezium semantics.
+    Must equal the SAME FINAL_STATE_SQL oracle — a Debezium topic dump is a
+    drop-in feed."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from concepts_pipeline_spark.cdc.feed import parse_debezium
+
+    log = derived_change_log(spark, sf_dir)
+    row_schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("n_tok", IntegerType()),
+        StructField("source", StringType()),
+    ])
+    row_struct = F.struct("doc_id", "tokens", "n_tok", "source")
+    dbz_op = (
+        F.when(F.col("op") == "D", F.lit("d"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .when(F.pmod(F.col("lsn"), F.lit(5)) == 0, F.lit("r"))
+        .otherwise(F.lit("c"))
+    )
+    envelope = F.to_json(F.struct(
+        F.struct(
+            dbz_op.alias("op"),
+            F.when(F.col("op") == "D", row_struct).alias("before"),
+            F.when(F.col("op") != "D", row_struct).alias("after"),
+            (F.col("lsn") * 1000).alias("ts_ms"),
+            F.struct(F.col("lsn").alias("lsn")).alias("source"),
+        ).alias("payload"),
+    ))
+    parsed = parse_debezium(log.select(envelope.alias("value")), row_schema)
+
+    root = _scratch_dir("cps-dbz-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        quarantine_path=f"{root}/quarantine",
+        num_buckets=16,
+        salt_buckets=4,
+    )
+    for b in range(4):
+        batch = parsed.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
+        pipe.apply_batch(batch, fence_token=f"dbz:{b}")
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
 def cdc_stream_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME replay through Structured Streaming: land the derived change log
     as files, tail it with foreachBatch (checkpointed, fence-token exactly-once,
@@ -1774,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": cdc_replay_final_state,
         "cdc_replay_mor": cdc_replay_mor,
         "cdc_wap_publish": cdc_wap_publish,
+        "cdc_replay_debezium": cdc_replay_debezium,
         "cdc_stream_final_state": cdc_stream_final_state,
         "cdc_stream_cascade": cdc_stream_cascade,
         "cdc_bootstrap_handoff": cdc_bootstrap_handoff,
@@ -1919,6 +1977,8 @@ def _oracle_sql_base() -> dict[str, str]:
         # WAP: staged-audited-published replay equals the direct-replay spec;
         # the audit-rejected poison batch is asserted inside the query
         "cdc_wap_publish": FINAL_STATE_JSON_SQL,
+        # Debezium envelope round trip: wrap → parse → replay equals the spec
+        "cdc_replay_debezium": FINAL_STATE_JSON_SQL,
         "cdc_stream_final_state": FINAL_STATE_JSON_SQL,
         "cdc_replay_compacted": FINAL_STATE_JSON_SQL,
         "cdc_replay_rescaled": FINAL_STATE_JSON_SQL,

@@ -59,3 +59,60 @@ def read_change_feed(
             df = df.withColumn(c, F.from_json(F.col(c), schema[c].dataType))
         return df.select(*[f.name for f in schema.fields])
     raise ValueError(f"unknown feed format {feed_format!r}; supported: {FORMATS}")
+
+
+def debezium_envelope_schema(row_schema: StructType) -> StructType:
+    """The Debezium JSON envelope for a given row schema: payload.{op, before,
+    after, ts_ms, source.lsn} — the de-facto wire format of log-based CDC
+    (MySQL binlog / Postgres WAL connectors)."""
+    from pyspark.sql.types import LongType
+
+    return StructType([
+        StructField("payload", StructType([
+            StructField("op", StringType(), True),
+            StructField("before", row_schema, True),
+            StructField("after", row_schema, True),
+            StructField("ts_ms", LongType(), True),
+            StructField("source", StructType([
+                StructField("lsn", LongType(), True),
+            ]), True),
+        ]), True),
+    ])
+
+
+def parse_debezium(
+    df: DataFrame,
+    row_schema: StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """Debezium JSON envelopes → the engine's canonical change-log contract.
+
+    Mapping (Debezium semantics → engine semantics):
+      op 'c' (create) / 'r' (snapshot read) → 'I';  'u' → 'U';  'd' → 'D'
+      row image = ``after`` for c/r/u, ``before`` for d (Debezium deletes
+      carry the last row image in ``before`` — the engine's delete path only
+      needs the key, op, and lsn; LWW tombstoning ignores delete payloads)
+      lsn = payload.source.lsn — the binlog/WAL position IS the total order
+      the engine's LWW requires; ts_ms is informational only
+
+    Pure column expressions (from_json + field access, whole-stage codegen):
+    identical on a batch read and a streaming tail, so a landed Debezium
+    topic dump is a drop-in feed for replay AND run_stream. Unparseable or
+    unknown-op lines surface with NULL op and fall to the validator's
+    quarantine path instead of failing the job."""
+    env = debezium_envelope_schema(row_schema)
+    p = F.from_json(F.col(value_col), env).getField("payload")
+    op = (
+        F.when(p.getField("op").isin("c", "r"), F.lit("I"))
+        .when(p.getField("op") == "u", F.lit("U"))
+        .when(p.getField("op") == "d", F.lit("D"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    row = F.when(p.getField("op") == "d", p.getField("before")).otherwise(
+        p.getField("after")
+    )
+    return df.select(
+        p.getField("source").getField("lsn").alias("lsn"),
+        op.alias("op"),
+        *[row.getField(f.name).alias(f.name) for f in row_schema.fields],
+    )

@@ -80,3 +80,48 @@ def test_streaming_from_jsonl_feed(spark, tmp_path, log_df):
     h.query.awaitTermination()
     want = replay(spark, tmp_path, log_df, "ref")
     assert engine_state(pipe.final_state()) == want
+
+
+def test_parse_debezium_mapping_and_bad_lines(spark):
+    """Debezium envelope → engine contract: c/r→I, u→U, d→D (row image from
+    `before`); unknown ops and garbage lines surface as NULL op for the
+    validator's quarantine path instead of failing the job."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from concepts_pipeline_spark.cdc.feed import parse_debezium
+
+    row_schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+    ])
+
+    def env(op, row, lsn):
+        return _json.dumps({"payload": {
+            "op": op,
+            "before": row if op == "d" else None,
+            "after": None if op == "d" else row,
+            "ts_ms": lsn * 1000,
+            "source": {"lsn": lsn},
+        }})
+
+    lines = [
+        env("c", {"doc_id": "a", "tokens": [1]}, 1),
+        env("r", {"doc_id": "b", "tokens": [2]}, 2),
+        env("u", {"doc_id": "a", "tokens": [3]}, 3),
+        env("d", {"doc_id": "b", "tokens": [2]}, 4),
+        env("x", {"doc_id": "z", "tokens": [9]}, 5),  # unknown op
+        "{not json at all",
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    got = [r.asDict() for r in parse_debezium(df, row_schema)
+           .orderBy(F.coalesce("lsn", F.lit(999))).collect()]
+    assert [(g["lsn"], g["op"], g["doc_id"]) for g in got[:4]] == [
+        (1, "I", "a"), (2, "I", "b"), (3, "U", "a"), (4, "D", "b"),
+    ]
+    assert got[3]["tokens"] == [2]  # delete row image from `before`
+    assert got[4]["op"] is None and got[4]["doc_id"] == "z"
+    assert got[5]["op"] is None and got[5]["lsn"] is None
