@@ -495,7 +495,7 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--buckets", type=int, default=16)
         g.add_argument("--strategy", default="cow", choices=["cow", "mor"])
         g.add_argument("--feed-format", default="parquet",
-                       choices=["parquet", "jsonl", "csv"])
+                       choices=["parquet", "jsonl", "csv", "debezium"])
         if name == "replay":
             g.add_argument("--changes", default=None)
             g.add_argument("--batch-col", default="batch_id")

@@ -17,7 +17,7 @@ from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 from .generator import CHANGE_LOG_SCHEMA
 
-FORMATS = ("parquet", "jsonl", "csv")
+FORMATS = ("parquet", "jsonl", "csv", "debezium")
 
 
 def _csv_surface(schema: StructType) -> tuple[StructType, list[str]]:
@@ -52,6 +52,16 @@ def read_change_feed(
     if feed_format == "jsonl":
         # .json handles NDJSON line framing and .gz decompression natively
         return reader.schema(schema).json(path)
+    if feed_format == "debezium":
+        # landed Debezium topic dump: one JSON envelope per line. The row
+        # schema is the canonical schema minus the envelope-carried columns
+        # (lsn/op) and engine-internal extras (event_ts/batch_id)
+        row_schema = StructType([
+            f for f in schema.fields
+            if f.name not in ("lsn", "op", "event_ts", "batch_id")
+        ])
+        raw = reader.text(path)
+        return parse_debezium(raw, row_schema)
     if feed_format == "csv":
         surface, array_cols = _csv_surface(schema)
         df = reader.schema(surface).option("header", "true").csv(path)

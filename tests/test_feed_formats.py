@@ -125,3 +125,54 @@ def test_parse_debezium_mapping_and_bad_lines(spark):
     assert got[3]["tokens"] == [2]  # delete row image from `before`
     assert got[4]["op"] is None and got[4]["doc_id"] == "z"
     assert got[5]["op"] is None and got[5]["lsn"] is None
+
+
+def test_debezium_feed_matches_parquet_batch_and_stream(spark, tmp_path, log_df):
+    """A landed Debezium envelope dump is a drop-in feed: the same replay
+    (batch AND checkpointed stream) lands the identical final state."""
+    import json as _json
+
+    base = str(tmp_path / "dbz")
+    dbz_op = (
+        F.when(F.col("op") == "D", F.lit("d"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .when(F.pmod(F.col("lsn"), F.lit(2)) == 0, F.lit("r"))
+        .otherwise(F.lit("c"))
+    )
+    row = F.struct("doc_id", "tokens", "n_tok", "source")
+    env = F.to_json(F.struct(F.struct(
+        dbz_op.alias("op"),
+        F.when(F.col("op") == "D", row).alias("before"),
+        F.when(F.col("op") != "D", row).alias("after"),
+        (F.col("lsn") * 1000).alias("ts_ms"),
+        F.struct(F.col("lsn").alias("lsn")).alias("source"),
+    ).alias("payload")))
+    log_df.select(env.alias("value")).coalesce(3).write.mode(
+        "overwrite").text(f"file://{base}/feed")
+
+    schema = CHANGE_LOG_SCHEMA
+    schema = type(schema)([f for f in schema.fields if f.name != "batch_id"])
+    want = replay(
+        spark, tmp_path,
+        read_change_feed(spark, f"file://{base}/feed", "debezium", schema)
+        .withColumn("event_ts", F.lit(None).cast("timestamp")),
+        "dbzb",
+    )
+    pq = str(tmp_path / "pqref")
+    log_df.coalesce(2).write.mode("overwrite").parquet(f"file://{pq}")
+    assert want == replay(
+        spark, tmp_path,
+        read_change_feed(spark, f"file://{pq}", "parquet", schema), "pqref")
+
+    # streaming tail of the same dump through the exactly-once runner
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t-dbzs"), TARGET_SCHEMA, ["doc_id"],
+        num_buckets=4, salt_buckets=2,
+    )
+    h = run_stream(
+        spark, pipe, f"{base}/feed", str(tmp_path / "ckpt"),
+        name="dbz-stream", max_files_per_trigger=1,
+        feed_format="debezium", schema=schema,
+    )
+    h.query.awaitTermination()
+    assert engine_state(pipe.final_state()) == want
