@@ -325,12 +325,18 @@ def cmd_diff(args) -> dict:
     if args.out:
         # args.out is a plain Spark path (same convention as record --out):
         # no scheme prefixing, so URIs and relative paths both work
-        d.write.mode("overwrite").parquet(args.out)
         counts = {
             r["change_type"]: r["n"]
-            for r in spark.read.parquet(args.out)
-            .groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+            for r in d.groupBy("change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
         }
+        if args.out_format == "debezium":
+            from .cdc.feed import to_debezium
+
+            to_debezium(d).write.mode("overwrite").text(args.out)
+        else:
+            d.write.mode("overwrite").parquet(args.out)
     else:
         counts = {
             r["change_type"]: r["n"]
@@ -565,6 +571,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="include old_* pre-image columns")
     g.add_argument("--out", default=None,
                    help="write the diff rows as parquet here")
+    g.add_argument("--out-format", default="parquet",
+                   choices=["parquet", "debezium"],
+                   help="export format for --out (debezium: JSON envelopes "
+                        "any log-CDC consumer can tail)")
     g.set_defaults(fn=cmd_diff)
 
     g = sub.add_parser(

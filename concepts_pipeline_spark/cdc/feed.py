@@ -126,3 +126,53 @@ def parse_debezium(
         op.alias("op"),
         *[row.getField(f.name).alias(f.name) for f in row_schema.fields],
     )
+
+
+def to_debezium(
+    changes: DataFrame,
+    change_type_col: str = "change_type",
+    lsn_col: str | None = None,
+    ts_ms_col: str | None = None,
+) -> DataFrame:
+    """The inverse adapter: snapshot_diff output (``include_old=True``) →
+    Debezium JSON envelopes, one ``value`` string per changed row — so any
+    Debezium-speaking consumer can tail THIS lake's change feed. Mapping:
+    insert→'c' (before NULL), update→'u' (before = old_* pre-image),
+    delete→'d' (before = the from-side payload snapshot_diff already emits,
+    after NULL). ``lsn_col``/``ts_ms_col`` populate source.lsn / ts_ms when
+    the caller has them (e.g. the commit version as the fence order); both
+    are optional and NULL otherwise. Round-trip fidelity with parse_debezium
+    is pytest-pinned."""
+    cols = changes.columns
+    payload_cols = [
+        c for c in cols
+        if c != change_type_col and not c.startswith("old_")
+        and c not in (lsn_col, ts_ms_col)
+    ]
+    old_map = {c: f"old_{c}" for c in payload_cols if f"old_{c}" in cols}
+    ct = F.col(change_type_col)
+    op = (
+        F.when(ct == "insert", F.lit("c"))
+        .when(ct == "update", F.lit("u"))
+        .when(ct == "delete", F.lit("d"))
+    )
+    row = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    old_row = F.struct(*[
+        F.col(old_map.get(c, c)).alias(c) for c in payload_cols
+    ])
+    before = (
+        F.when(ct == "delete", row)
+        .when(ct == "update", old_row if old_map else F.lit(None))
+    )
+    after = F.when(ct != "delete", row)
+    lsn = F.col(lsn_col) if lsn_col else F.lit(None).cast("long")
+    ts = F.col(ts_ms_col) if ts_ms_col else F.lit(None).cast("long")
+    return changes.select(
+        F.to_json(F.struct(F.struct(
+            op.alias("op"),
+            before.alias("before"),
+            after.alias("after"),
+            ts.alias("ts_ms"),
+            F.struct(lsn.alias("lsn")).alias("source"),
+        ).alias("payload"))).alias("value")
+    )

@@ -176,3 +176,50 @@ def test_debezium_feed_matches_parquet_batch_and_stream(spark, tmp_path, log_df)
     )
     h.query.awaitTermination()
     assert engine_state(pipe.final_state()) == want
+
+
+def test_debezium_export_round_trips_snapshot_diff(spark, tmp_path):
+    """to_debezium(snapshot_diff) → parse_debezium recovers every change with
+    the correct op mapping and pre/post images — the lake speaks the log-CDC
+    wire format in BOTH directions."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from concepts_pipeline_spark.cdc.feed import parse_debezium, to_debezium
+    from concepts_pipeline_spark.lake.diff import snapshot_diff
+    from concepts_pipeline_spark.lake.merge import merge_into
+    from concepts_pipeline_spark.lake.table import LakeTable
+
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("_lsn", LongType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["doc_id"], 2)
+    ddl = "doc_id string, tokens array<int>, op string, lsn long"
+    merge_into(spark, t, spark.createDataFrame(
+        [("a", [1], "U", 1), ("b", [2], "U", 1)], ddl),
+        fence_token="c1", lsn_col="lsn")
+    v1 = t.current_version()
+    merge_into(spark, t, spark.createDataFrame(
+        [("a", [9, 9], "U", 2), ("b", None, "D", 2), ("c", [3], "I", 2)], ddl),
+        fence_token="c2", lsn_col="lsn")
+
+    diff = snapshot_diff(spark, t, v1, t.current_version(), include_old=True)
+    envelopes = to_debezium(diff)
+    row_schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+    ])
+    back = {r["doc_id"]: r for r in
+            parse_debezium(envelopes, row_schema).collect()}
+    assert back["a"]["op"] == "U" and back["a"]["tokens"] == [9, 9]
+    assert back["b"]["op"] == "D" and back["b"]["tokens"] == [2]  # from-side image
+    assert back["c"]["op"] == "I" and back["c"]["tokens"] == [3]
+    # the update's pre-image rides `before` in the raw envelope
+    import json as _json
+    raw = [_json.loads(r["value"])["payload"]
+           for r in envelopes.collect()]
+    upd = next(p for p in raw if p["op"] == "u")
+    assert upd["before"]["tokens"] == [1] and upd["after"]["tokens"] == [9, 9]
