@@ -620,6 +620,40 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest column stats + pruned predicate read: the replayed final state
+    is rewritten into a table with `stat_cols=['source']`, appended in
+    source-clustered generations (the physical layout time/source-ordered
+    ingest produces naturally), and `read_where(source='click')` must (a)
+    actually SKIP files — asserted in-query against the manifest — and (b)
+    return exactly the declarative filter's rows (the oracle)."""
+    from concepts_pipeline_spark.lake.table import LakeTable
+
+    pipe = _shared_pipe(spark, sf_dir)
+    final = pipe.final_state()
+    root = _scratch_dir("cps-statscan-")
+    t = LakeTable.create(
+        f"{root}/t", final.schema, ["doc_id"], num_buckets=4,
+        properties={"stat_cols": ["source"]},
+    )
+    # two source-clustered generations: 'click' rows never share a file
+    # with the rest, so the predicate read can prove file skipping
+    # ('click' is the lexicographic MINIMUM source, so the other
+    # generation's [min,max] range genuinely excludes it — a probe value
+    # inside the other files' range could not be pruned)
+    t.append(final.filter(F.col("source") == "click"))
+    t.append(final.filter(F.col("source") != "click"))
+    m = t.manifest()
+    pruned = t.files_where(m, "source", "click", "click")
+    if not 0 < len(pruned) < len(m.files):
+        raise AssertionError(
+            f"column-stat pruning skipped nothing ({len(pruned)}/{len(m.files)} files kept)"
+        )
+    return t.read_where(spark, "source", "click").select(
+        "doc_id", _j("tokens"), "n_tok", "source"
+    )
+
+
 def cdc_changes_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downstream change publication (SURVEY §2.6 W2/W3 — the reference routes
     only updated-not-noop ids to SNS, ConceptsAggregator.scala:120-124 +
@@ -1832,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mor": cdc_replay_mor,
         "cdc_wap_publish": cdc_wap_publish,
         "cdc_replay_debezium": cdc_replay_debezium,
+        "cdc_stats_pruned_scan": cdc_stats_pruned_scan,
         "cdc_stream_final_state": cdc_stream_final_state,
         "cdc_stream_cascade": cdc_stream_cascade,
         "cdc_bootstrap_handoff": cdc_bootstrap_handoff,
@@ -1979,6 +2014,10 @@ def _oracle_sql_base() -> dict[str, str]:
         "cdc_wap_publish": FINAL_STATE_JSON_SQL,
         # Debezium envelope round trip: wrap → parse → replay equals the spec
         "cdc_replay_debezium": FINAL_STATE_JSON_SQL,
+        # pruned predicate read over a stat_cols table built from the final
+        # state equals the declarative filter; pruning asserted in-query
+        "cdc_stats_pruned_scan": FINAL_STATE_JSON_SQL
+        + " WHERE source = 'click'",
         "cdc_stream_final_state": FINAL_STATE_JSON_SQL,
         "cdc_replay_compacted": FINAL_STATE_JSON_SQL,
         "cdc_replay_rescaled": FINAL_STATE_JSON_SQL,
