@@ -665,6 +665,31 @@ def cdc_changes_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.changes.read(spark).select("doc_id", "action", "fence_token")
 
 
+def cdc_outbox_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAP-compatible outbox (lake/outbox.CdfOutbox): per-key actions
+    derived AFTER commit from the published chain's snapshot diffs — a pure
+    function of committed state transitions, so the outbox can never disagree
+    with the table. Actions are LOGICAL (insert = key became live, update =
+    live payload changed, delete = key became dead); a reinsert after a
+    tombstone is an insert here, unlike the merge-time classifier. One fenced
+    append per version, cursor-resumable (the second refresh() in-query must
+    publish nothing)."""
+    from concepts_pipeline_spark.lake.outbox import CdfOutbox
+
+    pipe = _shared_pipe(spark, sf_dir)
+    root = _scratch_dir("cps-obx-")
+    obx = CdfOutbox(spark, pipe.target, f"{root}/outbox")
+    published = obx.refresh()
+    if published < 4:
+        raise AssertionError(f"expected >= 4 published versions, got {published}")
+    if obx.refresh() != 0:
+        raise AssertionError("second refresh republished despite the cursor")
+    # version -> batch (the shared replay applies batch b as version b+1)
+    return obx.read().select(
+        "doc_id", "action", (F.col("version") - 1).cast("int").alias("batch")
+    )
+
+
 def cdc_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch lineage/metrics totals (SURVEY §2.4 A3/A6 — the reference's
     BulkUpdateResult created/updated/noop classification + running totals,
@@ -1881,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_rescaled": cdc_replay_rescaled,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_changes_outbox": cdc_changes_outbox,
+        "cdc_outbox_from_cdf": cdc_outbox_from_cdf,
         "cdc_lineage_counts": cdc_lineage_counts,
         "cdc_scd2_history": cdc_scd2_history,
         "cdc_asof_enrich": cdc_asof_enrich,
@@ -2054,6 +2080,24 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, action, 'shared:' || batch AS fence_token
             FROM classified
             WHERE action IN ('inserted', 'updated', 'deleted')
+        """,
+        # logical state transitions per applied batch: insert = became live,
+        # update = live payload changed, delete = became dead; tombstone
+        # reinserts are inserts, noops/stale vanish (CdfOutbox semantics)
+        "cdc_outbox_from_cdf": f"""
+            WITH {LOG_CTE_SQL},
+            tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
+            {_CLASSIFIED_CTE_TMPL},
+            logical AS (SELECT doc_id, batch,
+                CASE WHEN op = 'D' AND (apply_rank = 1 OR prev_op = 'D') THEN NULL
+                     WHEN op = 'D' THEN 'delete'
+                     WHEN apply_rank = 1 OR prev_op = 'D' THEN 'insert'
+                     WHEN tokens IS NOT DISTINCT FROM prev_tokens
+                          AND n_tok IS NOT DISTINCT FROM prev_n_tok
+                          AND source IS NOT DISTINCT FROM prev_source THEN NULL
+                     ELSE 'update' END AS action
+              FROM hist)
+            SELECT doc_id, action, batch FROM logical WHERE action IS NOT NULL
         """,
         # diff of the two prefix states (batches {{0,1}} vs all four): key in
         # s2 only = insert, s1 only = delete, both-but-different = update;

@@ -144,6 +144,7 @@ def bench_queries(spark):
         "merge_precedence": run_named("merge_precedence"),
         "cdc_snapshot_diff": run_named("cdc_snapshot_diff"),
         "cdc_stats_pruned_scan": run_named("cdc_stats_pruned_scan"),
+        "cdc_outbox_from_cdf": run_named("cdc_outbox_from_cdf"),
         "cdc_token_index": run_named("cdc_token_index"),
         "cdc_index_search": run_named("cdc_index_search"),
         "cdc_metadata_count": run_named("cdc_metadata_count"),
