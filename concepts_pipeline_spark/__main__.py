@@ -266,6 +266,18 @@ def cmd_stats(args) -> dict:
     return LakeTable(args.table).table_stats(args.version)
 
 
+def cmd_outbox_refresh(args) -> dict:
+    """Publish per-key actions for primary versions past the outbox cursor
+    (CDF-derived, WAP-compatible — see lake/outbox.py)."""
+    from .lake import LakeTable
+    from .lake.outbox import CdfOutbox
+
+    spark = _spark("cps-outbox")
+    obx = CdfOutbox(spark, LakeTable(args.table), args.outbox)
+    published = obx.refresh()
+    return {"published_versions": published, "cursor": obx.cursor()}
+
+
 def cmd_history(args) -> dict:
     """Snapshot log (DESCRIBE HISTORY analogue) — manifest headers only."""
     from .lake import LakeTable
@@ -533,6 +545,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--table", required=True)
     g.add_argument("--version", type=int, default=None)
     g.set_defaults(fn=cmd_stats)
+
+    g = sub.add_parser("outbox-refresh",
+                       help="publish CDF-derived change actions past the cursor")
+    g.add_argument("--table", required=True)
+    g.add_argument("--outbox", required=True)
+    g.set_defaults(fn=cmd_outbox_refresh)
 
     g = sub.add_parser("history", help="snapshot log / timestamp time travel")
     g.add_argument("--table", required=True)
