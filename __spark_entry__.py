@@ -331,7 +331,12 @@ def cdc_replay_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("lsn").alias("lsn")).alias("source"),
         ).alias("payload"),
     ))
-    parsed = parse_debezium(log.select(envelope.alias("value")), row_schema)
+    # pin the parsed feed once: the 4-batch loop otherwise re-derives,
+    # re-serializes, and re-parses the FULL envelope set per batch (4× the
+    # from_json cost for identical rows)
+    parsed = parse_debezium(
+        log.select(envelope.alias("value")), row_schema
+    ).localCheckpoint()
 
     root = _scratch_dir("cps-dbz-")
     pipe = CdcPipeline(
