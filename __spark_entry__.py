@@ -670,6 +670,30 @@ def cdc_changes_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.changes.read(spark).select("doc_id", "action", "fence_token")
 
 
+def cdc_quarantine_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter redrive (CdcPipeline.redrive_quarantine): replay under the
+    default vocab (out-of-vocab events quarantine), then redrive exactly that
+    reject class with a doubled vocab — the tokenizer-grew fix. The final
+    state must equal the spec validated under the LARGER vocab: every
+    recovered event participates in the same per-key LWW (a redriven event
+    overwritten since quarantine lands stale — asserted via the oracle, which
+    knows nothing about arrival order)."""
+    pipe = _replayed_pipe(
+        spark, sf_dir, "redrive", quarantine_path="quarantine"
+    )
+    n_q = pipe.quarantine.read(spark).filter(
+        F.col("reject_reason") == "token_out_of_vocab"
+    ).count()
+    if n_q == 0:
+        raise AssertionError("fixture has no out-of-vocab quarantine rows")
+    res = pipe.redrive_quarantine(
+        "redrive-q:0", reasons=["token_out_of_vocab"], vocab_size=2 * 50257
+    )
+    if res.stats.applied == 0:
+        raise AssertionError("redrive applied nothing")
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
 def cdc_outbox_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WAP-compatible outbox (lake/outbox.CdfOutbox): per-key actions
     derived AFTER commit from the published chain's snapshot diffs — a pure
@@ -1911,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_rescaled": cdc_replay_rescaled,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_changes_outbox": cdc_changes_outbox,
+        "cdc_quarantine_redrive": cdc_quarantine_redrive,
         "cdc_outbox_from_cdf": cdc_outbox_from_cdf,
         "cdc_lineage_counts": cdc_lineage_counts,
         "cdc_scd2_history": cdc_scd2_history,
@@ -2045,6 +2070,19 @@ def _oracle_sql_base() -> dict[str, str]:
         "cdc_wap_publish": FINAL_STATE_JSON_SQL,
         # Debezium envelope round trip: wrap → parse → replay equals the spec
         "cdc_replay_debezium": FINAL_STATE_JSON_SQL,
+        # the permissive-vocab spec: identical LWW fold, with ONLY the
+        # token_out_of_vocab bound doubled — arrival order (replay first,
+        # redrive later) must be invisible
+        "cdc_quarantine_redrive": f"""
+            WITH {LOG_CTE_SQL},
+            tagged AS (SELECT *, {REASON_SQL.replace("t >= 50257", "t >= 100514")} AS reject_reason FROM log),
+            valid AS (SELECT * FROM tagged WHERE reject_reason IS NULL),
+            latest AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+              FROM valid)
+            SELECT doc_id, CAST(to_json(tokens) AS VARCHAR) AS tokens, n_tok, source
+            FROM latest WHERE rn = 1 AND op <> 'D'
+        """,
         # pruned predicate read over a stat_cols table built from the final
         # state equals the declarative filter; pruning asserted in-query
         "cdc_stats_pruned_scan": FINAL_STATE_JSON_SQL

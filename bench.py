@@ -145,6 +145,7 @@ def bench_queries(spark):
         "cdc_snapshot_diff": run_named("cdc_snapshot_diff"),
         "cdc_stats_pruned_scan": run_named("cdc_stats_pruned_scan"),
         "cdc_outbox_from_cdf": run_named("cdc_outbox_from_cdf"),
+        "cdc_quarantine_redrive": run_named("cdc_quarantine_redrive"),
         "cdc_token_index": run_named("cdc_token_index"),
         "cdc_index_search": run_named("cdc_index_search"),
         "cdc_metadata_count": run_named("cdc_metadata_count"),

@@ -550,6 +550,39 @@ class CdcPipeline:
             main.drop_branch(name)
             return result
 
+    def redrive_quarantine(
+        self,
+        fence_token: str,
+        reasons: list[str] | None = None,
+        vocab_size: int | None = None,
+        on_reject: str = "quarantine",
+    ) -> ApplyResult:
+        """Dead-letter redrive: re-submit quarantined events through the
+        normal apply after an upstream fix (the typical one: the tokenizer
+        grew, so ``vocab_size`` overrides the validator for this batch).
+
+        Correctness comes from the engine's own LWW discipline rather than
+        new machinery: a redriven event whose key was overwritten since
+        quarantine (a higher LSN applied meanwhile) lands ``stale`` — no
+        zombie resurrection — and the whole redrive is one fenced batch
+        (crash-safe, replay-skipping). ``reasons`` selects which reject
+        classes to redrive (default: all); rows that STILL fail validation
+        re-append to the quarantine under the new fence (the quarantine is a
+        log of attempts, not a keyed set — redrive the fixed class only)."""
+        if self.quarantine is None:
+            raise ValueError("redrive requires a quarantine table")
+        q = self.quarantine.read(self.spark)
+        if reasons:
+            q = q.filter(F.col("reject_reason").isin(list(reasons)))
+        batch = q.drop("reject_reason")
+        old_vocab = self.vocab_size
+        if vocab_size is not None:
+            self.vocab_size = vocab_size
+        try:
+            return self.apply_batch(batch, fence_token, on_reject=on_reject)
+        finally:
+            self.vocab_size = old_vocab
+
     def final_state(self, include_hidden: bool = False) -> DataFrame:
         """The user-visible table: tombstones filtered, hidden columns dropped.
         Under merge-on-read, deltas are LWW-resolved here (lake.merge.read_merged)."""

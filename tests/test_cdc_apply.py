@@ -192,3 +192,40 @@ def test_on_reject_fail_aborts_batch_without_commit(spark, change_log, tmp_path)
     assert not res.stats.skipped
     assert res.quarantined == 0
     assert pipe.target.current_version() > v0
+
+
+def test_quarantine_redrive_recovers_without_zombies(spark, tmp_path):
+    """Dead-letter redrive: after a vocab extension, quarantined
+    token_out_of_vocab events re-apply under LWW — a redriven event whose key
+    was overwritten since quarantine lands STALE (no zombie resurrection),
+    and one whose LSN still wins recovers."""
+    from concepts_pipeline_spark.cdc.apply import CdcPipeline
+
+    LOG = ("lsn long, op string, doc_id string, tokens array<int>, "
+           "n_tok int, source string")
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, ["doc_id"],
+        quarantine_path=str(tmp_path / "q"), num_buckets=4, salt_buckets=2,
+    )
+    big = 60_000  # out of the default 50257 vocab, inside the doubled one
+    pipe.apply_batch(spark.createDataFrame([
+        (1, "I", "a", [1], 1, "s"),
+        (2, "U", "a", [big], 1, "s"),     # quarantined; would win for 'a'
+        (3, "I", "b", [big, big], 2, "s"),  # quarantined; 'b' unborn without it
+        (4, "I", "c", [big], 1, "s"),     # quarantined, then overwritten below
+    ], LOG), "b:0")
+    pipe.apply_batch(spark.createDataFrame([
+        (5, "U", "c", [7], 1, "s"),       # beats the quarantined lsn=4
+    ], LOG), "b:1")
+    assert pipe.quarantine.read(spark).count() == 3
+
+    res = pipe.redrive_quarantine(
+        "rq:0", reasons=["token_out_of_vocab"], vocab_size=2 * 50257)
+    assert res.stats.applied == 2 and res.stats.stale == 1
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in pipe.final_state().collect()}
+    assert got == {"a": [big], "b": [big, big], "c": [7]}
+    # fenced: a crashed-and-retried redrive is a no-op
+    assert pipe.redrive_quarantine(
+        "rq:0", reasons=["token_out_of_vocab"], vocab_size=2 * 50257
+    ).stats.skipped
