@@ -1274,6 +1274,18 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM quality score (textstats.unigram_logprob)
+    — the CCNet-style perplexity filter at order 1: two aggregations + one
+    word equi-join, no Python, no window. Rounded to 6dp for the float gate."""
+    from concepts_pipeline_spark.operators.textstats import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs).select(
+        F.col("key").alias("doc_id"), "n_words", "logprob"
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (textstats.pii_scrub): per-pattern counts and
     the redacted text, pure JVM regex (one codegen'd map, no shuffle). The
@@ -1975,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "epoch_shuffle": q_epoch_shuffle,
         "pii_scrub": q_pii_scrub,
+        "unigram_logprob": q_unigram_logprob,
         "weighted_sample": q_weighted_sample,
         "cap_tokens_per_source": q_cap_tokens_per_source,
         "token_mixture": q_token_mixture,
@@ -2758,6 +2771,20 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE CAST(CAST('0x' || substr(md5('sample-v1' || CAST(doc_id AS VARCHAR)), 1, 13) AS UBIGINT) AS DOUBLE) / 4503599627370496.0
                   < least(1.0, greatest(0.0, 0.8 * (CAST(n_chars AS DOUBLE) / 300.0)))
+        """,
+        # same normalizer as the engine (shared _WORDS_CTE); add-one-smoothed
+        # unigram logprob; 6dp rounding on BOTH sides bounds fp-order noise
+        "unigram_logprob": f"""
+            WITH {_WORDS_CTE},
+            tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+            tok2 AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+            freq AS (SELECT word, COUNT(*) AS cnt FROM tok2 GROUP BY word),
+            tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vsize FROM freq)
+            SELECT t.doc_id,
+                   COUNT(*) AS n_words,
+                   round(avg(log10((f.cnt + 1.0) / (tot.total + tot.vsize))), 6) AS logprob
+            FROM tok2 t JOIN freq f USING (word) CROSS JOIN tot
+            GROUP BY t.doc_id
         """,
         # identical deterministic PII injection + the same RE2/Java-subset
         # patterns; counts via regexp_extract_all, redaction via chained

@@ -131,6 +131,7 @@ def bench_queries(spark):
         "token_mixture": run_named("token_mixture"),
         "lang_id": run_named("lang_id"),
         "pii_scrub": run_named("pii_scrub"),
+        "unigram_logprob": run_named("unigram_logprob"),
         "doc_fingerprint": run_named("doc_fingerprint"),
         "pack_token_stream": run_named("pack_token_stream"),
         "decontaminate": run_named("decontaminate"),

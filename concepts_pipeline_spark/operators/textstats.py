@@ -274,3 +274,43 @@ def pii_scrub(
         )
         red = F.regexp_replace(red, pats[name], replacement)
     return out.withColumn("redacted", red)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-self-trained unigram LM quality score (the CCNet-style
+    perplexity filter, collapsed to order 1 so it needs no external model):
+    score = mean over the doc's words of log10 p(word), with add-one-smoothed
+    probabilities estimated from THIS corpus — gibberish and boilerplate-rare
+    vocabularies score low, middle-of-the-distribution prose scores high.
+    Output: (key, n_words, logprob rounded to 6dp).
+
+    Scale shape: two aggregations and ONE equi-join on the word — explode →
+    count words (map-side partial agg), broadcast nothing (the vocabulary can
+    be huge; Catalyst picks sort-merge/shuffled-hash as sizes dictate), join
+    the exploded stream back, partial-agg the per-doc mean. No Python, no
+    window, no driver state."""
+    words = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(normalized_words(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = freq.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vsize")
+    )
+    scored = (
+        words.join(freq, "word")
+        .crossJoin(F.broadcast(totals))  # one row: corpus total + vocab size
+        .select(
+            "key",
+            (F.log10((F.col("cnt") + F.lit(1.0))
+                     / (F.col("total") + F.col("vsize")))).alias("lp"),
+        )
+    )
+    return scored.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg("lp"), 6).alias("logprob"),
+    )

@@ -113,3 +113,25 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert got["c"]["redacted"] == got["c"]["text"]
     # the shape-matcher is deliberately permissive (pattern, not validator)
     assert got["d"]["n_ipv4"] == 1
+
+
+def test_unigram_logprob_orders_quality(spark):
+    """Docs made of corpus-common words outscore docs of rare/gibberish words;
+    counts and smoothing follow the add-one spec."""
+    from concepts_pipeline_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [("common", "the the the cat cat"),
+         ("mixed", "the cat zqxv"),
+         ("gibber", "zzqp qqxv wwvt")],
+        "doc_id string, text string",
+    )
+    got = {r["key"]: r for r in unigram_logprob(docs).collect()}
+    assert got["common"]["n_words"] == 5
+    assert got["common"]["logprob"] > got["mixed"]["logprob"] > got["gibber"]["logprob"]
+    # hand-check one cell: corpus total=11 words, vocab=6; p(the)=(4+1)/17
+    import math
+    the = math.log10(5 / 17)
+    cat = math.log10(4 / 17)  # cnt(cat)=3 → (3+1)/17
+    want = round((3 * the + 2 * cat) / 5, 6)
+    assert abs(got["common"]["logprob"] - want) < 1e-6
