@@ -223,3 +223,52 @@ def test_debezium_export_round_trips_snapshot_diff(spark, tmp_path):
            for r in envelopes.collect()]
     upd = next(p for p in raw if p["op"] == "u")
     assert upd["before"]["tokens"] == [1] and upd["after"]["tokens"] == [9, 9]
+
+
+def test_debezium_stream_through_wap_gate(spark, tmp_path, log_df):
+    """The whole composition: a Debezium envelope dump tailed by the
+    checkpointed stream, every micro-batch staged-audited-published (WAP),
+    landing the identical state as a direct parquet replay."""
+    base = str(tmp_path / "dbzwap")
+    dbz_op = (
+        F.when(F.col("op") == "D", F.lit("d"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .otherwise(F.lit("c"))
+    )
+    row = F.struct("doc_id", "tokens", "n_tok", "source")
+    env = F.to_json(F.struct(F.struct(
+        dbz_op.alias("op"),
+        F.when(F.col("op") == "D", row).alias("before"),
+        F.when(F.col("op") != "D", row).alias("after"),
+        (F.col("lsn") * 1000).alias("ts_ms"),
+        F.struct(F.col("lsn").alias("lsn")).alias("source"),
+    ).alias("payload")))
+    log_df.select(env.alias("value")).coalesce(3).write.mode(
+        "overwrite").text(f"file://{base}/feed")
+
+    schema = CHANGE_LOG_SCHEMA
+    schema = type(schema)([f for f in schema.fields if f.name != "batch_id"])
+    pq = str(tmp_path / "pqref")
+    log_df.coalesce(2).write.mode("overwrite").parquet(f"file://{pq}")
+    want = replay(
+        spark, tmp_path,
+        read_change_feed(spark, f"file://{pq}", "parquet", schema), "ref")
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, ["doc_id"],
+        num_buckets=4, salt_buckets=2,
+    )
+    audits = []
+
+    def audit(s, branch, result):
+        audits.append(result.stats.applied)
+        return True
+
+    h = run_stream(
+        spark, pipe, f"{base}/feed", str(tmp_path / "ckpt"),
+        name="dbz-wap", max_files_per_trigger=1,
+        feed_format="debezium", schema=schema, audit=audit,
+    )
+    h.query.awaitTermination()
+    assert engine_state(pipe.final_state()) == want
+    assert len(audits) >= 3 and pipe.target.list_branches() == []
