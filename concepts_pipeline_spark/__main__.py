@@ -266,6 +266,18 @@ def cmd_stats(args) -> dict:
     return LakeTable(args.table).table_stats(args.version)
 
 
+def cmd_verify_replica(args) -> dict:
+    """Replication checksum: order/layout-insensitive logical digest of the
+    replica vs the primary at the replica's applied version."""
+    from .lake import LakeTable
+    from .lake.replicate import Replica, verify_replica
+
+    spark = _spark("cps-verify-replica")
+    primary = LakeTable(args.primary)
+    rep = Replica(spark, primary, args.replica)
+    return verify_replica(spark, primary, rep)
+
+
 def cmd_outbox_refresh(args) -> dict:
     """Publish per-key actions for primary versions past the outbox cursor
     (CDF-derived, WAP-compatible — see lake/outbox.py)."""
@@ -545,6 +557,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--table", required=True)
     g.add_argument("--version", type=int, default=None)
     g.set_defaults(fn=cmd_stats)
+
+    g = sub.add_parser("verify-replica", help="replication checksum (logical digest)")
+    g.add_argument("--primary", required=True)
+    g.add_argument("--replica", required=True)
+    g.set_defaults(fn=cmd_verify_replica)
 
     g = sub.add_parser("outbox-refresh",
                        help="publish CDF-derived change actions past the cursor")

@@ -135,3 +135,39 @@ class Replica:
 
         m = self.table.manifest()
         return read_live(self.spark, self.table, m, {f.bucket for f in m.files})
+
+
+def logical_digest(spark: SparkSession, table: LakeTable, version: int | None = None) -> dict:
+    """Order-insensitive integrity digest of a table's LIVE logical rows:
+    (row_count, XOR of xxhash64 over the canonical row JSON). Bucket layout,
+    file generations, MoR deltas, and column order are all invisible — two
+    tables agree iff their logical states agree (modulo a 2^-64 collision).
+    One map + one aggregation over the table; the operational replication
+    checksum (compare a replica to its primary without shipping either)."""
+    from .diff import read_live
+
+    m = table.manifest(version)
+    live = read_live(spark, table, m, {f.bucket for f in m.files})
+    payload = sorted(c for c in live.columns if not c.startswith("_"))
+    # bit_xor is a partial-aggregating O(1)-state fold — never materializes
+    # the hash stream (a collect_list fold would hold O(rows) in one buffer)
+    agg = live.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.expr(
+            "coalesce(bit_xor(xxhash64(to_json(struct("
+            + ", ".join(payload) + ")))), CAST(0 AS BIGINT))"
+        ).alias("digest"),
+    )
+    r = agg.first()
+    return {"rows": int(r["rows"]), "digest": int(r["digest"])}
+
+
+def verify_replica(spark: SparkSession, primary: LakeTable, replica: "Replica") -> dict:
+    """Compare the replica's logical state to the primary's AT THE VERSION the
+    replica has applied (comparing to the live head would race ongoing
+    writes). Returns both digests and ``match``."""
+    v = replica.applied_version()
+    p = logical_digest(spark, primary, version=v if v > 0 else None)
+    r = logical_digest(spark, replica.table)
+    return {"applied_version": v, "primary": p, "replica": r,
+            "match": p == r}

@@ -121,3 +121,36 @@ def test_replica_coalesced_race_cannot_resurrect_interior_dead_key(
     # no - k died at v2, so 0->2 has no k either; use 0->1 which DOES insert k)
     assert loser.refresh(up_to_version=1, coalesce=True) == 0
     assert logical(loser.read()) == {"x": ([7], 1, "s")}  # k stays dead
+
+
+def test_logical_digest_and_verify_replica(spark, tmp_path):
+    """The replication checksum: digest is invariant to bucket layout and
+    physical generations, detects a single-row divergence, and verify_replica
+    compares at the replica's APPLIED version (not the racing head)."""
+    from concepts_pipeline_spark.lake.replicate import (
+        Replica, logical_digest, verify_replica,
+    )
+    from concepts_pipeline_spark.lake.merge import merge_into
+    from concepts_pipeline_spark.lake.table import LakeTable
+    from tests.test_branch import SRC_SCHEMA, _events, _table
+
+    t = _table(spark, tmp_path, "p", num_buckets=4)
+    merge_into(spark, t, _events(spark, [("a", [1], 1, "s", "U", 1),
+                                         ("b", [2], 1, "s", "U", 1)]),
+               fence_token="c1", lsn_col="lsn")
+    rep = Replica(spark, t, str(tmp_path / "r"), num_buckets=2)  # different layout
+    rep.refresh()
+    out = verify_replica(spark, t, rep)
+    assert out["match"] and out["primary"]["rows"] == 2
+
+    # primary advances; the replica lags but still verifies at ITS version
+    merge_into(spark, t, _events(spark, [("c", [3], 1, "s", "U", 2)]),
+               fence_token="c2", lsn_col="lsn")
+    assert verify_replica(spark, t, rep)["match"]
+    rep.refresh()
+    assert verify_replica(spark, t, rep)["match"]
+
+    # a divergent replica is caught
+    merge_into(spark, rep.table, _events(spark, [("c", [9], 1, "s", "U", 99)]),
+               fence_token="rogue", lsn_col="lsn")
+    assert not verify_replica(spark, t, rep)["match"]
