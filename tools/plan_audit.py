@@ -167,6 +167,30 @@ def main() -> None:
                          r"windowspecdefinition\(__pid"))
     sections.append(("epoch shuffle — range-partitioned local ranks + broadcast offsets", p))
 
+    # 8c. pii_scrub: pure row-map — regex count/replace must compile to a
+    #     single scan stage (no Exchange, no Python)
+    pp = entry.q_pii_scrub(spark, SF)
+    p = explain_str(pp)
+    results.append(check("pii scrub has NO Exchange (single map stage)", p,
+                         r"Exchange", must_match=False))
+    results.append(check("pii scrub has NO Python node", p,
+                         r"(ArrowEvalPython|BatchEvalPython|MapInPandas)",
+                         must_match=False))
+    sections.append(("pii scrub — one codegen'd map, no shuffle", p))
+
+    # 8d. unigram logprob: word counts and the per-doc mean must both
+    #     partial-aggregate before their exchanges; the corpus-totals side is
+    #     a broadcast (one row), never a shuffle join
+    ug = entry.q_unigram_logprob(spark, SF)
+    p = explain_str(ug)
+    results.append(check("unigram freq counts partial-aggregate before the exchange", p,
+                         r"partial_count[\s\S]*Exchange"))
+    results.append(check("unigram totals join is broadcast (one-row side)", p,
+                         r"BroadcastNestedLoopJoin|BroadcastExchange"))
+    results.append(check("unigram logprob has NO window", p,
+                         r"Window", must_match=False))
+    sections.append(("unigram logprob — partial-agg word pipeline", p))
+
     # 9. repetition features: the n-gram stream must aggregate with map-side
     #    partials (two hash aggregations, no Window over the exploded stream),
     #    and the per-doc pivot is a conditional aggregate, not a join per n
