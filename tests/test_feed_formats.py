@@ -272,3 +272,49 @@ def test_debezium_stream_through_wap_gate(spark, tmp_path, log_df):
     h.query.awaitTermination()
     assert engine_state(pipe.final_state()) == want
     assert len(audits) >= 3 and pipe.target.list_branches() == []
+
+
+def test_parse_debezium_never_throws_on_arbitrary_lines(spark):
+    """Fuzz the envelope parser: arbitrary strings and JSON-shaped noise must
+    degrade to NULL-op rows (quarantine path), never a job failure."""
+    import json as _json
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StringType, StructField, StructType,
+    )
+
+    from concepts_pipeline_spark.cdc.feed import parse_debezium
+
+    row_schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+    ])
+
+    json_scalars = st.one_of(st.none(), st.booleans(), st.integers(),
+                             st.text(max_size=8))
+    json_tree = st.recursive(
+        json_scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=3),
+            st.dictionaries(st.sampled_from(
+                ["payload", "op", "before", "after", "source", "lsn", "x"]),
+                inner, max_size=4),
+        ),
+        max_leaves=8,
+    )
+    line = st.one_of(st.text(max_size=40), json_tree.map(_json.dumps))
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(lines=st.lists(line, min_size=1, max_size=12))
+    def run(lines):
+        df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+        out = parse_debezium(df, row_schema).collect()
+        assert len(out) == len(lines)
+        for r in out:
+            assert r["op"] in (None, "I", "U", "D")
+
+    run()
