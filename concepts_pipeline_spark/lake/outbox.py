@@ -37,13 +37,26 @@ FENCE_PREFIX = "obx:"
 class CdfOutbox:
     """Change publication derived from a primary table's committed versions."""
 
-    def __init__(self, spark: SparkSession, primary: LakeTable, outbox_path: str):
+    def __init__(self, spark: SparkSession, primary: LakeTable,
+                 outbox_path: str, include_payload: bool = False):
+        """``include_payload=True`` makes this a FULL-ROW changelog: insert/
+        update rows carry the post-image payload columns (NULL on deletes), so
+        a consumer can reconstruct the primary's exact state by folding the
+        outbox in version order — no read-back against the primary needed
+        (the Kafka-compacted-topic shape; pytest pins the reconstruction)."""
         self.spark = spark
         self.primary = primary
+        self.include_payload = include_payload
         m = primary.manifest()
         self.key_cols = list(m.key_cols)
+        self.payload_cols = [
+            f.name for f in m.schema.fields
+            if f.name not in m.key_cols and not f.name.startswith("_")
+        ] if include_payload else []
         schema = StructType(
             [StructField(k, m.schema[k].dataType, True) for k in self.key_cols]
+            + [StructField(c, m.schema[c].dataType, True)
+               for c in self.payload_cols]
             + [
                 StructField("action", StringType(), False),
                 StructField("version", LongType(), False),
@@ -68,6 +81,12 @@ class CdfOutbox:
             d = snapshot_diff(self.spark, self.primary, v - 1, v)
             rows = d.select(
                 *self.key_cols,
+                *[
+                    # post-image for insert/update; deletes carry NULLs (the
+                    # diff's from-side image is not part of the changelog)
+                    F.when(F.col("change_type") != "delete", F.col(c)).alias(c)
+                    for c in self.payload_cols
+                ],
                 F.col("change_type").alias("action"),
                 F.lit(v).cast("long").alias("version"),
             )
@@ -85,7 +104,7 @@ class CdfOutbox:
 
     def read(self) -> DataFrame:
         return self.table.read(self.spark).select(
-            *self.key_cols, "action", "version"
+            *self.key_cols, *self.payload_cols, "action", "version"
         )
 
     def read_since(self, version: int) -> DataFrame:

@@ -75,3 +75,30 @@ def test_wap_rejected_batch_publishes_nothing(spark, tmp_path):
     assert {(r["doc_id"], r["action"]) for r in obx.read().collect()} == {
         ("a", "insert"), ("a", "update"),
     }
+
+
+def test_payload_changelog_reconstructs_state(spark, tmp_path):
+    """include_payload=True: folding the outbox in version order rebuilds the
+    primary's exact live state — the Kafka-compacted-topic shape, no read-back
+    against the primary."""
+    pipe = _pipe(spark, tmp_path)
+    b = lambda rows, tok: pipe.apply_batch(
+        spark.createDataFrame(rows, LOG), fence_token=tok)
+    b([(1, "I", "a", [1], 1, "s"), (2, "I", "b", [2], 1, "s")], "c:0")
+    b([(3, "U", "a", [9, 9], 2, "s2"), (4, "D", "b", None, None, None)], "c:1")
+    b([(5, "I", "c", [3], 1, "s")], "c:2")
+
+    obx = CdfOutbox(spark, pipe.target, str(tmp_path / "obx"),
+                    include_payload=True)
+    assert obx.refresh() == 3
+    state: dict = {}
+    for r in sorted(obx.read().collect(), key=lambda r: r["version"]):
+        if r["action"] == "delete":
+            state.pop(r["doc_id"], None)
+        else:
+            state[r["doc_id"]] = (list(r["tokens"]), r["n_tok"], r["source"])
+    want = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+            for r in pipe.final_state().collect()}
+    assert state == want == {
+        "a": ([9, 9], 2, "s2"), "c": ([3], 1, "s"),
+    }
