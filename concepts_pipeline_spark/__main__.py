@@ -213,7 +213,21 @@ def cmd_stream(args) -> dict:
         def audit(s, branch, result):
             import pyspark.sql.functions as SF
 
-            before = branch.count_live(branch.fork_version()) or 0
+            fork = branch.fork_version()
+            before = branch.count_live(fork)
+            if before is None:
+                # MoR deltas / pre-upgrade manifests: the metadata-only count
+                # can't answer. Fall back to the real (bucket-pruned MoR) read
+                # at the fork version so the gate the user explicitly enabled
+                # still rejects, instead of silently short-circuiting on 0.
+                from .lake.merge import HIDDEN_DELETED, read_merged
+
+                df = read_merged(s, branch, fork)
+                if HIDDEN_DELETED in df.columns:
+                    df = df.filter(
+                        ~SF.coalesce(SF.col(HIDDEN_DELETED), SF.lit(False))
+                    )
+                before = df.count()
             dels = (
                 staged_changes(s, branch)
                 .filter(SF.col("change_type") == "delete")

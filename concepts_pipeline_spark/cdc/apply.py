@@ -71,8 +71,11 @@ def valid_event_expr(
     count-consistency check (a feed that does not carry the count column —
     e.g. after a RENAME COLUMN — cannot be held to it)."""
     op, toks = F.col(op_col), F.col(tokens_col)
+    # op.isNull() is explicit: under SQL three-valued logic ~isin(...) is NULL
+    # (not true) for a NULL op, which would let a NULL-op event with a populated
+    # after-image slip past every branch and be applied as a live upsert.
     expr = (
-        F.when(~op.isin("I", "U", delete_op), F.lit("unknown_op"))
+        F.when(op.isNull() | ~op.isin("I", "U", delete_op), F.lit("unknown_op"))
         .when(op == delete_op, F.lit(None).cast("string"))  # deletes carry no payload
         .when(toks.isNull(), F.lit("null_tokens"))
         .when(F.size(toks) == 0, F.lit("empty_tokens"))
@@ -516,6 +519,15 @@ class CdcPipeline:
             # directly (or derive the outbox from snapshot_diff post-publish).
             raise ValueError("apply_batch_wap is incompatible with changes_path")
         if self.target.has_fence_token(fence_token):
+            # crash between publish_branch and drop_branch leaves the staging
+            # branch orphaned — it would pin every data file and manifest
+            # shard it references against expire_snapshots forever. The fence
+            # proves the publish landed, so the branch is garbage: drop it
+            # best-effort before the no-op replay.
+            try:
+                self.target.drop_branch(f"wap-{fence_token}")
+            except FileNotFoundError:
+                pass
             return self.apply_batch(batch, fence_token, on_reject=on_reject)
         if self.target.branch_name is not None:
             raise ValueError("apply_batch_wap targets the main table view")

@@ -345,7 +345,14 @@ class TokenIndex:
 
     def lookup(self, tokens: list[int]) -> DataFrame:
         """(token, doc_id) rows for the probed tokens — a bucket+stat-pruned
-        point read of each token's slot keys, no scan."""
+        point read of each token's slot keys, no scan.
+
+        The routing map is re-read from the committed manifest on every probe
+        (one local JSON read, no Spark job): a long-lived reader instance
+        racing an out-of-process split would otherwise probe only the old slot
+        space — split slots are overwritten to subsets/empty, so stale routing
+        silently misses the postings that moved to the new slots."""
+        self._bits = self._load_bits(self.table.manifest().properties)
         keys = [k for t in tokens for k in self._slots(int(t))]
         got = read_for_keys(self.spark, self.table, keys)
         return got.filter(F.size("doc_ids") > 0).select(

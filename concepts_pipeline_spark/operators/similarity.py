@@ -93,6 +93,7 @@ def ivf_assign(
     key_col: str = "vec_id",
     num_lists: int = 16,
     seed: int = 7,
+    hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF-flat index build: pick ``num_lists`` deterministic centroids (the
     vectors whose xxhash64(key) ranks lowest — a seeded sample, no iteration),
@@ -110,11 +111,30 @@ def ivf_assign(
     from pyspark.sql.types import StringType
 
     spark = df.sparkSession
+    # hash_fn='md5': engine-portable centroid rank (first 60 bits of
+    # md5(key || '-ivf-' || seed)) so an external oracle (DuckDB) re-derives
+    # the identical centroid set — the same pattern as dedup's md5 modes.
+    # xxhash64 stays the default (cheaper, JVM-native).
+    if hash_fn == "md5":
+        rank = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(key_col).cast("string"), F.lit(f"-ivf-{seed}")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    elif hash_fn == "xxhash64":
+        rank = F.xxhash64(F.col(key_col).cast("string"), F.lit(seed))
+    else:
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     cents = (
-        df.select(
-            F.col(key_col), F.col(vec_col),
-            F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)).alias("__rk"),
-        )
+        df.select(F.col(key_col), F.col(vec_col), rank.alias("__rk"))
         .orderBy("__rk")
         .limit(num_lists)
         .collect()
@@ -161,10 +181,11 @@ def ann_ivf_topk(
     num_lists: int = 16,
     n_probe: int = 4,
     seed: int = 7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """IVF approximate top-k: rank centroids by distance to the query, search
     only the ``n_probe`` nearest posting lists, exact cosine re-rank inside."""
-    assign, centroids = ivf_assign(df, vec_col, key_col, num_lists, seed)
+    assign, centroids = ivf_assign(df, vec_col, key_col, num_lists, seed, hash_fn)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cdist = F.aggregate(
         F.zip_with(F.col("centroid"), q, lambda x, y: (x - y) * (x - y)),

@@ -377,3 +377,20 @@ def test_wap_rejects_outbox_pipes(spark, tmp_path):
     with pytest.raises(ValueError, match="changes_path"):
         pipe.apply_batch_wap(_events(spark, [("a", [1], 1, "s", "U", 1)]),
                              fence_token="b:0", audit=lambda s, br, r: True)
+
+
+def test_wap_orphan_branch_from_crash_after_publish_is_reaped(spark, tmp_path):
+    """Crash between publish_branch and drop_branch leaves the staging branch
+    orphaned — it pins every data file + manifest shard it references against
+    expire_snapshots forever. The fenced short-circuit on replay must reap it."""
+    pipe = _wap_pipe(spark, tmp_path)
+    batch = _events(spark, [("a", [1, 2], 2, "s", "U", 1)])
+    pipe.apply_batch_wap(batch, fence_token="b:0", audit=lambda s, br, r: True)
+    assert pipe.target.list_branches() == []
+    # simulate the crash: fence is on main, but the staging branch survived
+    pipe.target.create_branch("wap-b:0")
+    assert pipe.target.list_branches() == ["wap-b:0"]
+    res = pipe.apply_batch_wap(batch, fence_token="b:0",
+                               audit=lambda s, br, r: True)
+    assert res.stats.skipped
+    assert pipe.target.list_branches() == []

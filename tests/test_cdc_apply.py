@@ -229,3 +229,25 @@ def test_quarantine_redrive_recovers_without_zombies(spark, tmp_path):
     assert pipe.redrive_quarantine(
         "rq:0", reasons=["token_out_of_vocab"], vocab_size=2 * 50257
     ).stats.skipped
+
+
+def test_null_op_event_is_quarantined_not_applied(spark, tmp_path):
+    """SQL three-valued logic regression: ``~op.isin(...)`` is NULL (not true)
+    for a NULL op, so without an explicit isNull branch a NULL-op envelope
+    with a fully valid after-image sails past every validator arm and is
+    APPLIED as a live upsert. parse_debezium deliberately maps unknown ops to
+    NULL expecting the quarantine path — hold it to that contract."""
+    LOG = ("lsn long, op string, doc_id string, tokens array<int>, "
+           "n_tok int, source string")
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "t"), TARGET_SCHEMA, ["doc_id"],
+        quarantine_path=str(tmp_path / "q"), num_buckets=4, salt_buckets=2,
+    )
+    res = pipe.apply_batch(spark.createDataFrame([
+        (1, "I", "a", [1], 1, "s"),
+        (2, None, "ghost", [2, 3], 2, "s"),  # NULL op, valid payload
+    ], LOG), "b:0")
+    assert res.quarantined == 1
+    q = pipe.quarantine.read(spark).collect()
+    assert len(q) == 1 and q[0]["reject_reason"] == "unknown_op"
+    assert {r["doc_id"] for r in pipe.final_state().collect()} == {"a"}

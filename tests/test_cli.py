@@ -367,3 +367,49 @@ def test_cli_column_ddl(spark, tmp_path, capsys):
     assert out["dropped"] == "n_tok"
     cols = LakeTable(target).manifest().schema.fieldNames()
     assert "origin" in cols and "source" not in cols and "n_tok" not in cols
+
+
+def test_cli_stream_wap_delete_gate_mor(spark, tmp_path, capsys):
+    """The WAP delete gate under --strategy mor: count_live() is None for MoR
+    manifests (deltas shadow base rows key-by-key), so the gate must fall back
+    to a real merged read at the fork version instead of silently passing
+    every batch (the `None or 0` → before==0 → audit-True no-op regression)."""
+    import glob
+    import os as _os
+    import shutil
+
+    import pytest as _pytest
+
+    from concepts_pipeline_spark.lake import LakeTable
+    from concepts_pipeline_spark.lake.merge import read_merged
+
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, "I", "a", [1], 1, "s"), (2, "I", "b", [2], 1, "s"),
+         (3, "I", "c", [3], 1, "s")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1).write.parquet(f"file://{feed}/f0")
+    spark.createDataFrame(
+        [(4, "D", "a", None, None, None), (5, "D", "b", None, None, None)],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    ).coalesce(1).write.parquet(f"file://{feed}/f1")
+    flat = str(tmp_path / "flat")
+    _os.makedirs(flat)
+    for i, src in enumerate(sorted(glob.glob(f"{feed}/f*/part-*.parquet"))):
+        shutil.copy(src, f"{flat}/{i:02d}.parquet")
+
+    target = str(tmp_path / "t")
+    argv = ["stream", "--feed", flat, "--target", target,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--max-files-per-trigger", "1", "--strategy", "mor",
+            "--wap-max-delete-frac", "0.5"]
+    from concepts_pipeline_spark.__main__ import main
+    with _pytest.raises(Exception):
+        main(argv)
+    t = LakeTable(target)
+    assert t.list_branches() == []
+    live = read_merged(spark, t).filter(~F.coalesce("_deleted", F.lit(False)))
+    assert {r["doc_id"] for r in live.collect()} == {"a", "b", "c"}
+    # permissive gate from the same checkpoint: the gated batch re-delivers
+    out = run(capsys, argv[:-1] + ["1.0"])
+    assert out["final_rows"] == 1

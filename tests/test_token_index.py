@@ -266,3 +266,29 @@ def test_index_search_any_and_all(spark, tmp_path):
 
     with pytest.raises(ValueError, match="mode"):
         ix.search([1], mode="nope")
+
+
+def test_long_lived_reader_sees_out_of_process_splits(spark, tmp_path):
+    """A reader handle constructed BEFORE another process splits a hot token
+    must not probe the old slot space: the split overwrote old slots to
+    subsets/empty, so stale routing silently drops the postings that moved.
+    lookup() reloads shard_bits from the committed manifest per probe."""
+    n_docs = 120
+    rows = [(f"d{i}", i + 1, "I", [999], 1, "s") for i in range(n_docs)]
+    pipe = _pipe(spark, tmp_path, name="tsr")
+    pipe.apply_batch(_batch(spark, rows), fence_token="b0")
+
+    # the long-lived reader: opened against the pre-split index (empty bits)
+    reader = TokenIndex(spark, pipe.target, str(tmp_path / "ixsr"), num_shards=2)
+    # the "other process": same table, splitting enabled, builds + splits
+    writer = TokenIndex(
+        spark, pipe.target, str(tmp_path / "ixsr"),
+        num_shards=2, max_postings=16,
+    )
+    writer.refresh()
+    assert writer._bits.get(999, 0) >= 1  # split actually happened
+    assert reader._bits == {}             # reader's cache is stale by design
+    got = {d for _, d in pairs(reader.lookup([999]))}
+    assert len(got) == n_docs
+    # search rides lookup, so it inherits the reload
+    assert reader.search([999]).count() == n_docs
