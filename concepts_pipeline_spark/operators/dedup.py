@@ -71,6 +71,64 @@ def _minhash_min_exprs(num_hashes: int, hash_fn: str) -> list:
     raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
 
 
+def _exact_rep_map(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """(key, __digest, __rep) per row: md5 digest of the raw content and the
+    minimum key holding that digest — the exact-duplicate collapse map shared
+    by the near-dup operators.
+
+    Why collapse first: a boilerplate-heavy corpus guarantees million-doc
+    clusters of IDENTICAL text, and any shingle/band bucket containing such a
+    cluster emits O(cluster²) candidate pairs. Identical docs are the only
+    unbounded-cluster case a content-derived hash bucket can produce (near-dup
+    clusters are bounded by the corpus's true near-dup rate), so running
+    candidate generation over one representative per digest and expanding
+    afterwards removes the blowup without changing a single output row:
+    shingle sets are a pure function of the text, so jaccard(x, y) =
+    jaccard(rep_x, rep_y) and intra-cluster pairs are exactly 1.0."""
+    digest = F.coalesce(
+        F.md5(F.col(text_col).cast("string")), F.lit("\x00null")
+    ).alias("__digest")
+    m = df.select(F.col(key_col).alias("key"), digest)
+    reps = m.groupBy("__digest").agg(F.min("key").alias("__rep"))
+    return m.join(reps, "__digest")
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, rm: DataFrame, threshold: float) -> DataFrame:
+    """Fan representative-level near-dup pairs back to the full doc-pair set:
+    intra-cluster pairs (identical text, jaccard exactly 1.0) plus every
+    member-level combination of each rep-level pair. The two sets are disjoint
+    (intra shares a digest, cross spans two), so a plain union is exact."""
+    members = rm.select("key", "__digest")
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "__digest")
+        .filter(F.col("x.key") < F.col("y.key"))
+        .select(
+            F.col("x.key").alias("key_a"),
+            F.col("y.key").alias("key_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .filter(F.lit(1.0) >= F.lit(float(threshold)))
+    )
+    rep_of = rm.select("__rep", "key")
+    cross = (
+        rep_pairs.join(
+            rep_of.select(F.col("__rep").alias("key_a"), F.col("key").alias("__ka")),
+            "key_a",
+        )
+        .join(
+            rep_of.select(F.col("__rep").alias("key_b"), F.col("key").alias("__kb")),
+            "key_b",
+        )
+        .select(
+            F.least("__ka", "__kb").alias("key_a"),
+            F.greatest("__ka", "__kb").alias("key_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
+
+
 def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
     """One representative row per identical content: the minimum key per md5 digest.
 
@@ -97,14 +155,38 @@ def word_ngrams(df: DataFrame, text_col: str, key_col: str, n: int = 3) -> DataF
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, key_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-gram shingle sets.
 
     Inverted-index join on shared shingles (only docs sharing ≥1 shingle ever meet),
     then |A∩B| / (|A|+|B|-|A∩B|). Returns (key_a, key_b, jaccard) with key_a < key_b.
     At scale this is the *verify* stage — candidate generation should use LSH below.
+
+    ``collapse_exact`` (default on): run the inverted-index join over one
+    representative per identical text and expand afterwards — identical-text
+    mega-clusters (boilerplate, empty docs) otherwise turn every shared
+    shingle's posting into an O(cluster²) pair emitter. Output is unchanged
+    (see _exact_rep_map).
     """
+    if collapse_exact:
+        rm = _exact_rep_map(df, text_col, key_col).localCheckpoint()
+        reps = df.join(
+            rm.filter(F.col("key") == F.col("__rep")).select(
+                F.col("key").alias(key_col)
+            ),
+            key_col,
+        )
+        rep_pairs = ngram_jaccard_pairs(
+            reps, text_col, key_col, n=n, threshold=threshold,
+            collapse_exact=False,
+        )
+        return _expand_rep_pairs(rep_pairs, rm, threshold)
     sh = word_ngrams(df, text_col, key_col, n).persist()
     try:
         sizes = sh.groupBy("key").agg(F.count("*").alias("set_size"))
@@ -165,6 +247,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    collapse_exact: bool = True,
+    _assert_max_candidates: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified with exact Jaccard.
 
@@ -172,11 +256,37 @@ def minhash_lsh_pairs(
     verify. The band join is the only pairwise step and touches only colliding
     docs — this is the shape that survives 100 TB.
 
+    ``collapse_exact`` (default on): identical docs share every band bucket,
+    so a million-copy boilerplate cluster makes one bucket emit ~10^12
+    candidate pairs. Candidate generation + verify run over one representative
+    per identical text; the full pair set is reconstructed afterwards
+    (identical-text pairs are exactly jaccard 1.0, cross-cluster pairs equal
+    their reps' — signatures and shingle sets are pure functions of the text),
+    so the output is bit-identical with the blowup removed. The band join's
+    hot-key bound becomes the corpus's true NEAR-dup cluster size.
+
     ``hash_fn='md5'`` swaps both the permutation hashes and the band-bucket
     hash for md5-derived ones (see minhash_signatures) — every stage then has
     an exact DuckDB twin, so the gate checks the LSH pipeline itself, not just
     the verified-jaccard contract.
+
+    ``_assert_max_candidates`` (tests only): count the band join's candidate
+    pairs and raise if the bound is exceeded — the O(unique²) regression guard.
     """
+    if collapse_exact:
+        rm = _exact_rep_map(df, text_col, key_col).localCheckpoint()
+        reps = df.join(
+            rm.filter(F.col("key") == F.col("__rep")).select(
+                F.col("key").alias(key_col)
+            ),
+            key_col,
+        )
+        rep_pairs = minhash_lsh_pairs(
+            reps, text_col, key_col, n=n, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, hash_fn=hash_fn, collapse_exact=False,
+            _assert_max_candidates=_assert_max_candidates,
+        )
+        return _expand_rep_pairs(rep_pairs, rm, threshold)
     rows = num_hashes // bands
     sh = word_ngrams(df, text_col, key_col, n)
     # one shuffle produces BOTH the minhash signature and the exact shingle set —
@@ -222,6 +332,14 @@ def minhash_lsh_pairs(
         .select(F.col("x.key").alias("key_a"), F.col("y.key").alias("key_b"))
         .distinct()
     )
+    if _assert_max_candidates is not None:
+        cand = cand.localCheckpoint()
+        n_cand = cand.count()
+        if n_cand > _assert_max_candidates:
+            raise AssertionError(
+                f"band join emitted {n_cand} candidate pairs > bound "
+                f"{_assert_max_candidates}"
+            )
     # exact verify only on LSH candidates: two equi-joins bring each side's exact
     # shingle set, intersection is a per-row array op — cost is O(|candidates|),
     # never the inverted-index pair blowup
@@ -443,6 +561,23 @@ def connected_components(
     return labels.select(F.col("a").alias(key_col), F.col("lbl").alias("cluster_rep"))
 
 
+def _survivors_from_rep_comps(rm: DataFrame, comps: DataFrame, key_col: str) -> DataFrame:
+    """Fan the representative-level component labels back to every doc.
+
+    Exact-dup members are connected to their rep by definition (jaccard 1.0),
+    so they inherit the rep's component; the rep is already the min key of its
+    exact cluster, so the component's min-key label is unchanged by skipping
+    the members — no pair expansion is ever materialized."""
+    return (
+        rm.join(comps.withColumnRenamed("key", "__rep"), "__rep")
+        .select(
+            F.col("key").alias(key_col),
+            F.col("cluster_rep"),
+            (F.col("key") == F.col("cluster_rep")).alias("is_survivor"),
+        )
+    )
+
+
 def dedup_survivors(
     df: DataFrame,
     text_col: str,
@@ -453,15 +588,18 @@ def dedup_survivors(
     """End-to-end near-duplicate dedup DECISION: jaccard pairs → connected
     components → one survivor (min key) per cluster.
 
-    Output: (key, cluster_rep, is_survivor) for every document."""
-    pairs = ngram_jaccard_pairs(df, text_col, key_col, n=n, threshold=threshold)
-    nodes = df.select(F.col(key_col).alias("key"))
-    comps = connected_components(pairs, nodes, "key")
-    return comps.select(
-        F.col("key").alias(key_col),
-        F.col("cluster_rep"),
-        (F.col("key") == F.col("cluster_rep")).alias("is_survivor"),
+    Output: (key, cluster_rep, is_survivor) for every document. Exact
+    duplicates are collapsed BEFORE candidate generation and components run
+    over representatives only — a mega-cluster of identical docs costs O(n)
+    here, never O(n²) pairs (see _exact_rep_map)."""
+    rm = _exact_rep_map(df, text_col, key_col).localCheckpoint()
+    reps_keys = rm.filter(F.col("key") == F.col("__rep"))
+    reps = df.join(reps_keys.select(F.col("key").alias(key_col)), key_col)
+    pairs = ngram_jaccard_pairs(
+        reps, text_col, key_col, n=n, threshold=threshold, collapse_exact=False
     )
+    comps = connected_components(pairs, reps_keys.select("key"), "key")
+    return _survivors_from_rep_comps(rm, comps, key_col)
 
 
 def dedup_survivors_lsh(
@@ -472,22 +610,25 @@ def dedup_survivors_lsh(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    _assert_max_candidates: int | None = None,
 ) -> DataFrame:
     """The 100 TB path of the dedup decision: MinHash-LSH candidate pairs
     (equi-join on band buckets, exact-verify on candidates only) → connected
     components → one survivor per cluster. Same output contract as
-    dedup_survivors; candidate generation never goes O(n²)."""
+    dedup_survivors; candidate generation never goes O(n²) — exact duplicates
+    are collapsed first, so band buckets are only as hot as TRUE near-dup
+    clusters, and the decision is fanned back through the digest map without
+    materializing intra-cluster pairs."""
+    rm = _exact_rep_map(df, text_col, key_col).localCheckpoint()
+    reps_keys = rm.filter(F.col("key") == F.col("__rep"))
+    reps = df.join(reps_keys.select(F.col("key").alias(key_col)), key_col)
     pairs = minhash_lsh_pairs(
-        df, text_col, key_col, n=n, num_hashes=num_hashes, bands=bands,
-        threshold=threshold,
+        reps, text_col, key_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, collapse_exact=False,
+        _assert_max_candidates=_assert_max_candidates,
     )
-    nodes = df.select(F.col(key_col).alias("key"))
-    comps = connected_components(pairs, nodes, "key")
-    return comps.select(
-        F.col("key").alias(key_col),
-        F.col("cluster_rep"),
-        (F.col("key") == F.col("cluster_rep")).alias("is_survivor"),
-    )
+    comps = connected_components(pairs, reps_keys.select("key"), "key")
+    return _survivors_from_rep_comps(rm, comps, key_col)
 
 
 def embedding_neardup_pairs_bruteforce(
