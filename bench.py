@@ -70,6 +70,57 @@ def cdc_replay_mor_single_batch(spark, sf_dir):
     pipe.apply_batch(log, fence_token="bench:all")
     return pipe.final_state()
 
+def cdc_wap_replay_single_batch(spark, sf_dir):
+    """WAP-gated steady-state: the same one-batch replay but through
+    branch-fork → staged audit → atomic publish (apply_batch_wap), so the
+    driver sees gated-path throughput per round next to the direct path —
+    the delta between the two numbers is the governance tax."""
+    import tempfile
+
+    from concepts_pipeline_spark.cdc.apply import CdcPipeline
+    from concepts_pipeline_spark.cdc.derive import derived_change_log
+    from __spark_entry__ import TOKENS_SCHEMA
+
+    log = derived_change_log(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cps-benchwap-")
+    pipe = CdcPipeline(
+        spark, f"{root}/tokens", TOKENS_SCHEMA, ["doc_id"],
+        num_buckets=16, salt_buckets=4,
+    )
+    pipe.apply_batch_wap(log, fence_token="bench:wap",
+                         audit=lambda s, br, r: True)
+    return pipe.final_state()
+
+
+def measured_ann_recall(spark, sf_dir) -> dict[str, float]:
+    """Recall@10 of the two ANN paths vs the exact cosine top-k — surfaced as
+    a bench JSON field so a recall regression is driver-visible as a NUMBER,
+    not only as the gate's floor-boolean flip."""
+    from concepts_pipeline_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        cosine_topk,
+    )
+    from __spark_entry__ import QUERY_VEC
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    k = 10
+    exact = {r["vec_id"] for r in
+             cosine_topk(emb, QUERY_VEC, "embedding", "vec_id", k=k).collect()}
+    ivf = {r["vec_id"] for r in ann_ivf_topk(
+        emb, QUERY_VEC, "embedding", "vec_id", k=k, num_lists=16, n_probe=8
+    ).collect()}
+    lsh = {r["vec_id"] for r in ann_lsh_topk(
+        emb, QUERY_VEC, "embedding", "vec_id", k=k, planes=16, max_hamming=8
+    ).collect()}
+    return {
+        "ivf": round(len(ivf & exact) / k, 2),
+        "lsh": round(len(lsh & exact) / k, 2),
+    }
+
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -106,6 +157,7 @@ def bench_queries(spark):
         "cdc_replay": fresh_replay,
         "cdc_replay_1batch": lambda: materialize(cdc_replay_single_batch(spark, SF_DIR)),
         "cdc_replay_mor_1batch": lambda: materialize(cdc_replay_mor_single_batch(spark, SF_DIR)),
+        "cdc_wap_replay_1batch": lambda: materialize(cdc_wap_replay_single_batch(spark, SF_DIR)),
         "cdc_wap_publish": run_named("cdc_wap_publish"),
         "cdc_replay_debezium": run_named("cdc_replay_debezium"),
         "cdc_lww": run_named("cdc_lww_latest"),
@@ -211,7 +263,11 @@ def main():
         "cdc_events": n_events,
         "cdc_events_per_sec": round(n_events / timings["cdc_replay_1batch"], 1),
         "cdc_events_per_sec_4batch": round(n_events / timings["cdc_replay"], 1),
-        "notes": "BASELINE.md: 352k ev/s MoR @8 pinned cores; N->4N eff 0.861",
+        "cdc_wap_events_per_sec": round(
+            n_events / timings["cdc_wap_replay_1batch"], 1
+        ),
+        "ann_recall": measured_ann_recall(spark, SF_DIR),
+        "notes": "BASELINE.md: 359k ev/s @8 pinned cores, eff 0.870; WAP 0.830",
     }
     # row counts are a regression aid, not driver contract — keep them OFF
     # stdout so the final JSON line stays small enough for the driver's
