@@ -174,10 +174,73 @@ class TokenIndex:
             .distinct()
         )
 
-    def refresh(self, up_to_version: int | None = None) -> int:
+    def _patch_expr(self, d: DataFrame) -> DataFrame:
+        """(token, shard, add_ids, del_ids) patch from one diff span.
+
+        adds = new∖old and dels = old∖new in ONE (token, doc) aggregation
+        over side-tagged raw pairs (no per-side distinct, no subtract — those
+        cost 4 shuffles; this costs one, plus the (token, shard) regroup):
+        max(side flags) collapses in-array multiplicity, and a token present
+        on BOTH sides nets to no patch."""
+        new_raw = d.filter(F.col("change_type") != "delete").select(
+            F.explode(F.col(self.tokens_col)).alias("token"),
+            F.col(self.doc_col).alias("doc_id"),
+            F.lit(1).alias("__n"),
+            F.lit(0).alias("__o"),
+        )
+        old_raw = d.filter(F.col("change_type") != "insert").select(
+            F.explode(F.col(f"old_{self.tokens_col}")).alias("token"),
+            F.col(self.doc_col).alias("doc_id"),
+            F.lit(0).alias("__n"),
+            F.lit(1).alias("__o"),
+        )
+        delta = (
+            new_raw.unionByName(old_raw)
+            .select(F.col("token").cast("int").alias("token"),
+                    "doc_id", "__n", "__o")
+            .groupBy("token", "doc_id")
+            .agg(F.max("__n").alias("__n"), F.max("__o").alias("__o"))
+            .filter(F.col("__n") != F.col("__o"))
+        )
+        return (
+            delta.groupBy(
+                "token",
+                self._shard(F.col("doc_id"), F.col("token")).alias("shard"),
+            )
+            .agg(
+                F.sort_array(
+                    F.collect_set(
+                        F.when(F.col("__n") > F.col("__o"), F.col("doc_id"))
+                    )
+                ).alias("add_ids"),
+                F.sort_array(
+                    F.collect_set(
+                        F.when(F.col("__o") > F.col("__n"), F.col("doc_id"))
+                    )
+                ).alias("del_ids"),
+            )
+            .withColumn("op", F.lit("U"))
+        )
+
+    def refresh(
+        self, up_to_version: int | None = None, coalesce: bool = False
+    ) -> int:
         """Fold every unapplied base commit into the index — one diff + one
         fenced array_patch merge per version (resumable, exactly-once), then
-        split any posting cell the merge pushed past ``max_postings``."""
+        split any posting cell the merge pushed past ``max_postings``.
+
+        ``coalesce=True`` folds the whole unapplied span as ONE diff + ONE
+        fenced merge (same telescoping argument as IncrementalAggView: the
+        pair delta is NET membership change, old-at-span-start vs
+        new-at-span-end, so intermediate churn cancels — a token added then
+        removed inside the span patches nothing). A consumer that fell 1000
+        versions behind pays one diff over the span's changed buckets and one
+        merge instead of 1000 serial job chains; resume granularity coarsens
+        to the span (exactly-once still holds via the span-end fence), and
+        the concurrency discipline is the view's: max_retries=0 + re-derive
+        the remaining span from the fence cursor on CAS conflict."""
+        from .table import CommitConflict
+
         target = (
             self.base.current_version()
             if up_to_version is None
@@ -186,75 +249,39 @@ class TokenIndex:
         # bits may have advanced in another process — adopt the stored map
         self._bits = self._load_bits(self.table.manifest().properties)
         applied = 0
-        for v in range(self.applied_version() + 1, target + 1):
+        while True:
+            cur = self.applied_version()
+            if cur >= target:
+                return applied
+            nxt = target if coalesce else cur + 1
             # both sides of the pair union read the diff — persist it so the
             # diff subtree runs once (the merge persists the patch itself)
             d = snapshot_diff(
-                self.spark, self.base, v - 1, v, include_old=True
+                self.spark, self.base, cur, nxt, include_old=True
             ).persist()
             try:
-                # adds = new∖old and dels = old∖new in ONE (token, doc)
-                # aggregation over side-tagged raw pairs (no per-side
-                # distinct, no subtract — those cost 4 shuffles; this costs
-                # one, plus the (token, shard) regroup): max(side flags)
-                # collapses in-array multiplicity, and a token present on
-                # BOTH sides nets to no patch
-                new_raw = d.filter(F.col("change_type") != "delete").select(
-                    F.explode(F.col(self.tokens_col)).alias("token"),
-                    F.col(self.doc_col).alias("doc_id"),
-                    F.lit(1).alias("__n"),
-                    F.lit(0).alias("__o"),
-                )
-                old_raw = d.filter(F.col("change_type") != "insert").select(
-                    F.explode(F.col(f"old_{self.tokens_col}")).alias("token"),
-                    F.col(self.doc_col).alias("doc_id"),
-                    F.lit(0).alias("__n"),
-                    F.lit(1).alias("__o"),
-                )
-                delta = (
-                    new_raw.unionByName(old_raw)
-                    .select(F.col("token").cast("int").alias("token"),
-                            "doc_id", "__n", "__o")
-                    .groupBy("token", "doc_id")
-                    .agg(F.max("__n").alias("__n"), F.max("__o").alias("__o"))
-                    .filter(F.col("__n") != F.col("__o"))
-                )
-                patch = (
-                    delta.groupBy(
-                        "token",
-                        self._shard(F.col("doc_id"), F.col("token")).alias("shard"),
+                try:
+                    stats = merge_into(
+                        self.spark,
+                        self.table,
+                        self._patch_expr(d),
+                        update_mode="array_patch",
+                        patch_cols={"doc_ids": ("add_ids", "del_ids")},
+                        fence_token=f"{FENCE_PREFIX}{nxt}",
+                        max_retries=0 if coalesce else 2,
                     )
-                    .agg(
-                        F.sort_array(
-                            F.collect_set(
-                                F.when(F.col("__n") > F.col("__o"), F.col("doc_id"))
-                            )
-                        ).alias("add_ids"),
-                        F.sort_array(
-                            F.collect_set(
-                                F.when(F.col("__o") > F.col("__n"), F.col("doc_id"))
-                            )
-                        ).alias("del_ids"),
-                    )
-                    .withColumn("op", F.lit("U"))
-                )
-                stats = merge_into(
-                    self.spark,
-                    self.table,
-                    patch,
-                    update_mode="array_patch",
-                    patch_cols={"doc_ids": ("add_ids", "del_ids")},
-                    fence_token=f"{FENCE_PREFIX}{v}",
-                )
+                except CommitConflict:
+                    if coalesce:
+                        continue  # a racer committed; re-derive span from fences
+                    raise  # stepwise keeps merge_into's own retry contract
             finally:
                 d.unpersist(blocking=False)
             if not stats.skipped:
-                applied += 1
+                applied += nxt - cur
                 if self.max_postings is not None:
                     self._split_oversized(
                         {pb["bucket"] for pb in stats.by_bucket}
                     )
-        return applied
 
     # ------------------------------------------------------------------
     # adaptive splitting

@@ -292,3 +292,50 @@ def test_long_lived_reader_sees_out_of_process_splits(spark, tmp_path):
     assert len(got) == n_docs
     # search rides lookup, so it inherits the reload
     assert reader.search([999]).count() == n_docs
+
+
+def test_coalesced_refresh_telescopes_to_stepwise_result(spark, tmp_path):
+    """One span diff + one fenced merge must land the same index as N
+    stepwise folds: the pair delta is NET membership change, so a token
+    added then removed inside the span patches nothing."""
+    pipe = _pipe(spark, tmp_path, name="tc")
+    batches = [
+        [("a", 1, "I", [7, 8], 2, "s"), ("b", 2, "I", [8, 9], 2, "s")],
+        [("a", 10, "U", [5, 8], 2, "s"), ("c", 11, "I", [7], 1, "s")],
+        [("b", 20, "D", None, None, None), ("c", 21, "U", [9, 5], 2, "s")],
+        # churn that must cancel across the span: d inserted then deleted
+        [("d", 30, "I", [8, 99], 2, "s")],
+        [("d", 40, "D", None, None, None), ("a", 41, "U", [5], 1, "s")],
+    ]
+    for i, rows in enumerate(batches):
+        pipe.apply_batch(_batch(spark, rows), fence_token=f"b{i}")
+
+    step = TokenIndex(spark, pipe.target, str(tmp_path / "ix-step"), num_shards=4)
+    assert step.refresh() == 5  # five versions, five folds
+
+    tele = TokenIndex(spark, pipe.target, str(tmp_path / "ix-tele"), num_shards=4)
+    assert tele.refresh(coalesce=True) == 5  # five versions, ONE fold
+    assert tele.applied_version() == step.applied_version()
+
+    want = pairs(step.read_all())
+    assert pairs(tele.read_all()) == want == pairs(tele.recompute())
+    assert 99 not in {t for t, _ in want}  # span-interior churn cancelled
+    assert tele.refresh(coalesce=True) == 0  # cursor at head: no-op
+
+
+def test_coalesced_refresh_still_splits_hot_tokens(spark, tmp_path):
+    """The adaptive linear-hashing split must run off the coalesced merge's
+    touched buckets exactly as it does stepwise."""
+    pipe = _pipe(spark, tmp_path, name="ts")
+    rows = [(f"d{i}", i + 1, "I", [999], 1, "s") for i in range(96)]
+    for b in range(3):  # three commits, so the span is real
+        pipe.apply_batch(_batch(spark, rows[b * 32:(b + 1) * 32]),
+                         fence_token=f"b{b}")
+    ix = TokenIndex(
+        spark, pipe.target, str(tmp_path / "ix-split"),
+        num_shards=2, max_postings=16,
+    )
+    assert ix.refresh(coalesce=True) == 3
+    assert ix._bits.get(999, 0) >= 1
+    assert {d for _, d in pairs(ix.lookup([999]))} == {f"d{i}" for i in range(96)}
+    assert ix.max_cell_size() <= 16
