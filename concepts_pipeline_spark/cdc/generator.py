@@ -69,7 +69,13 @@ def generate_change_log(
     """Build the change log as a DataFrame (see module docstring for properties)."""
     base = spark.range(0, num_events, 1, parallelism or spark.sparkContext.defaultParallelism)
     i = F.col("id")
-    M = 1_000_003  # modulus for uniform draws
+    # modulus for uniform draws — must out-resolve the key space, or the
+    # power-law rank pick quantizes to at most M distinct keys no matter how
+    # large num_keys is (measured: num_keys=8.3M produced only ~0.9M distinct
+    # live keys under the old fixed M=1,000,003). 8 draw cells per key keeps
+    # the rank distribution smooth; small-key configs keep the historical
+    # modulus, so existing test feeds are byte-identical.
+    M = max(1_000_003, 8 * num_keys + 3)
 
     u = (_rnd("key", seed, i) % M) / F.lit(float(M))  # uniform [0,1)
     # power-law key pick: skew>1 concentrates mass on low ranks (hot keys)
