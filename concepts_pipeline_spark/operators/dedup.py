@@ -238,6 +238,63 @@ def minhash_signatures(
     )
 
 
+def _band_entries(sig: DataFrame, bands: int, rows: int, hash_fn: str) -> DataFrame:
+    """(key, band, bucket) from a signature table — the LSH band table.
+    md5 mode uses the hex-string bucket (identical expression in DuckDB)."""
+    if hash_fn == "md5":
+        bucket_of = lambda b: F.md5(  # noqa: E731
+            F.concat_ws(",", F.slice("signature", b * rows + 1, rows))
+        )
+    else:
+        bucket_of = lambda b: F.xxhash64(  # noqa: E731
+            F.concat_ws(",", F.slice("signature", b * rows + 1, rows)), b
+        )
+    return sig.select(
+        "key",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(b.alias("band"), bucket_of(b).alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select("key", "bb.band", "bb.bucket")
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_fn: str = "xxhash64",
+    collapse_exact: bool = True,
+) -> DataFrame:
+    """(band, bucket, size) distribution of the LSH band table — the ops/
+    observability surface behind ``max_bucket_size``: run it with the same
+    parameters as :func:`minhash_lsh_pairs` to see how hot the band buckets
+    are and count exactly which buckets a cap would silence (the overflow
+    metric — a capped run should always report what it dropped, never
+    truncate silently)."""
+    src = df
+    if collapse_exact:
+        rm = _exact_rep_map(df, text_col, key_col)
+        src = df.join(
+            rm.filter(F.col("key") == F.col("__rep")).select(
+                F.col("key").alias(key_col)
+            ),
+            key_col,
+        )
+    sig = minhash_signatures(
+        src, text_col, key_col, n=n, num_hashes=num_hashes, hash_fn=hash_fn
+    )
+    return (
+        _band_entries(sig, bands, num_hashes // bands, hash_fn)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("size"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -248,6 +305,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
     collapse_exact: bool = True,
+    max_bucket_size: int | None = None,
     _assert_max_candidates: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified with exact Jaccard.
@@ -270,6 +328,12 @@ def minhash_lsh_pairs(
     an exact DuckDB twin, so the gate checks the LSH pipeline itself, not just
     the verified-jaccard contract.
 
+    ``max_bucket_size`` (off by default): drop band buckets holding more
+    members than the cap from candidate generation — the stop-bucket guard
+    for corpus-scale NEAR-dup template clusters, whose members still pair via
+    their other (smaller) bands. Count what a cap silences with
+    :func:`minhash_band_buckets` before turning it on.
+
     ``_assert_max_candidates`` (tests only): count the band join's candidate
     pairs and raise if the bound is exceeded — the O(unique²) regression guard.
     """
@@ -284,6 +348,7 @@ def minhash_lsh_pairs(
         rep_pairs = minhash_lsh_pairs(
             reps, text_col, key_col, n=n, num_hashes=num_hashes, bands=bands,
             threshold=threshold, hash_fn=hash_fn, collapse_exact=False,
+            max_bucket_size=max_bucket_size,
             _assert_max_candidates=_assert_max_candidates,
         )
         return _expand_rep_pairs(rep_pairs, rm, threshold)
@@ -307,24 +372,24 @@ def minhash_lsh_pairs(
         "key",
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
     )
-    if hash_fn == "md5":
-        # md5 hex string bucket — identical expression exists in DuckDB
-        bucket_of = lambda b: F.md5(  # noqa: E731
-            F.concat_ws(",", F.slice("signature", b * rows + 1, rows))
+    band_entries = _band_entries(sig, bands, rows, hash_fn)
+    if max_bucket_size is not None:
+        # stop-bucket guard for the Zipf head of NEAR-dup clusters (exact
+        # duplicates were already collapsed): a band bucket holding B docs
+        # emits B² candidates in one join key, so a corpus-scale template
+        # cluster turns one reducer into the whole job. Buckets past the cap
+        # generate no candidates from THAT band — members still pair via
+        # their other bands (standard LSH stop-shingle practice; recall cost
+        # is bounded and countable via minhash_band_buckets).
+        sizes = band_entries.groupBy("band", "bucket").agg(
+            F.count("*").alias("__bsz")
         )
-    else:
-        bucket_of = lambda b: F.xxhash64(  # noqa: E731
-            F.concat_ws(",", F.slice("signature", b * rows + 1, rows)), b
+        band_entries = (
+            band_entries.join(
+                sizes.filter(F.col("__bsz") <= int(max_bucket_size)),
+                ["band", "bucket"],
+            ).drop("__bsz")
         )
-    band_entries = sig.select(
-        "key",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), bucket_of(b).alias("bucket")),
-            )
-        ).alias("bb"),
-    ).select("key", "bb.band", "bb.bucket")
     cand = (
         band_entries.alias("x")
         .join(band_entries.alias("y"), on=["band", "bucket"])
@@ -610,6 +675,7 @@ def dedup_survivors_lsh(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
     _assert_max_candidates: int | None = None,
 ) -> DataFrame:
     """The 100 TB path of the dedup decision: MinHash-LSH candidate pairs
@@ -625,6 +691,7 @@ def dedup_survivors_lsh(
     pairs = minhash_lsh_pairs(
         reps, text_col, key_col, n=n, num_hashes=num_hashes, bands=bands,
         threshold=threshold, collapse_exact=False,
+        max_bucket_size=max_bucket_size,
         _assert_max_candidates=_assert_max_candidates,
     )
     comps = connected_components(pairs, reps_keys.select("key"), "key")
