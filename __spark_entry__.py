@@ -1136,6 +1136,25 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_CAP = 64
+
+
+def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The stop-bucket guard under oracle: band buckets holding more than
+    # _LSH_CAP exact-duplicate REPRESENTATIVES are dropped from candidate
+    # generation (members still pair via their other, smaller bands). md5
+    # mode means the DuckDB twin replays the whole decision — exact-dup
+    # collapse, signatures, per-bucket sizes, the cap filter, the verify, and
+    # the rep→member fan-back — so the capped output (a deliberate,
+    # bounded-recall SUBSET of minhash_lsh_pairs) is value-checked, not just
+    # pytest-checked.
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", n=1, num_hashes=32, bands=8, threshold=0.8,
+        hash_fn="md5", max_bucket_size=_LSH_CAP,
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 hash mode: per-word hash bits are md5-derived, so the DuckDB oracle
     # recomputes the identical 64-bit fingerprints, chunk join, and hamming.
@@ -2022,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "ingest_frames": q_ingest_frames,
+        "minhash_lsh_capped": q_minhash_lsh_capped,
     }
 
 
@@ -3135,6 +3155,69 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sb ON sb.key = c.key_b
             WHERE round(CAST(i.inter AS DOUBLE)
                         / (sa.set_size + sb.set_size - i.inter), 6) >= 0.8
+        """,
+        # Stop-bucket-capped LSH: the full scale-guard decision replayed in
+        # SQL. Unlike the uncapped twin above (where collapse-then-expand is
+        # output-invariant, so the oracle skips it), the CAP is measured on
+        # exact-duplicate REPRESENTATIVES — so the oracle must replay the
+        # collapse (min key per md5(text) digest), run signatures/bands over
+        # reps only, drop buckets holding > cap reps, verify, then fan back:
+        # intra-digest pairs at jaccard exactly 1.0 plus member-level
+        # combinations of each surviving rep pair (disjoint sets — intra
+        # shares a digest, cross spans two).
+        "minhash_lsh_capped": f"""
+            WITH {_WORDS_CTE},
+            rm AS (SELECT doc_id AS key, md5(text) AS digest,
+                          min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+                   FROM documents),
+            sh AS (SELECT doc_id AS key, unnest(list_distinct(words)) AS shingle
+                   FROM w WHERE doc_id IN (SELECT rep FROM rm)),
+            hb AS (SELECT key, shingle,
+                          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                            % 2147483647 AS hb
+                   FROM sh),
+            sig AS (SELECT key, t.i,
+                           min((({_MH_A_SQL})[t.i + 1] * hb
+                                + ({_MH_B_SQL})[t.i + 1]) % 2147483647) AS h
+                    FROM hb CROSS JOIN (SELECT unnest(range(32)) AS i) t
+                    GROUP BY key, t.i),
+            bb AS (SELECT key, CAST(i // 4 AS INT) AS band,
+                          md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i))
+                            AS bucket
+                   FROM sig GROUP BY key, i // 4),
+            bsz AS (SELECT band, bucket, count(*) AS c
+                    FROM bb GROUP BY band, bucket),
+            bbk AS (SELECT bb.key, bb.band, bb.bucket
+                    FROM bb JOIN bsz
+                      ON bb.band = bsz.band AND bb.bucket = bsz.bucket
+                    WHERE bsz.c <= {_LSH_CAP}),
+            cand AS (SELECT DISTINCT x.key AS key_a, y.key AS key_b
+                     FROM bbk x JOIN bbk y
+                       ON x.band = y.band AND x.bucket = y.bucket
+                      AND x.key < y.key),
+            sizes AS (SELECT key, count(*) AS set_size FROM sh GROUP BY key),
+            inter AS (SELECT a.key AS key_a, b.key AS key_b, count(*) AS inter
+                      FROM sh a JOIN sh b
+                        ON a.shingle = b.shingle AND a.key < b.key
+                      GROUP BY a.key, b.key),
+            reppairs AS (
+              SELECT c.key_a, c.key_b,
+                     round(CAST(i.inter AS DOUBLE)
+                           / (sa.set_size + sb.set_size - i.inter), 6) AS jaccard
+              FROM cand c
+              JOIN inter i ON i.key_a = c.key_a AND i.key_b = c.key_b
+              JOIN sizes sa ON sa.key = c.key_a
+              JOIN sizes sb ON sb.key = c.key_b
+              WHERE round(CAST(i.inter AS DOUBLE)
+                          / (sa.set_size + sb.set_size - i.inter), 6) >= 0.8)
+            SELECT x.key AS key_a, y.key AS key_b, CAST(1.0 AS DOUBLE) AS jaccard
+            FROM rm x JOIN rm y ON x.digest = y.digest AND x.key < y.key
+            UNION ALL
+            SELECT least(ma.key, mb.key) AS key_a,
+                   greatest(ma.key, mb.key) AS key_b, p.jaccard
+            FROM reppairs p
+            JOIN rm ma ON ma.rep = p.key_a
+            JOIN rm mb ON mb.rep = p.key_b
         """,
         # SimHash near-pairs (md5 hash mode): exact twin of the engine's
         # pipeline — word bits 0-59 from the first 15 hex chars of md5(word),
