@@ -259,6 +259,23 @@ class TokenIndex:
             d = snapshot_diff(
                 self.spark, self.base, cur, nxt, include_old=True
             ).persist()
+            # oversize detection rides the merge's own write job (zero extra
+            # jobs): when the observed count is 0 the split probe — a full
+            # read of every touched bucket's postings — is skipped entirely.
+            # coalesce() because count_if over an empty merge result is NULL
+            # and Observation.get refuses null metric rows.
+            obs = (
+                {
+                    "oversized": F.coalesce(
+                        F.count_if(
+                            F.size("doc_ids") > int(self.max_postings)
+                        ),
+                        F.lit(0),
+                    )
+                }
+                if self.max_postings is not None
+                else None
+            )
             try:
                 try:
                     stats = merge_into(
@@ -269,6 +286,7 @@ class TokenIndex:
                         patch_cols={"doc_ids": ("add_ids", "del_ids")},
                         fence_token=f"{FENCE_PREFIX}{nxt}",
                         max_retries=0 if coalesce else 2,
+                        observe_aggs=obs,
                     )
                 except CommitConflict:
                     if coalesce:
@@ -279,9 +297,13 @@ class TokenIndex:
             if not stats.skipped:
                 applied += nxt - cur
                 if self.max_postings is not None:
-                    self._split_oversized(
-                        {pb["bucket"] for pb in stats.by_bucket}
-                    )
+                    ov = (stats.observed or {}).get("oversized")
+                    # None = observation lost (empty-result quirk) — fall back
+                    # to the probe, never assume zero
+                    if ov is None or int(ov) > 0:
+                        self._split_oversized(
+                            {pb["bucket"] for pb in stats.by_bucket}
+                        )
 
     # ------------------------------------------------------------------
     # adaptive splitting

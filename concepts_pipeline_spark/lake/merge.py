@@ -68,6 +68,10 @@ class MergeStats:
     touched_buckets: int = 0
     touched_files: int = 0
     by_bucket: list[dict] = field(default_factory=list)  # per-bucket lineage rows
+    # caller-requested observe_aggs values, piggybacked on the write job
+    # (None when not requested OR when Spark's observe+empty-result quirk ate
+    # the metrics row — callers must treat None as "unknown", not zero)
+    observed: dict | None = None
 
     @property
     def applied(self) -> int:
@@ -100,6 +104,7 @@ def merge_into(
     sum_cols: list[str] | None = None,
     patch_cols: dict[str, tuple[str, str]] | None = None,
     set_properties: dict | None = None,
+    observe_aggs: dict | None = None,
 ) -> MergeStats:
     """Optimistic-concurrency wrapper: on CommitConflict (another writer won the
     manifest swap) the merge re-reads the NEW snapshot and re-runs — correct
@@ -116,7 +121,7 @@ def merge_into(
                 spark, table, source, op_col, delete_op, update_mode,
                 array_union_cols, evolve, fence_token, lsn_col,
                 touched_buckets, touched_num_buckets, changes_table, strategy,
-                sum_cols, patch_cols, set_properties,
+                sum_cols, patch_cols, set_properties, observe_aggs,
             )
         except CommitConflict:
             if attempt >= max_retries:
@@ -142,8 +147,20 @@ def _merge_into_once(
     sum_cols: list[str] | None = None,
     patch_cols: dict[str, tuple[str, str]] | None = None,
     set_properties: dict | None = None,
+    observe_aggs: dict | None = None,
 ) -> MergeStats:
     """Apply a deduplicated change batch (≤1 row per key, see operators.lww) to table.
+
+    ``observe_aggs`` ({name: null-safe aggregate Column over the merge result})
+    piggybacks caller metrics on the write job itself — zero extra Spark jobs.
+    The aggregates see every post-merge row of the touched buckets (carried
+    rows included; CoW only — under MoR the merged row never materializes at
+    write time). Values land in ``MergeStats.observed``; None means the
+    observation was lost (Spark's observe+repartition+empty-result+AQE quirk,
+    see the plain-mode metrics fallback below) and the caller must fall back
+    to its own scan, never assume zero. Used by TokenIndex.refresh to skip
+    its oversized-cell probe job when the merge itself proves no posting cell
+    crossed max_postings.
 
     ``source`` columns: table key columns + ``op_col`` + payload columns. Payload may be
     a superset of the table schema (new columns) or widened — handled when evolve=True.
@@ -256,6 +273,10 @@ def _merge_into_once(
     if strategy == "mor":
         if lsn_col is None:
             raise ValueError("merge-on-read requires lsn_col (LWW read resolution)")
+        if observe_aggs:
+            # a MoR write stages only the delta rows — aggregates over "the
+            # merged result" cannot be answered there; refuse loudly
+            raise ValueError("observe_aggs is not supported under merge-on-read")
         if update_mode != "replace" or sum_cols:
             # deferred set-union/sum would need union/sum (not LWW) read
             # resolution — refuse loudly rather than silently replacing
@@ -478,6 +499,14 @@ def _merge_into_once(
     # TopicPublisher.scala:23-58) — here an appended outbox table partition the
     # next pipeline stage reads. Needs the per-row actions twice (outbox + main
     # write), so the merge result is cached only when the outbox is enabled.
+    obs_x = None
+    if observe_aggs:
+        from pyspark.sql import Observation
+
+        obs_x = Observation()
+        named = [c.alias(n) for n, c in observe_aggs.items()]
+        result = result.observe(obs_x, named[0], *named[1:])
+
     cached = None
     if changes_table is not None:
         result = cached = result.persist()
@@ -567,6 +596,12 @@ def _merge_into_once(
         stats.by_bucket = [per_bucket[b] for b in sorted(per_bucket)]
         stats.touched_buckets = len(touched_buckets)
         stats.touched_files = len(touched_files)
+
+        if obs_x is not None:
+            try:
+                stats.observed = dict(obs_x.get)
+            except Exception:
+                stats.observed = None  # lost metrics row — caller falls back
 
         table.commit(
             m,

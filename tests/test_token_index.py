@@ -339,3 +339,66 @@ def test_coalesced_refresh_still_splits_hot_tokens(spark, tmp_path):
     assert ix._bits.get(999, 0) >= 1
     assert {d for _, d in pairs(ix.lookup([999]))} == {f"d{i}" for i in range(96)}
     assert ix.max_cell_size() <= 16
+
+
+def test_refresh_skips_split_probe_when_merge_observes_no_oversize(
+    spark, tmp_path, monkeypatch
+):
+    """The oversized-cell check rides the patch merge's own write job
+    (merge_into observe_aggs): when it reports 0 the probe — a read of every
+    touched bucket's postings — must not run at all."""
+    pipe = _pipe(spark, tmp_path, name="tp")
+    pipe.apply_batch(
+        _batch(spark, [("a", 1, "I", [1, 2], 2, "s"),
+                       ("b", 2, "I", [2, 3], 2, "s")]),
+        fence_token="b0",
+    )
+    ix = TokenIndex(
+        spark, pipe.target, str(tmp_path / "ix-probe"),
+        num_shards=4, max_postings=100,  # nothing can cross the bound
+    )
+
+    def boom(self, buckets):
+        raise AssertionError("probe ran despite observed oversized == 0")
+
+    monkeypatch.setattr(TokenIndex, "_oversized_tokens", boom)
+    assert ix.refresh() == 1  # would raise if the probe executed
+    assert pairs(ix.read_all()) == {(1, "a"), (2, "a"), (2, "b"), (3, "b")}
+
+
+def test_merge_observe_aggs_contract(spark, tmp_path):
+    """observe_aggs values come back in MergeStats.observed with zero extra
+    jobs (CoW), and MoR refuses them loudly (the merged row never
+    materializes at delta-write time, so the aggregate would be a lie)."""
+    import pytest
+
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("k", StringType(), False),
+        StructField("v", IntegerType(), True),
+    ])
+    t = LakeTable.create(str(tmp_path / "obs"), schema, ["k"], num_buckets=2)
+    src = spark.createDataFrame(
+        [("a", 5, "I"), ("b", 50, "I")], "k string, v int, op string"
+    )
+    stats = merge_into(
+        spark, t, src,
+        observe_aggs={
+            "big": F.coalesce(F.count_if(F.col("v") > 10), F.lit(0)),
+            "vsum": F.coalesce(F.sum("v"), F.lit(0)),
+        },
+    )
+    assert stats.observed == {"big": 1, "vsum": 55}
+
+    t2 = LakeTable.create(str(tmp_path / "obs2"), schema, ["k"], num_buckets=2)
+    src2 = spark.createDataFrame(
+        [("a", 5, "I", 1)], "k string, v int, op string, lsn long"
+    )
+    with pytest.raises(ValueError, match="merge-on-read"):
+        merge_into(
+            spark, t2, src2, lsn_col="lsn", strategy="mor",
+            observe_aggs={"n": F.count(F.lit(1))},
+        )
