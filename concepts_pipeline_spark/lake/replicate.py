@@ -105,6 +105,17 @@ class Replica:
                 return applied
             nxt = target if coalesce else cur + 1
             d = snapshot_diff(self.spark, self.primary, cur, nxt)
+            # the span's touched buckets are pure manifest arithmetic — when
+            # the replica's bucket count is harmonic with the primary's, hand
+            # them to the merge and skip its discovery pass (a persist +
+            # distinct over the whole diff). Same hash family on same keys
+            # (bucket_expr = pmod(xxhash64(keys), B)), so pnb % rnb == 0 maps
+            # primary bucket b to replica bucket b % rnb exactly, and
+            # rnb % pnb == 0 fans b out to {b + k*pnb}. Supersets are safe
+            # (a pure-carry bucket rewrite); non-harmonic counts fall back to
+            # discovery, and merge_into itself re-discovers if a concurrent
+            # rescale changes the replica's numbering after we read it.
+            tb = self._touched_replica_buckets(cur, nxt)
             batch = (
                 d.withColumn(
                     "op",
@@ -123,11 +134,43 @@ class Replica:
                     lsn_col="__repl_lsn",
                     fence_token=f"{FENCE_PREFIX}{nxt}",
                     max_retries=0,
+                    touched_buckets=tb,
+                    touched_num_buckets=(
+                        self.table.manifest().num_buckets
+                        if tb is not None
+                        else None
+                    ),
                 )
             except CommitConflict:
                 continue
             if not stats.skipped:
                 applied += nxt - cur
+
+    def _touched_replica_buckets(
+        self, from_version: int, to_version: int
+    ) -> list[int] | None:
+        """Replica buckets the span's diff rows can land in, from manifests
+        alone (no Spark job) — or None when the bucket counts aren't
+        harmonic and the merge must discover them from the data."""
+        from .diff import _changed_buckets
+
+        pb = _changed_buckets(
+            self.primary.manifest(from_version),
+            self.primary.manifest(to_version),
+        )
+        rnb = self.table.manifest().num_buckets
+        pnb = self.primary.manifest(to_version).num_buckets
+        # unbucketed legacy files carry bucket -1: their keys can hash
+        # anywhere, so only the full set is a sound superset
+        if any(b < 0 for b in pb):
+            return sorted(range(rnb))
+        if pnb % rnb == 0:
+            return sorted({b % rnb for b in pb})
+        if rnb % pnb == 0:
+            return sorted(
+                {b + k * pnb for b in pb for k in range(rnb // pnb)}
+            )
+        return None
 
     def read(self) -> DataFrame:
         """The replica's live logical rows (shared MoR-aware reader)."""

@@ -154,3 +154,47 @@ def test_logical_digest_and_verify_replica(spark, tmp_path):
     merge_into(spark, rep.table, _events(spark, [("c", [9], 1, "s", "U", 99)]),
                fence_token="rogue", lsn_col="lsn")
     assert not verify_replica(spark, t, rep)["match"]
+
+
+def test_manifest_derived_touched_buckets(spark, tmp_path):
+    """Harmonic bucket counts skip the merge's discovery pass entirely: the
+    touched replica buckets come from manifest arithmetic and must be a
+    sound superset in every direction (equal / divisor / multiple), with
+    non-harmonic counts falling back to data discovery (None)."""
+    pipe = _pipe(spark, tmp_path)  # primary: 4 buckets
+    pipe.apply_batch(
+        _batch(spark, [(f"d{i}", i + 1, "I", [i], 1, "s") for i in range(12)]),
+        fence_token="b0",
+    )
+    pipe.apply_batch(
+        _batch(spark, [("d0", 20, "U", [99], 1, "t"),
+                       ("d7", 21, "D", None, None, None)]),
+        fence_token="b1",
+    )
+    want = logical(pipe.final_state())
+
+    captured = []
+    import concepts_pipeline_spark.lake.replicate as rp
+    real = rp.merge_into
+
+    def spy(*a, **kw):
+        captured.append(kw.get("touched_buckets"))
+        return real(*a, **kw)
+
+    rp.merge_into = spy
+    try:
+        for nb, name in ((4, "eq"), (2, "div"), (8, "mul"), (3, "odd")):
+            captured.clear()
+            rep = Replica(spark, pipe.target, str(tmp_path / f"r-{name}"),
+                          num_buckets=nb)
+            rep.refresh()
+            assert logical(rep.read()) == want, name
+            if nb == 3:
+                assert captured == [None, None], "non-harmonic must discover"
+            else:
+                assert all(tb is not None for tb in captured), name
+                # superset soundness is implied by state equality above; also
+                # check ids are in range
+                assert all(0 <= b < nb for tb in captured for b in tb), name
+    finally:
+        rp.merge_into = real
