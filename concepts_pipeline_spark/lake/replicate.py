@@ -146,31 +146,64 @@ class Replica:
             if not stats.skipped:
                 applied += nxt - cur
 
+    # maintenance operations are logical no-ops by construction: their file
+    # churn flags buckets in _changed_buckets, but the diff there is empty —
+    # counting them would turn every primary compaction into a pure-carry
+    # rewrite of the corresponding replica buckets
+    _MAINTENANCE_OPS = frozenset({"compact", "rescale"})
+
     def _touched_replica_buckets(
         self, from_version: int, to_version: int
     ) -> list[int] | None:
         """Replica buckets the span's diff rows can land in, from manifests
-        alone (no Spark job) — or None when the bucket counts aren't
-        harmonic and the merge must discover them from the data."""
+        alone (no Spark job) — or None when the merge must discover them
+        from the data (non-harmonic bucket counts, a span too long to walk,
+        or expired interior manifests).
+
+        Decomposed per version rather than endpoint-to-endpoint for two
+        reasons: maintenance commits are excluded outright (see
+        _MAINTENANCE_OPS), and a rescale inside the span changes the bucket
+        NUMBERING — ids from versions before it must be mapped under their
+        own num_buckets, which per-version walking gives for free (a data or
+        compaction commit never changes num_buckets, so within one step the
+        from/to numbering agrees; the only version where it differs is the
+        rescale itself, which is excluded)."""
         from .diff import _changed_buckets
 
-        pb = _changed_buckets(
-            self.primary.manifest(from_version),
-            self.primary.manifest(to_version),
-        )
+        if to_version - from_version > 64:
+            # one discovery job over the big span diff beats O(span) driver
+            # manifest reads
+            return None
         rnb = self.table.manifest().num_buckets
-        pnb = self.primary.manifest(to_version).num_buckets
-        # unbucketed legacy files carry bucket -1: their keys can hash
-        # anywhere, so only the full set is a sound superset
-        if any(b < 0 for b in pb):
-            return sorted(range(rnb))
-        if pnb % rnb == 0:
-            return sorted({b % rnb for b in pb})
-        if rnb % pnb == 0:
-            return sorted(
-                {b + k * pnb for b in pb for k in range(rnb // pnb)}
-            )
-        return None
+        out: set[int] = set()
+        try:
+            prev = self.primary.manifest(from_version)
+            for v in range(from_version + 1, to_version + 1):
+                cur = self.primary.manifest(v)
+                op = (cur.summary or {}).get("operation")
+                if op not in self._MAINTENANCE_OPS:
+                    pb = _changed_buckets(prev, cur)
+                    pnb = cur.num_buckets
+                    # unbucketed legacy files carry bucket -1: their keys can
+                    # hash anywhere — only the full set is a sound superset
+                    if any(b < 0 for b in pb):
+                        return sorted(range(rnb))
+                    if pnb % rnb == 0:
+                        out.update(b % rnb for b in pb)
+                    elif rnb % pnb == 0:
+                        out.update(
+                            b + k * pnb
+                            for b in pb
+                            for k in range(rnb // pnb)
+                        )
+                    else:
+                        return None
+                prev = cur
+        except OSError:
+            # an interior manifest was expired — the endpoint diff is still
+            # computable, so let the merge discover buckets from the data
+            return None
+        return sorted(out)
 
     def read(self) -> DataFrame:
         """The replica's live logical rows (shared MoR-aware reader)."""

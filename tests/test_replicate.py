@@ -198,3 +198,98 @@ def test_manifest_derived_touched_buckets(spark, tmp_path):
                 assert all(0 <= b < nb for tb in captured for b in tb), name
     finally:
         rp.merge_into = real
+
+
+def test_replication_across_primary_rescale_span(spark, tmp_path):
+    """A primary rescale_buckets commit inside the replicated span renumbers
+    every bucket — the manifest-derived touched set must degrade to a sound
+    superset (it marks all buckets changed), and both stepwise and coalesced
+    replication must still converge to the primary's logical state."""
+    from concepts_pipeline_spark.lake.merge import rescale_buckets
+
+    pipe = _pipe(spark, tmp_path)  # 4 buckets
+    pipe.apply_batch(
+        _batch(spark, [(f"d{i}", i + 1, "I", [i], 1, "s") for i in range(10)]),
+        fence_token="b0",
+    )
+    rescale_buckets(spark, pipe.target, 8)          # renumbers everything
+    pipe.apply_batch(
+        _batch(spark, [("d1", 30, "U", [42], 1, "t"),
+                       ("d2", 31, "D", None, None, None)]),
+        fence_token="b1",
+    )
+    want = logical(pipe.final_state())
+
+    step = Replica(spark, pipe.target, str(tmp_path / "rs"), num_buckets=2)
+    assert step.refresh() == 3  # data, rescale (empty diff), data
+    assert logical(step.read()) == want
+
+    tele = Replica(spark, pipe.target, str(tmp_path / "rt"), num_buckets=2)
+    assert tele.refresh(coalesce=True) == 3
+    assert logical(tele.read()) == want
+
+
+def test_replica_side_rescale_between_refreshes(spark, tmp_path):
+    """Rescaling the REPLICA invalidates any bucket ids computed under the
+    old numbering — merge_into's touched_num_buckets guard must force
+    rediscovery rather than prune with stale ids (which would resurrect or
+    double keys)."""
+    from concepts_pipeline_spark.lake.merge import rescale_buckets
+
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(
+        _batch(spark, [(f"d{i}", i + 1, "I", [i], 1, "s") for i in range(10)]),
+        fence_token="b0",
+    )
+    rep = Replica(spark, pipe.target, str(tmp_path / "rr"), num_buckets=2)
+    rep.refresh()
+    rescale_buckets(spark, rep.table, 6)  # replica now 6 buckets, primary 4
+    pipe.apply_batch(
+        _batch(spark, [("d3", 40, "U", [7, 7], 2, "t"),
+                       ("d4", 41, "D", None, None, None)]),
+        fence_token="b1",
+    )
+    # 6 % 4 != 0 and 4 % 6 != 0: non-harmonic now — must fall back cleanly
+    assert rep.refresh() == 1
+    assert logical(rep.read()) == logical(pipe.final_state())
+
+
+def test_primary_compaction_is_empty_replica_commit(spark, tmp_path):
+    """A primary compaction churns files (flagging buckets in the manifest
+    diff) but is a logical no-op — the manifest-derived touched set must be
+    EMPTY for that version, not a pure-carry rewrite of the replica."""
+    from concepts_pipeline_spark.cdc.apply import CdcPipeline
+    from concepts_pipeline_spark.lake.merge import compact
+    import concepts_pipeline_spark.lake.replicate as rp
+    from tests.test_lake_table import TOKENS_SCHEMA
+
+    pipe = CdcPipeline(
+        spark, str(tmp_path / "pm"), TOKENS_SCHEMA, ["doc_id"],
+        num_buckets=4, salt_buckets=2, strategy="mor",
+    )
+    for b in range(3):
+        pipe.apply_batch(
+            _batch(spark, [(f"d{i}", b * 100 + i + 1, "I" if b == 0 else "U",
+                            [b, i], 2, "s") for i in range(8)]),
+            fence_token=f"b{b}",
+        )
+    rep = Replica(spark, pipe.target, str(tmp_path / "rc"), num_buckets=2)
+    rep.refresh()
+    want = logical(rep.read())
+
+    assert compact(spark, pipe.target, max_delta_files_per_bucket=1) > 0
+
+    captured = []
+    real = rp.merge_into
+
+    def spy(*a, **kw):
+        captured.append(kw.get("touched_buckets"))
+        return real(*a, **kw)
+
+    rp.merge_into = spy
+    try:
+        assert rep.refresh() == 1  # the compaction version
+    finally:
+        rp.merge_into = real
+    assert captured == [[]], "compaction must fold as an empty commit"
+    assert logical(rep.read()) == want
