@@ -53,7 +53,16 @@ def read_live(
 
     files = [f for f in m.files if f.bucket in buckets]
     if not files:
-        return spark.createDataFrame([], m.schema)
+        from pyspark.sql.types import StructType
+
+        # same visible-columns contract as the non-empty path (hidden engine
+        # columns are dropped below; the empty frame must match)
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [f for f in m.schema.fields if not f.name.startswith("_")]
+            ),
+        )
     delta_buckets = {f.bucket for f in files if f.kind == "delta"}
     clean = [f for f in files if f.bucket not in delta_buckets]
     dirty = [f for f in files if f.bucket in delta_buckets]
@@ -74,6 +83,44 @@ def read_live(
         df = df.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
     drop = [c for c in df.columns if c.startswith("_")]
     return df.drop(*drop)
+
+
+def live_pair(
+    spark: SparkSession,
+    table: LakeTable,
+    from_version: int,
+    to_version: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``(old, new)`` live rows of the CHANGED buckets at the two snapshots,
+    the old side conformed to the to-side visible schema (rename-aware, added
+    columns read as NULL). The shared building block under ``snapshot_diff``
+    (which joins the pair per key to classify rows) and sum-delta consumers
+    like ``lake/view`` (which union-aggregate the pair directly — unchanged
+    rows cancel in the sum, so no per-key join is ever needed)."""
+    from pyspark.sql.types import StructType
+
+    m_from = table.manifest(from_version)
+    m_to = table.manifest(to_version)
+    buckets = _changed_buckets(m_from, m_to)
+    # user-visible schema: the stored table schema minus hidden engine columns
+    # (_lsn / _deleted) — a diff is a statement about logical rows
+    visible = StructType(
+        [f for f in m_to.schema.fields if not f.name.startswith("_")]
+    )
+
+    old = read_live(spark, table, m_from, buckets)
+    # a rename committed between the two snapshots: the from-side reads under
+    # its own (pre-rename) naming — remap with the renames the to-side added,
+    # or conform() would NULL the pre-images of every renamed column and an
+    # incremental consumer would subtract wrong values across the span
+    ren_from = (m_from.properties or {}).get("renamed_cols", [])
+    ren_to = (m_to.properties or {}).get("renamed_cols", [])
+    for old_name, new_name in ren_to[len(ren_from):]:
+        if old_name in old.columns and new_name not in old.columns:
+            old = old.withColumnRenamed(old_name, new_name)
+    old = conform(old, visible)
+    new = read_live(spark, table, m_to, buckets)
+    return old, new
 
 
 def snapshot_diff(
@@ -100,32 +147,9 @@ def snapshot_diff(
     the diff applies +new and -old instead of recomputing (see
     ``cdc_incremental_agg`` at the driver gate).
     """
-    from pyspark.sql.types import StructType
-
-    m_from = table.manifest(from_version)
-    m_to = table.manifest(to_version)
-    keys = m_to.key_cols
-    buckets = _changed_buckets(m_from, m_to)
-    # user-visible schema: the stored table schema minus hidden engine columns
-    # (_lsn / _deleted) — a diff is a statement about logical rows
-    visible = StructType(
-        [f for f in m_to.schema.fields if not f.name.startswith("_")]
-    )
-
-    old = read_live(spark, table, m_from, buckets)
-    # a rename committed between the two snapshots: the from-side reads under
-    # its own (pre-rename) naming — remap with the renames the to-side added,
-    # or conform() would NULL the pre-images of every renamed column and an
-    # incremental consumer would subtract wrong values across the span
-    ren_from = (m_from.properties or {}).get("renamed_cols", [])
-    ren_to = (m_to.properties or {}).get("renamed_cols", [])
-    for old_name, new_name in ren_to[len(ren_from):]:
-        if old_name in old.columns and new_name not in old.columns:
-            old = old.withColumnRenamed(old_name, new_name)
-    old = conform(old, visible)
-    new = read_live(spark, table, m_to, buckets)
-
-    payload = [c for c in visible.fieldNames() if c not in keys]
+    keys = table.manifest(to_version).key_cols
+    old, new = live_pair(spark, table, from_version, to_version)
+    payload = [c for c in new.columns if c not in keys]
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         F.struct(*payload).alias("__old"),

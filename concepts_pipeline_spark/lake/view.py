@@ -4,16 +4,21 @@ A downstream aggregate over a CDC-maintained base table has two refresh
 strategies: recompute from the base (O(table) per refresh — untenable at
 100 TB) or consume the base's change feed. This module implements the second
 as a first-class engine surface: an :class:`IncrementalAggView` is an
-aggregate lake table maintained PURELY from per-commit CDF diffs
-(``lake/diff.snapshot_diff`` with pre-images), never by re-reading the base.
+aggregate lake table maintained PURELY from the base's per-commit change
+surface (the changed buckets of each commit span, read at both endpoints via
+``lake/diff.live_pair``), never by re-reading the whole base.
 
 Exactly-once without a side channel: each applied base version merges into
 the view table with fence token ``ivm:<v>``, and the refresh cursor IS the
 fence state — a crashed refresh resumes where it stopped, a replayed version
 short-circuits (the same mechanism that makes the CDC apply path idempotent).
-Version-by-version application keeps each delta merge exact: +post-image for
-inserts/updates, −pre-image for deletes/updates, sum-accumulated via the
-merge's ``sum_cols`` (no read-modify-write of the view by the caller).
+Version-by-version application keeps each delta merge exact: +row at the new
+snapshot, −row at the old, sum-accumulated via the merge's ``sum_cols`` (no
+read-modify-write of the view by the caller). Because the maintained
+aggregates are group homomorphisms, the delta needs NO per-key change
+classification: unchanged rows cancel in the ± sum, so the refresh plan is
+two changed-bucket scans feeding one partial aggregation — no join, and the
+only shuffle is the O(groups × partitions) combine (see ``_delta_span``).
 
 Maintenance commits on the base (compaction, bucket rescale) produce an empty
 logical diff — the refresh walks through them as no-ops. A base ROLLBACK is
@@ -44,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from .diff import snapshot_diff
+from .diff import live_pair
 from .merge import merge_into
 from .table import LakeTable
 
@@ -136,39 +141,49 @@ class IncrementalAggView:
 
         return fence_cursor(self.table, FENCE_PREFIX)
 
-    def _delta(self, d: DataFrame) -> DataFrame:
-        """±contribution rows from one commit's classified diff."""
-        zero = F.lit(0).cast("long")
-        plus = d.filter(F.col("change_type") != "delete").select(
-            *self.group_cols,
-            F.lit(1).cast("long").alias("n_rows"),
-            *[
-                # NULL-ignoring sums: a NULL value contributes 0 (see module
-                # docstring — NULL sums cannot round-trip through ± deltas)
-                F.coalesce(F.col(src).cast("long"), zero).alias(out)
-                for out, src in self.sum_cols.items()
-            ],
-        )
-        # pre-image columns: snapshot_diff emits old_<c> for PAYLOAD columns
-        # only — a key column IS the row identity, identical pre/post image,
-        # so the minus side reads it directly (this is what makes grouping a
-        # view by a base key column, e.g. per-doc counts, legal)
-        def pre(c):
-            return F.col(c) if c in self._base_keys else F.col(f"old_{c}")
+    def _delta_span(self, from_version: int, to_version: int) -> DataFrame:
+        """±contribution rows between two base snapshots, JOIN-FREE.
 
-        minus = d.filter(F.col("change_type") != "insert").select(
-            *[pre(c).alias(c) for c in self.group_cols],
-            F.lit(-1).cast("long").alias("n_rows"),
-            *[
-                (-F.coalesce(pre(src).cast("long"), zero)).alias(out)
-                for out, src in self.sum_cols.items()
-            ],
-        )
+        The view's aggregates are group homomorphisms over +row/−row (the
+        module-docstring restriction), so the delta does NOT need per-key
+        change classification: every live row of the span's CHANGED buckets
+        contributes (+1, +values) at ``to_version`` and (−1, −values) at
+        ``from_version``, and rows identical across the span cancel exactly
+        in the sum. That replaces ``snapshot_diff``'s per-key full-outer
+        join — a shuffle of every row in the changed buckets — with two
+        scans feeding one partial aggregation; the only exchange left is the
+        O(groups × partitions) combine. Telescoping over a multi-version
+        span is the same statement (intermediate states never appear).
+        """
+        old, new = live_pair(self.spark, self.base, from_version, to_version)
+        zero = F.lit(0).cast("long")
+
+        def side(df: DataFrame, sign: int) -> DataFrame:
+            return df.select(
+                *self.group_cols,
+                F.lit(sign).cast("long").alias("n_rows"),
+                *[
+                    # NULL-ignoring sums: a NULL value contributes 0 (see
+                    # module docstring — NULL sums cannot round-trip ±)
+                    (sign * F.coalesce(F.col(src).cast("long"), zero)).alias(
+                        out
+                    )
+                    for out, src in self.sum_cols.items()
+                ],
+            )
+
         agg_cols = ["n_rows", *self.sum_cols]
+        net_zero = F.lit(True)
+        for c in agg_cols:
+            net_zero = net_zero & (F.col(c) == 0)
         return (
-            plus.unionByName(minus)
+            side(new, 1)
+            .unionByName(side(old, -1))
             .groupBy(*self.group_cols)
             .agg(*[F.sum(c).alias(c) for c in agg_cols])
+            # groups whose changed-bucket rows all cancel would merge as
+            # no-op zero rows — drop them before the write
+            .filter(~net_zero)
             .withColumn("op", F.lit("U"))
         )
 
@@ -207,15 +222,21 @@ class IncrementalAggView:
             if cur >= target:
                 return applied
             nxt = target if coalesce else cur + 1
-            d = snapshot_diff(self.spark, self.base, cur, nxt, include_old=True)
+            # the view table is small by construction (one row per group) —
+            # declare every bucket touched so the merge skips its
+            # bucket-discovery job (a persist + distinct + collect that would
+            # otherwise be the refresh's extra scheduling barrier)
+            nb = self.table.manifest().num_buckets
             try:
                 stats = merge_into(
                     self.spark,
                     self.table,
-                    self._delta(d),
+                    self._delta_span(cur, nxt),
                     sum_cols=["n_rows", *self.sum_cols],
                     fence_token=f"{FENCE_PREFIX}{nxt}",
                     max_retries=0,
+                    touched_buckets=list(range(nb)),
+                    touched_num_buckets=nb,
                 )
             except CommitConflict:
                 continue  # a racer committed; re-derive the span from fences

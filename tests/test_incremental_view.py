@@ -407,3 +407,26 @@ def test_view_grouped_by_key_column(spark, tmp_path):
     assert got == {"a": (1, 1)}
     want = {r["doc_id"]: (r["n_rows"], r["tok_sum"]) for r in v.recompute().collect()}
     assert got == want
+
+
+def test_delta_span_plan_is_join_free(spark, tmp_path):
+    """The refresh delta is a group homomorphism fold: two changed-bucket
+    scans into ONE aggregation. No per-key join may appear anywhere in the
+    plan — the join-free formulation is what keeps a 10^10-event refresh from
+    shuffling every row of the changed buckets by key."""
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 1, "I", [1, 2], 2, "web"),
+            ("b", 2, "I", [3], 1, "book"),
+        ]),
+        fence_token="b0",
+    )
+    pipe.apply_batch(
+        _batch(spark, [("a", 10, "U", [9], 1, "web")]),
+        fence_token="b1",
+    )
+    view = _view(spark, pipe, tmp_path)
+    plan = view._delta_span(1, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
