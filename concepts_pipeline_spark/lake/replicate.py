@@ -104,6 +104,14 @@ class Replica:
             if cur >= target:
                 return applied
             nxt = target if coalesce else cur + 1
+            # fast path: bucket-mirror overwrite (zero joins — see
+            # _apply_mirror). Falls back to the diff+merge path on schema
+            # drift, non-harmonic counts, or when the diff would read less.
+            mirrored = self._try_mirror(cur, nxt)
+            if mirrored is not None:
+                if mirrored:
+                    applied += nxt - cur
+                continue
             d = snapshot_diff(self.spark, self.primary, cur, nxt)
             # the span's touched buckets are pure manifest arithmetic — when
             # the replica's bucket count is harmonic with the primary's, hand
@@ -204,6 +212,156 @@ class Replica:
             # computable, so let the merge discover buckets from the data
             return None
         return sorted(out)
+
+    def _try_mirror(self, cur: int, nxt: int) -> bool | None:
+        """Attempt the span as a bucket-mirror overwrite; None = ineligible
+        (caller falls back to diff+merge), True = committed, False = lost the
+        commit race (caller re-derives the span from the new cursor).
+
+        The mirror observation: a CoW merge rewrites every touched replica
+        bucket IN FULL anyway, so instead of computing per-key changes (the
+        snapshot_diff full-outer join) and merging them (a second join against
+        the replica), read the primary's live rows at ``nxt`` for exactly the
+        affected buckets and physically REPLACE those replica buckets. Zero
+        joins: the refresh plan collapses to scan → bucket shuffle → write,
+        reading the span's state once instead of three times (old side, new
+        side, replica side). Deletes need no tombstones — a deleted key is
+        simply absent from the rewritten bucket — and stale-span resurrection
+        is impossible because the mirror copies an immutable snapshot, not a
+        delta (the fence-cursor CAS loop already serializes refreshers).
+
+        Rewritten rows carry ``_lsn = nxt``: a later diff+merge span (version
+        > nxt) still wins LWW, and a stale redelivery of an older span loses.
+
+        Ineligible when: the span's replica buckets aren't derivable from
+        manifests (non-harmonic counts, >64-version walk, expired interior
+        manifests), the primary's visible schema at ``nxt`` differs from the
+        replica's (the merge path evolves; the mirror must not guess), legacy
+        unbucketed replica files exist, or the manifest row-count arithmetic
+        says the diff path would read less (a coarse replica makes the mirror
+        read sibling primary buckets the diff never touches)."""
+        from .diff import read_live
+        from .table import CommitConflict
+
+        tb = self._touched_replica_buckets(cur, nxt)
+        if tb is None:
+            return None
+        m_r = self.table.manifest()
+        # stale-span guard: the diff+merge path survives a racing refresher
+        # via LWW memory (an older span's rows lose against the winner's
+        # higher _lsn), but the mirror REPLACES bucket contents and has no
+        # such memory — so the span must be validated against the exact
+        # manifest the commit will CAS against. If the cursor moved since the
+        # caller derived the span, the span is stale: report a lost race and
+        # let the loop re-derive. Any commit that lands between this read and
+        # ours fails the CAS for the same reason.
+        cursor_now = 0
+        for tok in m_r.fence_tokens:
+            if tok.startswith(FENCE_PREFIX):
+                try:
+                    cursor_now = max(cursor_now, int(tok[len(FENCE_PREFIX):]))
+                except ValueError:
+                    continue
+        if cursor_now != cur:
+            return False
+        rnb = m_r.num_buckets
+        if any(f.bucket < 0 for f in m_r.files):
+            return None
+        m_p = self.primary.manifest(nxt)
+        pnb = m_p.num_buckets
+
+        def visible(schema):
+            return sorted(
+                (f.name, f.dataType.simpleString())
+                for f in schema.fields
+                if not f.name.startswith("_")
+            )
+
+        if visible(m_p.schema) != visible(m_r.schema):
+            return None
+
+        tb_set = set(tb)
+        if not tb_set:
+            # maintenance-only span: advance the fence, carry every file
+            try:
+                self.table.commit(
+                    m_r, list(m_r.files),
+                    fence_token=f"{FENCE_PREFIX}{nxt}",
+                    summary={"operation": "replicate_mirror", "empty_span": True},
+                )
+            except CommitConflict:
+                return False
+            return True
+
+        # primary buckets whose rows can land in the affected replica buckets
+        if pnb % rnb == 0:
+            need_pb = {b for b in range(pnb) if b % rnb in tb_set}
+        elif rnb % pnb == 0:
+            need_pb = {rb % pnb for rb in tb_set}
+        else:
+            return None
+
+        # cost gate, from manifest row counts alone: the diff path reads the
+        # endpoint-changed primary buckets twice (old + new side) plus the
+        # touched replica files; the mirror reads need_pb once. Prefer the
+        # mirror on ties — it also skips two joins.
+        from .diff import _changed_buckets
+
+        try:
+            m_from = self.primary.manifest(cur)
+        except OSError:
+            return None
+        changed_pb = _changed_buckets(m_from, m_p)
+
+        def rows_in(m, buckets):
+            return sum(f.rows for f in m.files if f.bucket in buckets)
+
+        mirror_read = rows_in(m_p, need_pb)
+        diff_read = (
+            rows_in(m_from, changed_pb)
+            + rows_in(m_p, changed_pb)
+            + rows_in(m_r, tb_set)
+        )
+        if mirror_read > diff_read:
+            return None
+
+        live = read_live(self.spark, self.primary, m_p, need_pb)
+        from .table import bucket_expr
+
+        if len(tb_set) < rnb:
+            # a primary bucket can fan rows into replica buckets OUTSIDE the
+            # span's touched set (rnb % pnb == 0 with a partial fan) — keep
+            # the rewrite exactly to the touched buckets
+            live = live.filter(
+                bucket_expr(m_r.key_cols, rnb).isin(*[int(b) for b in tb_set])
+            )
+        from .merge import HIDDEN_DELETED, HIDDEN_LSN
+
+        rows = live.select(
+            "*",
+            F.lit(nxt).cast("long").alias(HIDDEN_LSN),
+            F.lit(False).alias(HIDDEN_DELETED),
+        )
+        schema_id = next(
+            int(sid) for sid, sj in m_r.schemas.items()
+            if sj == m_r.schema_json
+        )
+        new_files = self.table.write_data_files(rows, m_r, schema_id)
+        passthrough = [f for f in m_r.files if f.bucket not in tb_set]
+        try:
+            self.table.commit(
+                m_r,
+                passthrough + new_files,
+                fence_token=f"{FENCE_PREFIX}{nxt}",
+                summary={
+                    "operation": "replicate_mirror",
+                    "mirrored_buckets": len(tb_set),
+                    "primary_buckets_read": len(need_pb),
+                },
+            )
+        except CommitConflict:
+            return False
+        return True
 
     def read(self) -> DataFrame:
         """The replica's live logical rows (shared MoR-aware reader)."""

@@ -86,12 +86,13 @@ def test_replica_coalesced_equals_stepwise(spark, tmp_path):
 def test_replica_coalesced_race_cannot_resurrect_interior_dead_key(
     spark, tmp_path, monkeypatch
 ):
-    """The coalesced-span hazard: key k lives and dies INSIDE the span, so
-    the span diff never mentions it — a stale overlapping span applied after
-    a wider one would resurrect k. The cursor-guarded recompute loop makes
-    the loser re-derive from the winner's fences instead."""
-    import concepts_pipeline_spark.lake.replicate as repl_mod
-    from concepts_pipeline_spark.lake.table import CommitConflict
+    """The coalesced-span hazard: key k lives and dies INSIDE the span, so a
+    stale narrow span (0→1, where k is live) applied after a wider one (0→3,
+    where k is dead) would resurrect k. The mirror path has no LWW memory —
+    it REPLACES bucket contents — so the protection is the manifest CAS: the
+    loser derived its span against a pre-winner manifest, and its commit must
+    lose the swap and re-derive from the winner's fences."""
+    import concepts_pipeline_spark.lake.diff as diff_mod
 
     pipe = _pipe(spark, tmp_path, name="pz")
     for i, rows in enumerate([
@@ -105,22 +106,41 @@ def test_replica_coalesced_race_cannot_resurrect_interior_dead_key(
     loser = Replica(spark, pipe.target, shared)
     winner = Replica(spark, pipe.target, shared)
 
-    real = repl_mod.merge_into
-    state = {"n": 0}
+    real = diff_mod.read_live
+    state = {"fired": False}
 
-    def flaky(spark_, table, batch, **kw):
-        if state["n"] == 0:
-            state["n"] += 1
-            # the wide refresher converges 0->3 before our 0->2 span commits
-            winner.refresh(coalesce=True)
-            raise CommitConflict("simulated lost manifest swap")
-        return real(spark_, table, batch, **kw)
+    def interleaved(*a, **kw):
+        # fire the wide refresher exactly once, while the loser's 0→1 span
+        # has already read its base manifest but not yet committed
+        if not state["fired"]:
+            state["fired"] = True
+            winner.refresh(coalesce=True)  # converges 0→3 first
+        return real(*a, **kw)
 
-    monkeypatch.setattr(repl_mod, "merge_into", flaky)
-    # loser wanted span 0->2 (which CONTAINS k's insert as a live row at v2?
-    # no - k died at v2, so 0->2 has no k either; use 0->1 which DOES insert k)
+    monkeypatch.setattr(diff_mod, "read_live", interleaved)
     assert loser.refresh(up_to_version=1, coalesce=True) == 0
     assert logical(loser.read()) == {"x": ([7], 1, "s")}  # k stays dead
+
+
+def test_mirror_cursor_guard_rejects_stale_span(spark, tmp_path):
+    """The other race window: a refresher that derived its span BEFORE the
+    winner committed but reads the replica manifest AFTER — the manifest CAS
+    alone cannot catch that (the base is current), so the mirror re-derives
+    the cursor from the very manifest it will CAS against and refuses a span
+    that no longer starts at it."""
+    pipe = _pipe(spark, tmp_path, name="pg")
+    for i, rows in enumerate([
+        [("k", 1, "I", [1], 1, "s")],
+        [("k", 2, "D", None, None, None)],
+        [("x", 3, "I", [7], 1, "s")],
+    ]):
+        pipe.apply_batch(_batch(spark, rows), fence_token=f"g{i}")
+    shared = str(tmp_path / "rg")
+    loser = Replica(spark, pipe.target, shared)
+    winner = Replica(spark, pipe.target, shared)
+    winner.refresh(coalesce=True)  # cursor → 3
+    assert loser._try_mirror(0, 1) is False  # stale span refused outright
+    assert logical(loser.read()) == {"x": ([7], 1, "s")}
 
 
 def test_logical_digest_and_verify_replica(spark, tmp_path):
@@ -279,17 +299,71 @@ def test_primary_compaction_is_empty_replica_commit(spark, tmp_path):
 
     assert compact(spark, pipe.target, max_delta_files_per_bucket=1) > 0
 
-    captured = []
-    real = rp.merge_into
-
-    def spy(*a, **kw):
-        captured.append(kw.get("touched_buckets"))
-        return real(*a, **kw)
-
-    rp.merge_into = spy
-    try:
-        assert rep.refresh() == 1  # the compaction version
-    finally:
-        rp.merge_into = real
-    assert captured == [[]], "compaction must fold as an empty commit"
+    files_before = {f.path for f in rep.table.manifest().files}
+    assert rep.refresh() == 1  # the compaction version
+    m = rep.table.manifest()
+    assert (m.summary or {}).get("empty_span") is True
+    assert {f.path for f in m.files} == files_before, (
+        "compaction must fold as an empty commit, not a replica rewrite"
+    )
     assert logical(rep.read()) == want
+
+
+def test_mirror_taken_and_schema_drift_falls_back_to_merge(spark, tmp_path):
+    """The common refresh is the zero-join bucket mirror (visible in the
+    replica's commit summary); a span crossing a primary schema evolution is
+    ineligible (the mirror must not guess at evolution) and falls back to the
+    diff+merge path, which evolves the replica — after which mirroring
+    resumes."""
+    pipe = _pipe(spark, tmp_path, name="pe")
+    pipe.apply_batch(
+        _batch(spark, [("a", 1, "I", [1], 1, "s"), ("b", 2, "I", [2], 1, "t")]),
+        fence_token="e0",
+    )
+    rep = Replica(spark, pipe.target, str(tmp_path / "re"))
+    assert rep.refresh() == 1
+    m = rep.table.manifest()
+    assert (m.summary or {}).get("operation") == "replicate_mirror"
+
+    # widen the primary: a batch carrying a new column evolves its schema
+    wide = spark.createDataFrame(
+        [("a", 10, "U", [9], 1, "s", 42)],
+        "doc_id string, lsn long, op string, tokens array<int>, "
+        "n_tok int, source string, extra int",
+    )
+    pipe.apply_batch(wide, fence_token="e1")
+    assert rep.refresh() == 1
+    m = rep.table.manifest()
+    assert (m.summary or {}).get("operation") == "merge"  # fallback path
+    assert "extra" in [f.name for f in m.schema.fields]
+    got = {r["doc_id"]: r["extra"] for r in rep.read().collect()}
+    assert got == {"a": 42, "b": None}
+
+    # schemas agree again: the next span mirrors
+    pipe.apply_batch(
+        _batch_wide(spark, [("c", 20, "I", [3], 1, "u", None)]),
+        fence_token="e2",
+    )
+    assert rep.refresh() == 1
+    assert (rep.table.manifest().summary or {}).get("operation") == (
+        "replicate_mirror"
+    )
+    assert logical_wide(rep.read()) == {
+        "a": ([9], 1, "s", 42), "b": ([2], 1, "t", None),
+        "c": ([3], 1, "u", None),
+    }
+
+
+def _batch_wide(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, lsn long, op string, tokens array<int>, "
+        "n_tok int, source string, extra int",
+    )
+
+
+def logical_wide(df):
+    return {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"], r["extra"])
+        for r in df.collect()
+    }
