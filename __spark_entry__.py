@@ -469,9 +469,12 @@ def cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_replicated_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lake-to-lake replication (lake/replicate.Replica): converge a replica
     — bucketed DIFFERENTLY from the primary (8 vs 16: logical replication,
-    not file copying) — by shipping per-commit CDF diffs stamped
-    version-as-LSN, first two versions stepwise, the rest as one telescoped
-    span diff. The replica's live rows must equal the clean-replay spec."""
+    not file copying) — first two versions stepwise, the rest as one
+    telescoped span. The common path is the ZERO-JOIN bucket mirror (affected
+    replica buckets physically replaced with the primary's live rows at span
+    end; manifest-CAS + cursor guard in place of LWW memory), with
+    diff+merge stamped version-as-LSN as the schema-drift/non-harmonic
+    fallback. The replica's live rows must equal the clean-replay spec."""
     from concepts_pipeline_spark.lake.replicate import Replica
 
     pipe = _shared_pipe(spark, sf_dir)
@@ -790,9 +793,11 @@ def cdc_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance (lake/view.py
     IncrementalAggView): a per-source aggregate (n_docs, total_tokens)
-    maintained purely from each commit's CDF diff — +post-image, −pre-image,
-    sum-accumulated by fenced merges, one per base version, resumable by
-    fence state — NEVER recomputed from the base table. The gate holds the
+    maintained purely from each commit's change surface — a JOIN-FREE
+    group-homomorphism fold: +row at the new snapshot, −row at the old over
+    the changed buckets only, unchanged rows cancelling in the sum — applied
+    by fenced merges, one per base version, resumable by fence state — NEVER
+    recomputed from the base table. The gate holds the
     incrementally-maintained result equal to the declarative full recompute
     over the final state: the exactness proof that downstream consumers can
     ride the change feed instead of re-scanning 100 TB. (The reference's

@@ -105,7 +105,7 @@ class Replica:
                 return applied
             nxt = target if coalesce else cur + 1
             # fast path: bucket-mirror overwrite (zero joins — see
-            # _apply_mirror). Falls back to the diff+merge path on schema
+            # _try_mirror). Falls back to the diff+merge path on schema
             # drift, non-harmonic counts, or when the diff would read less.
             mirrored = self._try_mirror(cur, nxt)
             if mirrored is not None:

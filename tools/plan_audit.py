@@ -249,6 +249,25 @@ def main() -> None:
                          r"BroadcastHashJoin"))
     sections.append(("per-source token capping — broadcast boundary routing", p))
 
+    # 12. incremental view delta: a group-homomorphism ± fold — two
+    # changed-bucket scans into ONE partial aggregation, never a per-key join
+    import tempfile
+
+    from concepts_pipeline_spark.lake.view import IncrementalAggView
+
+    pipe = entry._shared_pipe(spark, SF)
+    view = IncrementalAggView(
+        spark, pipe.target,
+        tempfile.mkdtemp(prefix="cps-audit-view-") + "/v",
+        group_cols=["source"], sum_cols={"t": "n_tok"},
+    )
+    p = explain_str(view._delta_span(0, pipe.target.current_version()))
+    results.append(check("view delta has NO join (homomorphism ± fold)", p,
+                         r"Join|CartesianProduct", must_match=False))
+    results.append(check("view delta partial-aggregates before the exchange", p,
+                         r"partial_sum"))
+    sections.append(("incremental view delta — join-free ± fold", p))
+
     with open("PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`python tools/plan_audit.py`)\n\n")
         fh.write("Asserted properties (see tool for the exact regexes):\n\n")
