@@ -270,15 +270,21 @@ class IncrementalAggView:
             ],
         )
 
-    def full_refresh(self) -> None:
+    def full_refresh(self, version: int | None = None) -> None:
         """Rebuild the view from the base in ONE recompute: bootstrap for a
         view created late over a long base history (refresh() would walk
         every historical version), or a recovery hammer. Implemented as a
         single atomic overwrite commit on the EXISTING view table (readers
         never observe a missing or partial view; the table's snapshot history
         is preserved) carrying fence ``ivm:<current base version>`` — which
-        becomes the new cursor, since the cursor is max over fences."""
-        snap = self.base.current_version()
+        becomes the new cursor, since the cursor is max over fences.
+
+        ``version`` pins the bootstrap at a historical base snapshot (the
+        fence becomes ``ivm:<version>``): the view then folds forward from
+        there with ``refresh()``. This is the consistent-bootstrap primitive —
+        a view created while writers are live snapshots a FIXED version and
+        catches up incrementally, never observing a torn in-between state."""
+        snap = version if version is not None else self.base.current_version()
         if self.applied_version() > snap:
             raise RuntimeError(
                 f"view cursor {self.applied_version()} is ahead of base "

@@ -430,3 +430,42 @@ def test_delta_span_plan_is_join_free(spark, tmp_path):
     plan = view._delta_span(1, 2)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_full_refresh_pinned_version_then_catch_up(spark, tmp_path):
+    """Consistent bootstrap: full_refresh(version=v) snapshots a FIXED base
+    version (the cursor becomes v even when the base head is ahead), and a
+    subsequent refresh() folds exactly the v->head span — final state equals
+    the declarative recompute at head. This is the path scale_bench_view.py
+    times at the crossover commit size."""
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 1, "I", [1, 2], 2, "web"),
+            ("b", 2, "I", [3], 1, "book"),
+        ]),
+        fence_token="b0",
+    )
+    v1 = pipe.target.current_version()
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 10, "U", [9], 1, "book"),   # group move after the pin
+            ("c", 11, "I", [7, 8], 2, "web"),
+            ("b", 12, "D", None, None, None),
+        ]),
+        fence_token="b1",
+    )
+    v2 = pipe.target.current_version()
+    assert v2 > v1
+
+    view = _view(spark, pipe, tmp_path)
+    view.full_refresh(version=v1)
+    assert view.applied_version() == v1
+    # bootstrap state is the v1 aggregate, not the head's
+    assert as_map(view.read()) == {"web": (1, 2), "book": (1, 1)}
+
+    assert view.refresh() == v2 - v1
+    assert view.applied_version() == v2
+    assert as_map(view.read()) == as_map(view.recompute(version=v2))
+    # idempotent: nothing left to fold
+    assert view.refresh() == 0
