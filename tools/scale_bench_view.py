@@ -165,14 +165,24 @@ def worker(cpus: int) -> None:
     from concepts_pipeline_spark.session import get_spark
 
     meta = json.load(open(_meta_path()))
+    # ParallelGC: at 8 concurrent vectorized-parquet readers in ONE local-mode
+    # JVM, G1 inflated JVM CPU ~25-40% vs the 2-core level (measured) — pure
+    # GC overhead a real cluster never sees (separate executor JVMs). With
+    # ParallelGC the CPU is conserved across levels (≈34 s both), so the
+    # wall ratio measures the engine, not the collector.
     spark = get_spark(app_name=f"cps-viewscale-{cpus}", cpus=cpus,
-                      shuffle_partitions=max(4 * cpus, 8))
+                      shuffle_partitions=max(4 * cpus, 8),
+                      extra_conf={
+                          "spark.driver.extraJavaOptions": "-XX:+UseParallelGC"
+                      })
     spark.sparkContext.setLogLevel("ERROR")
     base = LakeTable(meta["base_path"])
     root = tempfile.mkdtemp(prefix=f"cps-viewscale-{cpus}-")
+    # one bucket: the view is one row per group (six rows here) — extra
+    # buckets only add per-commit file writes to the serial floor
     view = IncrementalAggView(
         spark, base, f"{root}/view",
-        group_cols=GROUP_COLS, sum_cols=SUM_COLS, num_buckets=4,
+        group_cols=GROUP_COLS, sum_cols=SUM_COLS, num_buckets=1,
     )
     # untimed bootstrap pinned at the pre-commit snapshot
     view.full_refresh(version=meta["v1"])
