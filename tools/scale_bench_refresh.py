@@ -96,8 +96,16 @@ def worker(cpus: int, inc_buckets: int) -> None:
 
     from __spark_entry__ import TOKENS_SCHEMA
 
+    # ParallelGC: with many concurrent vectorized-parquet readers in ONE
+    # local-mode JVM, G1 inflates JVM CPU 25-40% at the wide level vs the
+    # narrow one (measured; tools/scale_bench_view.py has the same note) —
+    # collector overhead a per-executor-JVM cluster never sees. ParallelGC
+    # conserves CPU across levels so the wall ratio measures the engine.
     spark = get_spark(app_name=f"cps-refresh-{cpus}", cpus=cpus,
-                      shuffle_partitions=max(4 * cpus, 8))
+                      shuffle_partitions=max(4 * cpus, 8),
+                      extra_conf={
+                          "spark.driver.extraJavaOptions": "-XX:+UseParallelGC"
+                      })
     spark.sparkContext.setLogLevel("ERROR")
     feed = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(f"file://{FEED_DIR}")
     root = tempfile.mkdtemp(prefix=f"cps-refresh-{cpus}-")
