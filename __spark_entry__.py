@@ -596,6 +596,22 @@ def cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
+def cdc_replay_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR replay with size-tiered auto-compaction interleaved after every
+    batch (lake/merge.compact_tiered — the O(log)-write-amplification
+    maintenance mode the 10^10-event replay runs, vs compact()'s fixed-count
+    trigger whose amortized cost grows with table size), plus a final tiered
+    pass: visible state must still equal the declarative LWW spec."""
+    from concepts_pipeline_spark.lake.merge import compact_tiered
+
+    pipe = _replayed_pipe(
+        spark, sf_dir, "ct", strategy="mor",
+        auto_compact_max_deltas=2, auto_compact_mode="tiered",
+    )
+    compact_tiered(spark, pipe.target, fanout=2)
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
 def cdc_replay_rescaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay into 8 buckets, then atomically rescale the physical layout to 32
     buckets (lake/merge.rescale_buckets) — the 1000× growth answer. The rescaled
@@ -2015,12 +2031,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_outbox_from_cdf": cdc_outbox_from_cdf,
         "cdc_quarantine_redrive": cdc_quarantine_redrive,
         "cdc_incremental_agg": cdc_incremental_agg,
-        "cdc_schema_evolution": cdc_schema_evolution,
+        # size-tiered maintenance is new this round — it takes the first-50
+        # slot of the long-stable cdc_schema_evolution (r4 driver green)
+        "cdc_replay_tiered": cdc_replay_tiered,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh,
         "dedup_survivors_lsh": q_dedup_survivors_lsh,
         "embedding_neardup": q_embedding_neardup,
         # --- positions 51+: fresh r4 driver green rows (rotation pool) ---
+        "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_stats_pruned_scan": cdc_stats_pruned_scan,
         "cdc_stream_cascade": cdc_stream_cascade,
         "cdc_replicated_state": cdc_replicated_state,
@@ -2161,6 +2180,8 @@ def _oracle_sql_base() -> dict[str, str]:
         + " WHERE source = 'click'",
         "cdc_stream_final_state": FINAL_STATE_JSON_SQL,
         "cdc_replay_compacted": FINAL_STATE_JSON_SQL,
+        # tiered maintenance interleaved mid-replay: same declarative spec
+        "cdc_replay_tiered": FINAL_STATE_JSON_SQL,
         "cdc_replay_rescaled": FINAL_STATE_JSON_SQL,
         # the handoff bar: snapshot bootstrap + fully-overlapping tail must
         # land the IDENTICAL state as a clean replay — same spec, no new SQL

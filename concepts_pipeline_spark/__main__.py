@@ -253,9 +253,14 @@ def cmd_stream(args) -> dict:
 
 def cmd_compact(args) -> dict:
     from .lake import LakeTable
-    from .lake.merge import compact
+    from .lake.merge import compact, compact_tiered
 
     spark = _spark("cps-compact")
+    if args.mode == "tiered":
+        r = compact_tiered(spark, LakeTable(args.table),
+                           fanout=args.max_delta_files)
+        return {"consolidated_buckets": len(r["consolidated"]),
+                "folded_buckets": len(r["folded"])}
     n = compact(spark, LakeTable(args.table), args.max_delta_files)
     return {"compacted_buckets": n}
 
@@ -555,6 +560,9 @@ def build_parser() -> argparse.ArgumentParser:
     g = sub.add_parser("compact", help="fold merge-on-read deltas back to base files")
     g.add_argument("--table", required=True)
     g.add_argument("--max-delta-files", type=int, default=4)
+    g.add_argument("--mode", choices=["full", "tiered"], default="full",
+                   help="full = fold past-threshold buckets to base; tiered = "
+                        "size-tiered delta consolidation with ratio-gated folds")
     g.set_defaults(fn=cmd_compact)
 
     g = sub.add_parser("expire", help="expire old snapshots + vacuum orphan files")

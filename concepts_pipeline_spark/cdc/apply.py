@@ -207,6 +207,7 @@ class CdcPipeline:
         lsn_col: str = "lsn",
         op_col: str = "op",
         auto_compact_max_deltas: int | None = None,
+        auto_compact_mode: str = "full",
     ):
         self.spark = spark
         self.key_cols = key_cols
@@ -221,6 +222,15 @@ class CdcPipeline:
         # batch compacts)
         if auto_compact_max_deltas is not None and strategy != "mor":
             raise ValueError("auto_compact_max_deltas requires strategy='mor'")
+        # 'full' folds any bucket past the delta-count threshold back to base
+        # (read-optimal, but per-batch cost grows with bucket size — O(table²)
+        # total I/O over a long replay); 'tiered' uses size-tiered delta
+        # consolidation with ratio-gated base folds (lake/merge.compact_tiered:
+        # O(log) write amplification, bounded read fan-in) — the mode the
+        # 10^10-event replay should run
+        if auto_compact_mode not in ("full", "tiered"):
+            raise ValueError("auto_compact_mode must be 'full' or 'tiered'")
+        self.auto_compact_mode = auto_compact_mode
         self.auto_compact_max_deltas = auto_compact_max_deltas
         self.array_union_cols = array_union_cols
         self.vocab_size = vocab_size
@@ -462,7 +472,7 @@ class CdcPipeline:
             self.lineage.append_rows(rows, fence_token=f"{fence_token}:l")
 
         if self.auto_compact_max_deltas is not None and not stats.skipped:
-            from ..lake.merge import compact
+            from ..lake.merge import compact, compact_tiered
             from ..lake.table import CommitConflict
 
             # opportunistic maintenance: the batch's merge is already
@@ -470,10 +480,16 @@ class CdcPipeline:
             # (DML, view/index refresher) must NOT surface as a failure of a
             # successfully applied batch — the next batch retries compaction
             try:
-                compact(
-                    self.spark, self.target,
-                    max_delta_files_per_bucket=self.auto_compact_max_deltas,
-                )
+                if self.auto_compact_mode == "tiered":
+                    compact_tiered(
+                        self.spark, self.target,
+                        fanout=self.auto_compact_max_deltas,
+                    )
+                else:
+                    compact(
+                        self.spark, self.target,
+                        max_delta_files_per_bucket=self.auto_compact_max_deltas,
+                    )
             except CommitConflict:
                 pass
         return ApplyResult(stats=stats, rows_in=rows_in, quarantined=n_rejects)

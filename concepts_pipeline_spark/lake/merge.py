@@ -1078,3 +1078,132 @@ def compact(
             attempt += 1
             continue
         return len(targets)
+
+
+def compact_tiered(
+    spark: SparkSession,
+    table: LakeTable,
+    fanout: int = 4,
+    full_fold_ratio: float = 1.0,
+    max_retries: int = 2,
+) -> dict:
+    """Size-tiered MoR maintenance (LSM/STCS discipline) — the scale-safe
+    replacement for :func:`compact`'s fixed-count trigger.
+
+    Why: with a fixed delta-COUNT threshold, a steady batch cadence trips
+    every bucket every ``threshold+1`` batches and :func:`compact` rewrites
+    the bucket's FULL base each time — amortized per-batch write cost grows
+    linearly with table size, i.e. O(table²) total I/O over a long replay
+    (measured: tools/endurance_bench.py's compaction spikes 15.7s → 38.0s →
+    52.9s as the table grew under constant 1M-event batches). Two-level
+    policy instead:
+
+    - **consolidate**: within a bucket, group delta files into size tiers
+      (``tier = floor(log_fanout(rows))``); any tier holding > ``fanout``
+      files merges into ONE delta (LWW among themselves — associative, so
+      read-time base∪delta resolution is unchanged). Cost is O(the pile),
+      never O(bucket); each byte is rewritten O(log_fanout(base/batch))
+      times total.
+    - **full fold**: only when a bucket's accumulated delta rows reach
+      ``full_fold_ratio`` × its base rows does the base get rewritten —
+      by then the rewrite is proportional to the new bytes absorbed, so
+      base rewrites are amortized O(1) per ingested byte.
+
+    Trade vs :func:`compact`: a bucket carries up to ``fanout`` files per
+    tier (O(fanout·log) read fan-in, still bounded) instead of ≤ threshold.
+    Tombstones are retained in consolidated deltas AND folded bases (stale
+    redeliveries must stay dead), identical to :func:`compact`.
+
+    All selected buckets are processed in at most TWO Spark jobs (one write
+    for every consolidation, one for every fold — rows can't cross buckets,
+    so one bucket-partitioned write resolves each bucket independently) and
+    ONE manifest commit. Idempotent; a CAS loss re-plans against the winner.
+
+    Returns ``{"consolidated": [buckets], "folded": [buckets]}``.
+    """
+    import math
+
+    from ..operators.lww import lww_latest
+    from .table import CommitConflict
+
+    fanout = max(fanout, 2)  # log-base of the tier function
+    attempt = 0
+    while True:
+        m = table.manifest()
+        base_rows: dict[int, int] = {}
+        deltas: dict[int, list[DataFileEntry]] = {}
+        for f in m.files:
+            if f.kind == "delta":
+                deltas.setdefault(f.bucket, []).append(f)
+            else:
+                base_rows[f.bucket] = base_rows.get(f.bucket, 0) + f.rows
+
+        fold_buckets: set[int] = set()
+        consolidate: dict[int, list[DataFileEntry]] = {}
+        for b, pile in deltas.items():
+            drows = sum(f.rows for f in pile)
+            brows = base_rows.get(b, 0)
+            if drows >= full_fold_ratio * brows and (
+                brows > 0 or len(pile) > fanout
+            ):
+                # the guard on empty bases avoids re-folding a lone fresh
+                # delta every batch while the bucket is still tiny
+                if len(pile) > 1 or brows > 0:
+                    fold_buckets.add(b)
+                    continue
+            tiers: dict[int, list[DataFileEntry]] = {}
+            for f in pile:
+                t = int(math.log(max(f.rows, 1) + 1, fanout))
+                tiers.setdefault(t, []).append(f)
+            picked = [f for fs in tiers.values() if len(fs) > fanout for f in fs]
+            if picked:
+                consolidate[b] = picked
+
+        if not fold_buckets and not consolidate:
+            return {"consolidated": [], "folded": []}
+
+        sid = table._current_schema_id(m)
+        removed: set[str] = set()
+        new_files: list[DataFileEntry] = []
+        if consolidate:
+            victims = [f for fs in consolidate.values() for f in fs]
+            removed.update(f.path for f in victims)
+            resolved = lww_latest(
+                table._read_files(spark, m, victims),
+                m.key_cols,
+                lsn_col=HIDDEN_LSN,
+                op_col=None,
+            )
+            new_files += table.write_data_files(resolved, m, sid, kind="delta")
+        if fold_buckets:
+            victims = [f for f in m.files if f.bucket in fold_buckets]
+            removed.update(f.path for f in victims)
+            resolved = lww_latest(
+                table._read_files(spark, m, victims),
+                m.key_cols,
+                lsn_col=HIDDEN_LSN,
+                op_col=None,
+            )
+            new_files += table.write_data_files(resolved, m, sid, kind="base")
+        keep = [f for f in m.files if f.path not in removed]
+        try:
+            table.commit(
+                m,
+                keep + new_files,
+                summary={
+                    "operation": "compact",
+                    "mode": "tiered",
+                    "buckets": sorted(fold_buckets | set(consolidate)),
+                    "files_removed": len(removed),
+                    "files_added": len(new_files),
+                },
+            )
+        except CommitConflict:
+            if attempt >= max_retries:
+                raise
+            attempt += 1
+            continue
+        return {
+            "consolidated": sorted(consolidate),
+            "folded": sorted(fold_buckets),
+        }

@@ -92,7 +92,8 @@ def _live_stats(table) -> dict:
             "delta_files": deltas}
 
 
-def worker(cpus: int, num_batches: int, strategy: str) -> None:
+def worker(cpus: int, num_batches: int, strategy: str,
+           compact_mode: str = "full") -> None:
     import tempfile
 
     from pyspark.sql import functions as F
@@ -117,6 +118,7 @@ def worker(cpus: int, num_batches: int, strategy: str) -> None:
         # fold a bucket when its delta pile passes 4 files: compaction cost is
         # INSIDE the timed loop — the flat-cost claim must include maintenance
         auto_compact_max_deltas=4 if strategy == "mor" else None,
+        auto_compact_mode=compact_mode,
     )
     batches = []
     for b in range(num_batches):
@@ -146,6 +148,8 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=24)
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--strategies", nargs="+", default=["mor", "cow"])
+    ap.add_argument("--compact-mode", default="full",
+                    choices=["full", "tiered"])
     ap.add_argument("--worker", default=None, choices=["mor", "cow"])
     ap.add_argument("--prep-worker", action="store_true")
     args = ap.parse_args()
@@ -154,7 +158,7 @@ def main() -> None:
         prep_worker(args.events, args.keys, args.batches)
         return
     if args.worker is not None:
-        worker(args.cpus, args.batches, args.worker)
+        worker(args.cpus, args.batches, args.worker, args.compact_mode)
         return
 
     prep(args.events, args.keys, args.batches)
@@ -163,7 +167,8 @@ def main() -> None:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--worker", strategy, "--cpus", str(args.cpus),
-             "--batches", str(args.batches)],
+             "--batches", str(args.batches),
+             "--compact-mode", args.compact_mode],
             capture_output=True, text=True, cwd=REPO,
         )
         lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
@@ -188,7 +193,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "per-batch apply cost vs table growth (constant batch size)",
         "events": args.events, "batches": args.batches, "cpus": args.cpus,
-        "strategies": summary,
+        "compact_mode": args.compact_mode, "strategies": summary,
     }))
 
 
