@@ -52,6 +52,11 @@ from concepts_pipeline_spark.operators.merge_ops import (
 )
 from concepts_pipeline_spark.operators.multimodal import extract_features, synth_media
 from concepts_pipeline_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from concepts_pipeline_spark.operators.substring import (
+    duplicate_span_stats,
+    duplicate_substring_spans,
+    scrub_duplicate_spans,
+)
 from concepts_pipeline_spark.operators.textstats import (
     STOPWORDS,
     lang_id,
@@ -1482,6 +1487,37 @@ def _bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_SPAN_K = 8
+
+
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee-et-al-style, rolling k-window
+    hashing): maximal per-doc token spans whose every k-window repeats
+    somewhere in the corpus. Map-only window hashing, one partial-agg
+    groupBy, one semi-join, per-doc island merge."""
+    return duplicate_substring_spans(
+        _bpe_docs(spark, sf_dir), "tokens", "doc_id", k=DUP_SPAN_K
+    )
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication profile (dup_tokens / dup_frac / n_spans)
+    over the maximal duplicated spans — the curation-filter input."""
+    return duplicate_span_stats(
+        _bpe_docs(spark, sf_dir), "tokens", "doc_id", k=DUP_SPAN_K
+    )
+
+
+def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION: duplicated spans cut out of every token stream via
+    one equi-join + an index-aware higher-order filter (map-side, no Python,
+    no per-token shuffle)."""
+    out = scrub_duplicate_spans(
+        _bpe_docs(spark, sf_dir), "tokens", "doc_id", k=DUP_SPAN_K
+    )
+    return out.select("doc_id", _j("tokens_clean"), "n_tok_clean")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing plan: global token offset + sequence span per
     doc via the distributed prefix sum (no global single-partition window)."""
@@ -2008,6 +2044,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # minhash_lsh_capped is new this round (stop-bucket cap) — it takes a
         # first-50 slot from the long-stable q3 so the driver gates it
         "minhash_lsh_capped": q_minhash_lsh_capped,
+        # exact-substring dedup is new this round — two first-50 slots, paid
+        # for by rotating two long-stable r4-green dedup rows past 50
+        "dup_substring_spans": q_dup_substring_spans,
+        "dup_span_stats": q_dup_span_stats,
+        "scrub_dup_spans": q_scrub_dup_spans,
         "events_hourly": q_events_hourly,
         "events_rollup": q_events_rollup,
         "event_sessions": q_event_sessions,
@@ -2763,6 +2804,118 @@ def _oracle_sql_base() -> dict[str, str]:
                    CASE WHEN frame_bytes <= {INGEST_FRAME_BYTES} THEN 'ok'
                         ELSE 'frame_overflow' END AS status
             FROM l
+        """,
+        "dup_substring_spans": f"""
+            WITH {_BPE_TOKS_CTE},
+            w AS (SELECT doc_id, CAST(unnest(range(0,
+                      len(toks) - {DUP_SPAN_K} + 1)) AS BIGINT) AS pos, toks
+                  FROM t WHERE len(toks) >= {DUP_SPAN_K}),
+            h AS (SELECT doc_id, pos,
+                      md5(array_to_string(
+                          toks[pos + 1 : pos + {DUP_SPAN_K}],
+                          chr(31))) AS win_hash
+                  FROM w),
+            d AS (SELECT win_hash FROM h
+                  GROUP BY win_hash HAVING count(*) >= 2),
+            dw AS (SELECT doc_id, pos FROM h JOIN d USING (win_hash)),
+            g AS (SELECT doc_id, pos,
+                      CASE WHEN pos - lag(pos) OVER
+                           (PARTITION BY doc_id ORDER BY pos)
+                           > {DUP_SPAN_K} THEN 1 ELSE 0 END AS brk
+                  FROM dw),
+            i AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+                  FROM g)
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + {DUP_SPAN_K} - 1 AS BIGINT) AS span_end,
+                   CAST(max(pos) - min(pos) + {DUP_SPAN_K} AS BIGINT)
+                       AS span_len,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM i GROUP BY doc_id, island
+        """,
+        "dup_span_stats": f"""
+            WITH {_BPE_TOKS_CTE},
+            w AS (SELECT doc_id, CAST(unnest(range(0,
+                      len(toks) - {DUP_SPAN_K} + 1)) AS BIGINT) AS pos, toks
+                  FROM t WHERE len(toks) >= {DUP_SPAN_K}),
+            h AS (SELECT doc_id, pos,
+                      md5(array_to_string(
+                          toks[pos + 1 : pos + {DUP_SPAN_K}],
+                          chr(31))) AS win_hash
+                  FROM w),
+            d AS (SELECT win_hash FROM h
+                  GROUP BY win_hash HAVING count(*) >= 2),
+            dw AS (SELECT doc_id, pos FROM h JOIN d USING (win_hash)),
+            g AS (SELECT doc_id, pos,
+                      CASE WHEN pos - lag(pos) OVER
+                           (PARTITION BY doc_id ORDER BY pos)
+                           > {DUP_SPAN_K} THEN 1 ELSE 0 END AS brk
+                  FROM dw),
+            i AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+                  FROM g),
+            sp AS (SELECT doc_id,
+                       CAST(max(pos) - min(pos) + {DUP_SPAN_K} AS BIGINT)
+                           AS span_len
+                   FROM i GROUP BY doc_id, island),
+            pd AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+                       CAST(count(*) AS BIGINT) AS n_spans
+                   FROM sp GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+                   COALESCE(pd.dup_tokens, 0) AS dup_tokens,
+                   COALESCE(pd.n_spans, 0) AS n_spans,
+                   CAST(round(COALESCE(pd.dup_tokens, 0)
+                        / CAST(len(t.toks) AS DOUBLE), 6) AS DOUBLE)
+                       AS dup_frac
+            FROM t LEFT JOIN pd USING (doc_id)
+        """,
+        "scrub_dup_spans": f"""
+            WITH {_BPE_TOKS_CTE},
+            w AS (SELECT doc_id, CAST(unnest(range(0,
+                      len(toks) - {DUP_SPAN_K} + 1)) AS BIGINT) AS pos, toks
+                  FROM t WHERE len(toks) >= {DUP_SPAN_K}),
+            h AS (SELECT doc_id, pos,
+                      md5(array_to_string(
+                          toks[pos + 1 : pos + {DUP_SPAN_K}],
+                          chr(31))) AS win_hash
+                  FROM w),
+            d AS (SELECT win_hash FROM h
+                  GROUP BY win_hash HAVING count(*) >= 2),
+            dw AS (SELECT doc_id, pos FROM h JOIN d USING (win_hash)),
+            g AS (SELECT doc_id, pos,
+                      CASE WHEN pos - lag(pos) OVER
+                           (PARTITION BY doc_id ORDER BY pos)
+                           > {DUP_SPAN_K} THEN 1 ELSE 0 END AS brk
+                  FROM dw),
+            i AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+                  FROM g),
+            sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+                       CAST(max(pos) + {DUP_SPAN_K} - 1 AS BIGINT) AS e
+                   FROM i GROUP BY doc_id, island),
+            spl AS (SELECT doc_id,
+                        list({{'s': s, 'e': e}}) AS spans
+                    FROM sp GROUP BY doc_id),
+            j AS (SELECT t.doc_id, t.toks,
+                      COALESCE(spl.spans,
+                          CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS spans
+                  FROM t LEFT JOIN spl USING (doc_id)),
+            c AS (SELECT doc_id,
+                      list_filter(
+                          list_transform(range(0, len(toks)), i ->
+                              CASE WHEN len(list_filter(spans,
+                                       sp -> i >= sp.s AND i <= sp.e)) > 0
+                                   THEN NULL ELSE toks[i + 1] END),
+                          x -> x IS NOT NULL) AS tokens_clean
+                  FROM j)
+            SELECT doc_id,
+                   CAST(to_json(tokens_clean) AS VARCHAR) AS tokens_clean,
+                   CAST(len(tokens_clean) AS BIGINT) AS n_tok_clean
+            FROM c
         """,
         "pack_sequences": f"""
             WITH {_BPE_TOKS_CTE},

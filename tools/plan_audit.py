@@ -268,6 +268,24 @@ def main() -> None:
                          r"partial_sum"))
     sections.append(("incremental view delta — join-free ± fold", p))
 
+    # 13. exact-substring duplicate spans: window-hash generation is map-only
+    # expressions (no Python), the repeated-hash aggregation partial-aggregates
+    # map-side, no cartesian anywhere, and the island merge windows ONLY
+    # per-document (never an unpartitioned global window)
+    p = explain_str(entry.q_dup_substring_spans(spark, SF))
+    results.append(check("substring spans have NO cartesian/nested-loop join", p,
+                         r"(CartesianProduct|BroadcastNestedLoopJoin)",
+                         must_match=False))
+    results.append(check("substring spans have NO Python node (built-ins only)", p,
+                         r"(ArrowEvalPython|BatchEvalPython|MapInPandas)",
+                         must_match=False))
+    results.append(check("substring repeated-hash agg partial-aggregates before the exchange", p,
+                         r"partial_count[\s\S]*Exchange"))
+    results.append(check("substring island merge windows per document key", p,
+                         r"windowspecdefinition\(doc_id"))
+    sections.append(("exact-substring duplicate spans — map-only hashing + "
+                     "partial-agg + per-doc islands", p))
+
     with open("PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`python tools/plan_audit.py`)\n\n")
         fh.write("Asserted properties (see tool for the exact regexes):\n\n")
