@@ -1518,6 +1518,54 @@ def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", _j("tokens_clean"), "n_tok_clean")
 
 
+#: Shared 12-token boilerplate block the synthetic document change feed
+#: prepends on UPDATE — the license-banner duplication pattern substring
+#: dedup exists to catch (>= DUP_SPAN_K so every occurrence is detectable).
+CDC_BOILER = [
+    "all", "rights", "reserved", "unauthorized", "redistribution", "of",
+    "this", "corpus", "is", "strictly", "prohibited", "worldwide",
+]
+
+
+def _doc_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC feed over the documents corpus: every doc INSERTs its
+    BPE token stream (lsn = 2·doc_id); every 3rd doc later UPDATEs to a version
+    with the shared CDC_BOILER block prepended (lsn = 2·doc_id+1, the
+    boilerplate-injection pattern); every 11th doc is DELETEd last
+    (lsn = 2·doc_id+2, so delete wins over any upsert per LWW)."""
+    docs = _bpe_docs(spark, sf_dir).select("doc_id", "tokens")
+    did = F.col("doc_id")
+    boiler = F.array(*[F.lit(s) for s in CDC_BOILER])
+    v1 = docs.select(
+        "doc_id", (did * 2).alias("lsn"), F.lit("I").alias("op"), "tokens"
+    )
+    v2 = docs.filter(did % 3 == 0).select(
+        "doc_id",
+        (did * 2 + 1).alias("lsn"),
+        F.lit("U").alias("op"),
+        F.concat(boiler, F.col("tokens")).alias("tokens"),
+    )
+    vd = docs.filter(did % 11 == 0).select(
+        "doc_id",
+        (did * 2 + 2).alias("lsn"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("array<string>").alias("tokens"),
+    )
+    return v1.unionByName(v2).unionByName(vd)
+
+
+def q_cdc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC × curation composition: replay a documents change feed whose
+    UPDATEs inject a shared boilerplate block (the real-world shape: a feed
+    that re-emits records with added license banners), resolve it with the
+    engine's LWW-over-LSN reducer, and profile the surviving token streams
+    with exact-substring duplicate-span stats. The oracle replays the entire
+    chain — log derivation, LWW, span islands — declaratively in SQL."""
+    log = _doc_change_log(spark, sf_dir)
+    final = lww_latest(log, ["doc_id"]).filter(F.col("op") != "D")
+    return duplicate_span_stats(final, "tokens", "doc_id", k=DUP_SPAN_K)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing plan: global token offset + sequence span per
     doc via the distributed prefix sum (no global single-partition window)."""
@@ -2075,6 +2123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # size-tiered maintenance is new this round — it takes the first-50
         # slot of the long-stable cdc_schema_evolution (r4 driver green)
         "cdc_replay_tiered": cdc_replay_tiered,
+        # cdc_dup_spans (CDC × substring-dedup composition) is new this round —
+        # it takes the 50th slot from the long-stable r1-green exact_dedup
+        "cdc_dup_spans": q_cdc_dup_spans,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh,
         "dedup_survivors_lsh": q_dedup_survivors_lsh,
@@ -2148,10 +2199,70 @@ _HP_SQL = "[" + ", ".join(
 
 # BPE-ish lexical tokens (same pattern as textstats.BPE_ISH_PATTERN) — the
 # token stream the packing queries run over
-_BPE_TOKS_CTE = (
-    "t AS (SELECT doc_id, regexp_extract_all(text, "
-    "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS toks FROM documents)"
+_BPE_TOKS_SELECT = (
+    "SELECT doc_id, regexp_extract_all(text, "
+    "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS toks FROM documents"
 )
+_BPE_TOKS_CTE = f"t AS ({_BPE_TOKS_SELECT})"
+
+# The documents change feed behind cdc_dup_spans, mirrored from
+# _doc_change_log: INSERT all, UPDATE every 3rd with the boilerplate block
+# prepended, DELETE every 11th last; LWW per key over lsn yields `t`.
+_CDC_DUP_FS_CTE = """b AS ({base}),
+            lg AS (
+                SELECT doc_id, doc_id * 2 AS lsn, 'I' AS op, toks FROM b
+                UNION ALL
+                SELECT doc_id, doc_id * 2 + 1, 'U',
+                       list_concat({boiler}, toks)
+                FROM b WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, doc_id * 2 + 2, 'D', NULL
+                FROM b WHERE doc_id % 11 = 0
+            ),
+            latest AS (SELECT *, row_number() OVER
+                           (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+                       FROM lg),
+            t AS (SELECT doc_id, toks FROM latest
+                  WHERE rn = 1 AND op <> 'D')"""
+
+# Gaps-and-islands duplicate-span profile over any CTE t(doc_id, toks) —
+# shared by the dup_span_stats oracle and its CDC composition cdc_dup_spans
+# so the two can never drift.
+_DUP_SPAN_STATS_TAIL = f"""
+            w AS (SELECT doc_id, CAST(unnest(range(0,
+                      len(toks) - {DUP_SPAN_K} + 1)) AS BIGINT) AS pos, toks
+                  FROM t WHERE len(toks) >= {DUP_SPAN_K}),
+            h AS (SELECT doc_id, pos,
+                      md5(array_to_string(
+                          toks[pos + 1 : pos + {DUP_SPAN_K}],
+                          chr(31))) AS win_hash
+                  FROM w),
+            d AS (SELECT win_hash FROM h
+                  GROUP BY win_hash HAVING count(*) >= 2),
+            dw AS (SELECT doc_id, pos FROM h JOIN d USING (win_hash)),
+            g AS (SELECT doc_id, pos,
+                      CASE WHEN pos - lag(pos) OVER
+                           (PARTITION BY doc_id ORDER BY pos)
+                           > {DUP_SPAN_K} THEN 1 ELSE 0 END AS brk
+                  FROM dw),
+            i AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+                  FROM g),
+            sp AS (SELECT doc_id,
+                       CAST(max(pos) - min(pos) + {DUP_SPAN_K} AS BIGINT)
+                           AS span_len
+                   FROM i GROUP BY doc_id, island),
+            pd AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+                       CAST(count(*) AS BIGINT) AS n_spans
+                   FROM sp GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+                   COALESCE(pd.dup_tokens, 0) AS dup_tokens,
+                   COALESCE(pd.n_spans, 0) AS n_spans,
+                   CAST(round(COALESCE(pd.dup_tokens, 0)
+                        / CAST(len(t.toks) AS DOUBLE), 6) AS DOUBLE)
+                       AS dup_frac
+            FROM t LEFT JOIN pd USING (doc_id)"""
 
 # word 3-gram shingles, mirroring operators.dedup.word_ngrams(n=3): distinct
 # full-window shingles when the doc has >= 3 words, else the whole-doc string
@@ -2836,41 +2947,13 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM i GROUP BY doc_id, island
         """,
         "dup_span_stats": f"""
-            WITH {_BPE_TOKS_CTE},
-            w AS (SELECT doc_id, CAST(unnest(range(0,
-                      len(toks) - {DUP_SPAN_K} + 1)) AS BIGINT) AS pos, toks
-                  FROM t WHERE len(toks) >= {DUP_SPAN_K}),
-            h AS (SELECT doc_id, pos,
-                      md5(array_to_string(
-                          toks[pos + 1 : pos + {DUP_SPAN_K}],
-                          chr(31))) AS win_hash
-                  FROM w),
-            d AS (SELECT win_hash FROM h
-                  GROUP BY win_hash HAVING count(*) >= 2),
-            dw AS (SELECT doc_id, pos FROM h JOIN d USING (win_hash)),
-            g AS (SELECT doc_id, pos,
-                      CASE WHEN pos - lag(pos) OVER
-                           (PARTITION BY doc_id ORDER BY pos)
-                           > {DUP_SPAN_K} THEN 1 ELSE 0 END AS brk
-                  FROM dw),
-            i AS (SELECT doc_id, pos,
-                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS UNBOUNDED PRECEDING) AS island
-                  FROM g),
-            sp AS (SELECT doc_id,
-                       CAST(max(pos) - min(pos) + {DUP_SPAN_K} AS BIGINT)
-                           AS span_len
-                   FROM i GROUP BY doc_id, island),
-            pd AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens,
-                       CAST(count(*) AS BIGINT) AS n_spans
-                   FROM sp GROUP BY doc_id)
-            SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
-                   COALESCE(pd.dup_tokens, 0) AS dup_tokens,
-                   COALESCE(pd.n_spans, 0) AS n_spans,
-                   CAST(round(COALESCE(pd.dup_tokens, 0)
-                        / CAST(len(t.toks) AS DOUBLE), 6) AS DOUBLE)
-                       AS dup_frac
-            FROM t LEFT JOIN pd USING (doc_id)
+            WITH {_BPE_TOKS_CTE},{_DUP_SPAN_STATS_TAIL}
+        """,
+        "cdc_dup_spans": f"""
+            WITH {_CDC_DUP_FS_CTE.format(
+                base=_BPE_TOKS_SELECT,
+                boiler="[" + ", ".join(f"'{w}'" for w in CDC_BOILER) + "]",
+            )},{_DUP_SPAN_STATS_TAIL}
         """,
         "scrub_dup_spans": f"""
             WITH {_BPE_TOKS_CTE},

@@ -173,6 +173,7 @@ def bench_queries(spark):
             simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
         ),
         "dup_substring_spans": run_named("dup_substring_spans"),
+        "cdc_dup_spans": run_named("cdc_dup_spans"),
         "concept_extraction": run_named("concept_extraction"),
         "skos_transform": run_named("skos_transform"),
         "text_quality": run_named("text_quality"),

@@ -191,3 +191,32 @@ def test_min_count_threshold(spark):
         df, "toks", "doc_id", k=4, min_count=3
     ).count()
     assert got3 == 3
+
+
+def test_cdc_dup_spans_composition(spark):
+    """CDC × substring composition (__spark_entry__.q_cdc_dup_spans): the
+    boilerplate-injecting UPDATE wins LWW for every 3rd doc (dup span covers
+    at least the 12-token block), every 11th doc's DELETE wins (absent from
+    the profile), and untouched docs survive with their original n_tok."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        r.doc_id: r.n_tok
+        for r in entry._bpe_docs(spark, sf).select("doc_id", "n_tok").collect()
+    }
+    rows = {r.doc_id: r for r in entry.q_cdc_dup_spans(spark, sf).collect()}
+
+    deleted = {d for d in base if d % 11 == 0}
+    assert deleted and not deleted & rows.keys()
+    assert rows.keys() == base.keys() - deleted
+
+    n_boiler = len(entry.CDC_BOILER)
+    assert n_boiler >= entry.DUP_SPAN_K
+    for d, r in rows.items():
+        if d % 3 == 0:
+            # update won: boilerplate prepended, its whole block duplicated
+            assert r.n_tok == base[d] + n_boiler
+            assert r.dup_tokens >= n_boiler and r.n_spans >= 1
+        else:
+            assert r.n_tok == base[d]
