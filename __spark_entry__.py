@@ -1566,6 +1566,39 @@ def q_cdc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_stats(final, "tokens", "doc_id", k=DUP_SPAN_K)
 
 
+def q_cdc_dup_spans_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same duplication profile answered from MAINTAINED state: the doc
+    change feed is applied as four out-of-order LSN-fenced merges into a lake
+    table, a DupHashIndex (window-hash counts folded ± from each commit's
+    change surface — lake/dupindex.py) refreshes after every batch, and the
+    profile is computed against the index instead of a corpus-wide window
+    groupBy. Must equal the SAME declarative oracle as cdc_dup_spans — one
+    spec, two physical strategies (batch recompute vs incremental
+    maintenance), the exactness bar TokenIndex/IncrementalAggView also meet.
+    """
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    from concepts_pipeline_spark.lake.dupindex import DupHashIndex
+    from concepts_pipeline_spark.lake.merge import merge_into
+    from concepts_pipeline_spark.lake.table import LakeTable
+
+    log = _doc_change_log(spark, sf_dir)
+    root = _scratch_dir("cps-dupix-")
+    schema = StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("tokens", ArrayType(StringType()), True),
+    ])
+    t = LakeTable.create(f"{root}/docs", schema, ["doc_id"], num_buckets=8)
+    ix = DupHashIndex(
+        spark, t, f"{root}/ix", k=DUP_SPAN_K, num_buckets=8
+    )
+    for b in range(4):
+        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
+        merge_into(spark, t, batch, lsn_col="lsn", fence_token=f"dupix:{b}")
+        ix.refresh()
+    return ix.span_profile()
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing plan: global token offset + sequence span per
     doc via the distributed prefix sum (no global single-partition window)."""
@@ -2097,7 +2130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_substring_spans": q_dup_substring_spans,
         "dup_span_stats": q_dup_span_stats,
         "scrub_dup_spans": q_scrub_dup_spans,
-        "events_hourly": q_events_hourly,
         "events_rollup": q_events_rollup,
         "event_sessions": q_event_sessions,
         # --- newly oracled this round (md5-mode ANN) + the recall floor ---
@@ -2126,6 +2158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cdc_dup_spans (CDC × substring-dedup composition) is new this round —
         # it takes the 50th slot from the long-stable r1-green exact_dedup
         "cdc_dup_spans": q_cdc_dup_spans,
+        # cdc_dup_spans_ivm (incrementally-maintained DupHashIndex, same
+        # oracle) is new this round — it takes the slot of the long-stable
+        # r1-green events_hourly, rotated past 50
+        "cdc_dup_spans_ivm": q_cdc_dup_spans_ivm,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh,
         "dedup_survivors_lsh": q_dedup_survivors_lsh,
@@ -2159,6 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "ingest_frames": q_ingest_frames,
+        # rotated past 50 for cdc_dup_spans_ivm (stable-green since r1)
+        "events_hourly": q_events_hourly,
         "q3_top_revenue": q3_top_revenue,
     }
 
@@ -2950,6 +2988,14 @@ def _oracle_sql_base() -> dict[str, str]:
             WITH {_BPE_TOKS_CTE},{_DUP_SPAN_STATS_TAIL}
         """,
         "cdc_dup_spans": f"""
+            WITH {_CDC_DUP_FS_CTE.format(
+                base=_BPE_TOKS_SELECT,
+                boiler="[" + ", ".join(f"'{w}'" for w in CDC_BOILER) + "]",
+            )},{_DUP_SPAN_STATS_TAIL}
+        """,
+        # the incrementally-maintained path answers the SAME spec: one
+        # declarative oracle, two physical strategies (batch vs DupHashIndex)
+        "cdc_dup_spans_ivm": f"""
             WITH {_CDC_DUP_FS_CTE.format(
                 base=_BPE_TOKS_SELECT,
                 boiler="[" + ", ".join(f"'{w}'" for w in CDC_BOILER) + "]",

@@ -174,6 +174,7 @@ def bench_queries(spark):
         ),
         "dup_substring_spans": run_named("dup_substring_spans"),
         "cdc_dup_spans": run_named("cdc_dup_spans"),
+        "cdc_dup_spans_ivm": run_named("cdc_dup_spans_ivm"),
         "concept_extraction": run_named("concept_extraction"),
         "skos_transform": run_named("skos_transform"),
         "text_quality": run_named("text_quality"),

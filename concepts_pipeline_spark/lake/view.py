@@ -63,6 +63,19 @@ class IncrementalAggView:
     ``group_cols``: view key = grouping columns of the base payload.
     ``sum_cols``:   {view_column: base_column} sums over base payload columns.
     A ``n_rows`` count column is always maintained.
+
+    ``expand`` generalizes the view from aggregate-over-rows to
+    aggregate-over-FLATMAP-of-rows: a deterministic, row-local function
+    mapping a DataFrame of base rows to contribution rows (0..n per input
+    row) that ``group_cols``/``sum_cols`` then reference. The ± fold stays
+    exact because an unchanged base row expands to the identical contribution
+    set on both sides of the span and cancels term-by-term in the sum — the
+    group-homomorphism argument is untouched. ``expand`` MUST be pure and
+    depend only on the row (no corpus context); ``expand_spec`` (a caller
+    string identifying the expansion + its parameters) is persisted with the
+    spec so reopening with a different expansion is refused, and
+    ``group_fields`` supplies the StructFields of group columns the base
+    schema cannot describe.
     """
 
     def __init__(
@@ -73,6 +86,9 @@ class IncrementalAggView:
         group_cols: list[str],
         sum_cols: dict[str, str] | None = None,
         num_buckets: int = 4,
+        expand=None,
+        expand_spec: str | None = None,
+        group_fields: list[StructField] | None = None,
     ):
         import json
 
@@ -80,29 +96,49 @@ class IncrementalAggView:
         self.base = base
         self.group_cols = list(group_cols)
         self.sum_cols = dict(sum_cols or {})
+        self._expand = expand
+        if (expand is None) != (expand_spec is None):
+            raise ValueError("expand and expand_spec must be given together")
         base_m = base.manifest()
         base_schema = base_m.schema
-        # constructor-time validation: every referenced column must be a
-        # VISIBLE base column (hidden engine columns are not aggregatable
-        # surfaces), caught here with a clear error instead of an unresolved
-        # old_<col> AnalysisException deep inside the first refresh
-        visible = {
-            f.name for f in base_schema.fields if not f.name.startswith("_")
-        }
         self._base_keys = set(base_m.key_cols)
-        missing = [c for c in self.group_cols if c not in visible]
-        missing += [s for s in self.sum_cols.values() if s not in visible]
-        if missing:
-            raise ValueError(
-                f"view references column(s) {sorted(set(missing))} not in the "
-                f"base table's visible schema {sorted(visible)}"
-            )
+        if expand is None:
+            # constructor-time validation: every referenced column must be a
+            # VISIBLE base column (hidden engine columns are not aggregatable
+            # surfaces), caught here with a clear error instead of an
+            # unresolved old_<col> AnalysisException deep inside the first
+            # refresh. With expand, columns name the EXPANSION's output — the
+            # base schema cannot validate them, group_fields declares them.
+            visible = {
+                f.name
+                for f in base_schema.fields
+                if not f.name.startswith("_")
+            }
+            missing = [c for c in self.group_cols if c not in visible]
+            missing += [s for s in self.sum_cols.values() if s not in visible]
+            if missing:
+                raise ValueError(
+                    f"view references column(s) {sorted(set(missing))} not in "
+                    f"the base table's visible schema {sorted(visible)}"
+                )
         clash = (set(self.sum_cols) | {"n_rows"}) & set(self.group_cols)
         if clash:
             raise ValueError(f"output column(s) {sorted(clash)} collide with group columns")
-        fields = [
-            StructField(c, base_schema[c].dataType, True) for c in group_cols
-        ]
+        if expand is None:
+            fields = [
+                StructField(c, base_schema[c].dataType, True)
+                for c in group_cols
+            ]
+        else:
+            by_name = {f.name: f for f in (group_fields or [])}
+            missing = [c for c in group_cols if c not in by_name]
+            if missing:
+                raise ValueError(
+                    f"expand views must declare group_fields for {missing}"
+                )
+            fields = [
+                StructField(c, by_name[c].dataType, True) for c in group_cols
+            ]
         fields.append(StructField("n_rows", LongType(), True))
         fields += [
             StructField(out, LongType(), True) for out in self.sum_cols
@@ -114,10 +150,10 @@ class IncrementalAggView:
         # with a different grouping or sum mapping would silently fold wrong
         # deltas into existing rows — persist it at create, enforce on reopen
         # (same discipline as TokenIndex.num_shards)
-        spec = json.dumps(
-            {"group_cols": self.group_cols, "sum_cols": self.sum_cols},
-            sort_keys=True,
-        )
+        spec_obj = {"group_cols": self.group_cols, "sum_cols": self.sum_cols}
+        if expand_spec is not None:
+            spec_obj["expand_spec"] = expand_spec
+        spec = json.dumps(spec_obj, sort_keys=True)
         self.table = LakeTable.create(
             view_path,
             self._schema,
@@ -156,6 +192,10 @@ class IncrementalAggView:
         span is the same statement (intermediate states never appear).
         """
         old, new = live_pair(self.spark, self.base, from_version, to_version)
+        if self._expand is not None:
+            # a deterministic row-local flatMap commutes with the ± fold:
+            # unchanged rows expand identically at both snapshots and cancel
+            old, new = self._expand(old), self._expand(new)
         zero = F.lit(0).cast("long")
 
         def side(df: DataFrame, sign: int) -> DataFrame:
@@ -222,11 +262,22 @@ class IncrementalAggView:
             if cur >= target:
                 return applied
             nxt = target if coalesce else cur + 1
-            # the view table is small by construction (one row per group) —
-            # declare every bucket touched so the merge skips its
-            # bucket-discovery job (a persist + distinct + collect that would
-            # otherwise be the refresh's extra scheduling barrier)
-            nb = self.table.manifest().num_buckets
+            # a CLASSIC view table is small by construction (one row per
+            # grouping-column combination) — declare every bucket touched so
+            # the merge skips its bucket-discovery job (a persist + distinct
+            # + collect that would otherwise be the refresh's extra
+            # scheduling barrier). An EXPANDED view's group cardinality is
+            # unbounded (e.g. one row per distinct window hash) — declaring
+            # all buckets touched would rewrite the WHOLE index table on
+            # every refresh, O(index) instead of O(delta); let the merge
+            # discover the delta's actual buckets instead.
+            bucket_kwargs: dict = {}
+            if self._expand is None:
+                nb = self.table.manifest().num_buckets
+                bucket_kwargs = dict(
+                    touched_buckets=list(range(nb)),
+                    touched_num_buckets=nb,
+                )
             try:
                 stats = merge_into(
                     self.spark,
@@ -235,8 +286,7 @@ class IncrementalAggView:
                     sum_cols=["n_rows", *self.sum_cols],
                     fence_token=f"{FENCE_PREFIX}{nxt}",
                     max_retries=0,
-                    touched_buckets=list(range(nb)),
-                    touched_num_buckets=nb,
+                    **bucket_kwargs,
                 )
             except CommitConflict:
                 continue  # a racer committed; re-derive the span from fences
@@ -260,6 +310,8 @@ class IncrementalAggView:
         m = self.base.manifest(version)
         buckets = {f.bucket for f in m.files}
         df = _read_live(self.spark, self.base, m, buckets)
+        if self._expand is not None:
+            df = self._expand(df)
         return df.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[

@@ -76,6 +76,7 @@ def duplicate_substring_spans(
     key_col: str,
     k: int = 8,
     min_count: int = 2,
+    dup_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document.
 
@@ -85,16 +86,26 @@ def duplicate_substring_spans(
     Per document, duplicated windows whose starts are within k of each other
     overlap or touch and merge into one span.
 
+    ``dup_hashes`` (a DataFrame with a ``win_hash`` column) supplies the
+    duplicated-hash set from elsewhere — e.g. the incrementally-maintained
+    ``lake/dupindex.DupHashIndex`` — replacing the corpus-wide groupBy with a
+    point lookup against maintained state; ``df`` may then be any SUBSET of
+    the corpus (the changed docs of a commit) and spans still reflect
+    corpus-wide duplication.
+
     Output: (key, span_start, span_end, span_len, n_windows) with token
     positions 0-based inclusive. Deterministic for a given input.
     """
     wins = token_window_hashes(df, tokens_col, key_col, k=k)
-    dup = (
-        wins.groupBy("win_hash")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") >= min_count)
-        .select("win_hash")
-    )
+    if dup_hashes is None:
+        dup = (
+            wins.groupBy("win_hash")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_occ") >= min_count)
+            .select("win_hash")
+        )
+    else:
+        dup = dup_hashes.select("win_hash")
     marked = wins.join(dup, "win_hash", "left_semi")
 
     w = Window.partitionBy(key_col).orderBy("pos")
@@ -127,6 +138,7 @@ def scrub_duplicate_spans(
     key_col: str,
     k: int = 8,
     min_count: int = 2,
+    dup_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Cut every duplicated span out of the token stream (the dedup ACTION).
 
@@ -144,7 +156,8 @@ def scrub_duplicate_spans(
     array in original order.
     """
     spans = duplicate_substring_spans(
-        df, tokens_col, key_col, k=k, min_count=min_count
+        df, tokens_col, key_col, k=k, min_count=min_count,
+        dup_hashes=dup_hashes,
     )
     span_lists = spans.groupBy(key_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
@@ -173,6 +186,7 @@ def duplicate_span_stats(
     key_col: str,
     k: int = 8,
     min_count: int = 2,
+    dup_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplication profile from the maximal spans.
 
@@ -183,7 +197,8 @@ def duplicate_span_stats(
     dup_frac exceeds a threshold), so total coverage matters.
     """
     spans = duplicate_substring_spans(
-        df, tokens_col, key_col, k=k, min_count=min_count
+        df, tokens_col, key_col, k=k, min_count=min_count,
+        dup_hashes=dup_hashes,
     )
     per_doc = spans.groupBy(key_col).agg(
         F.sum("span_len").alias("dup_tokens"),

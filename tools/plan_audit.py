@@ -268,6 +268,25 @@ def main() -> None:
                          r"partial_sum"))
     sections.append(("incremental view delta — join-free ± fold", p))
 
+    # 12b. incremental substring-dedup index delta: the EXPANDED ± fold keeps
+    # the view-delta shape — window explosion is a map-only Generate feeding
+    # the same join-free partial aggregation, no Python anywhere
+    from concepts_pipeline_spark.lake.dupindex import DupHashIndex
+
+    dupix = DupHashIndex(
+        spark, pipe.target,
+        tempfile.mkdtemp(prefix="cps-audit-dupix-") + "/ix", k=2,
+    )
+    p = explain_str(dupix.view._delta_span(0, pipe.target.current_version()))
+    results.append(check("dup-index delta has NO join (expanded ± fold)", p,
+                         r"Join|CartesianProduct", must_match=False))
+    results.append(check("dup-index delta has NO Python node", p,
+                         r"(ArrowEvalPython|BatchEvalPython|MapInPandas)",
+                         must_match=False))
+    results.append(check("dup-index delta partial-aggregates before the exchange", p,
+                         r"partial_sum"))
+    sections.append(("substring-dedup index delta — expanded join-free fold", p))
+
     # 13. exact-substring duplicate spans: window-hash generation is map-only
     # expressions (no Python), the repeated-hash aggregation partial-aggregates
     # map-side, no cartesian anywhere, and the island merge windows ONLY
