@@ -29,7 +29,8 @@ sys.path.insert(0, REPO)
 
 FEED_DIR = os.environ.get("SCALE_REFRESH_FEED_DIR", "/tmp/cps-refresh-feed")
 NUM_BUCKETS = 32
-SURFACES = ["view_refresh", "index_refresh", "replica_refresh"]
+SURFACES = ["view_refresh", "index_refresh", "replica_refresh",
+            "dupix_refresh"]
 
 
 def prep(num_events: int, num_keys: int, max_tokens: int) -> None:
@@ -129,6 +130,12 @@ def worker(cpus: int, inc_buckets: int) -> None:
     ix.refresh()
     rep = Replica(spark, pipe.target, f"{root}/replica", num_buckets=16)
     rep.refresh()
+    from concepts_pipeline_spark.lake.dupindex import DupHashIndex
+
+    dupix = DupHashIndex(
+        spark, pipe.target, f"{root}/dupix", k=4, num_buckets=16
+    )
+    dupix.full_refresh()
 
     # ---- the bucket-localized incremental commit: update every live key
     # hashing into the first `inc_buckets` buckets (diff then provably reads
@@ -167,6 +174,7 @@ def worker(cpus: int, inc_buckets: int) -> None:
     timed("view_refresh", lambda: view.refresh())
     timed("index_refresh", lambda: ix.refresh())
     timed("replica_refresh", lambda: rep.refresh())
+    timed("dupix_refresh", lambda: dupix.refresh())
 
     print(json.dumps({
         "cpus": cpus,
