@@ -66,12 +66,20 @@ class DupHashIndex:
         k: int = 8,
         min_count: int = 2,
         num_buckets: int = 8,
+        hash_fn: str = "xxhash64",
     ):
+        from pyspark.sql.types import LongType
+
         self.spark = spark
         self.base = base
         self.tokens_col = tokens_col
         self.k = int(k)
         self.min_count = int(min_count)
+        # xxhash64 default: the index hashes EVERY window of every changed
+        # bucket on EVERY refresh — native array hashing (no per-window
+        # string materialization) is the recurring-maintenance fast path;
+        # 'md5' keeps the SQL-oracle-replayable family (operators default)
+        self.hash_fn = hash_fn
         key_cols = base.manifest().key_cols
         if len(key_cols) != 1:
             raise ValueError(
@@ -81,9 +89,11 @@ class DupHashIndex:
 
         def expand(df: DataFrame) -> DataFrame:
             return token_window_hashes(
-                df, self.tokens_col, self._key, k=self.k
+                df, self.tokens_col, self._key, k=self.k,
+                hash_fn=self.hash_fn,
             ).select("win_hash")
 
+        hash_type = LongType() if hash_fn == "xxhash64" else StringType()
         self.view = IncrementalAggView(
             spark,
             base,
@@ -92,9 +102,9 @@ class DupHashIndex:
             expand=expand,
             expand_spec=(
                 f"dup-windows:col={tokens_col}:k={self.k}"
-                f":min_count={self.min_count}"
+                f":min_count={self.min_count}:hash={hash_fn}"
             ),
-            group_fields=[StructField("win_hash", StringType(), True)],
+            group_fields=[StructField("win_hash", hash_type, True)],
             num_buckets=num_buckets,
         )
 
@@ -144,6 +154,7 @@ class DupHashIndex:
             k=self.k,
             min_count=self.min_count,
             dup_hashes=self.duplicated_hashes(),
+            hash_fn=self.hash_fn,
         )
 
     def spans(self, docs: DataFrame | None = None) -> DataFrame:
@@ -158,6 +169,7 @@ class DupHashIndex:
             k=self.k,
             min_count=self.min_count,
             dup_hashes=self.duplicated_hashes(),
+            hash_fn=self.hash_fn,
         )
 
     def flag_docs(self, max_dup_frac: float, docs: DataFrame | None = None) -> DataFrame:

@@ -276,3 +276,27 @@ def test_index_refresh_rewrites_only_touched_buckets(spark, tmp_path):
     # bucket files must be carried over unchanged
     assert len(before & after) >= len(before) // 2
     _assert_matches_batch(spark, pipe, ix)
+
+
+def test_index_hash_modes_agree(spark, tmp_path):
+    """xxhash64 (fast path, native array hashing) and md5 (SQL-replayable)
+    index modes produce identical profiles — same trade as dedup.py's
+    minhash/simhash hash families."""
+    pipe = _pipe(spark, tmp_path)
+    shared = [5, 6, 7, 8]
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 1, "I", shared + [1], 5, "web"),
+            ("b", 2, "I", [2] + shared, 5, "web"),
+            ("c", 3, "I", [11, 12, 13], 3, "web"),
+        ]),
+        fence_token="b0",
+    )
+    fast = _ix(spark, pipe, tmp_path, name="fast")  # xxhash64 default
+    slow = _ix(spark, pipe, tmp_path, name="slow", hash_fn="md5")
+    fast.refresh()
+    slow.refresh()
+    assert _profile_map(fast.span_profile()) == _profile_map(slow.span_profile())
+    # hash TYPES differ (long vs string) even though decisions agree
+    assert fast.view.table.manifest().schema["win_hash"].dataType.typeName() == "long"
+    assert slow.view.table.manifest().schema["win_hash"].dataType.typeName() == "string"
