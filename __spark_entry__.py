@@ -906,6 +906,28 @@ def cdc_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_index_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-ranked index-served search (lake/index.TokenIndex.search_ranked):
+    docs matching any probe token, scored by summed BM25 idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))`` — df from the probed posting sizes
+    (the same point read the match itself needs), N from the base manifest's
+    live_rows footer stats (zero data files opened). The reference delegates
+    ranked retrieval to ES's BM25 scorer; here the engine owns the ranking
+    over its own inverted index. Probe set: every distinct token ≡ 2
+    (mod 5) in the final state — derived identically by the oracle."""
+    pipe = _shared_pipe(spark, sf_dir)
+    ix = _shared_index(spark, sf_dir)
+    probes = [
+        int(r["token"])
+        for r in pipe.final_state()
+        .select(F.explode("tokens").alias("token"))
+        .filter(F.col("token") % 5 == 2)
+        .distinct()
+        .collect()
+    ]
+    return ix.search_ranked(probes)
+
+
 def cdc_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT(*) (lake/table.count_live — Iceberg's
     metadata-count optimization): the live row count of the replayed table
@@ -2121,7 +2143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concept_accumulation": q_concept_accumulation,
         "record_concepts": q_record_concepts,
         "record_concept_docs": q_record_concept_docs,
-        "q1_pricing_summary": q1_pricing_summary,
         # minhash_lsh_capped is new this round (stop-bucket cap) — it takes a
         # first-50 slot from the long-stable q3 so the driver gates it
         "minhash_lsh_capped": q_minhash_lsh_capped,
@@ -2149,6 +2170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_token_index": cdc_token_index,
         "cdc_index_search": cdc_index_search,
+        # IDF-ranked index search is new this round — it takes the first-50
+        # slot of the long-stable r1-green q1_pricing_summary, rotated past 50
+        "cdc_index_ranked": cdc_index_ranked,
         "cdc_outbox_from_cdf": cdc_outbox_from_cdf,
         "cdc_quarantine_redrive": cdc_quarantine_redrive,
         "cdc_incremental_agg": cdc_incremental_agg,
@@ -2198,6 +2222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated past 50 for cdc_dup_spans_ivm (stable-green since r1)
         "events_hourly": q_events_hourly,
         "q3_top_revenue": q3_top_revenue,
+        # rotated past 50 for cdc_index_ranked (stable-green since r1)
+        "q1_pricing_summary": q1_pricing_summary,
     }
 
 
@@ -2607,6 +2633,27 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN probes pr ON pr.token = p.token
             JOIN fs ON fs.doc_id = p.doc_id
             GROUP BY p.doc_id, fs.n_tok, fs.source
+        """,
+        # IDF-ranked ANY search: same probe derivation (token % 5 == 2 over
+        # the final state), df = docs containing the token, N = live count,
+        # score = Σ ln(1 + (N − df + 0.5)/(df + 0.5)) over matched probes
+        "cdc_index_ranked": f"""
+            WITH fs AS ({FINAL_STATE_SQL}),
+            pairs AS (SELECT DISTINCT doc_id,
+                             CAST(unnest(tokens) AS INT) AS token
+                      FROM fs),
+            probes AS (SELECT DISTINCT token FROM pairs WHERE token % 5 = 2),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_live FROM fs),
+            hits AS (SELECT p.doc_id, p.token
+                     FROM pairs p JOIN probes USING (token)),
+            df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+                   FROM hits GROUP BY token)
+            SELECT h.doc_id,
+                   CAST(count(DISTINCT h.token) AS BIGINT) AS n_matched,
+                   round(sum(ln(1.0 + (n.n_live - d.df + 0.5) / (d.df + 0.5))), 6)
+                       AS score
+            FROM hits h JOIN df d USING (token) CROSS JOIN n
+            GROUP BY h.doc_id
         """,
         "cdc_gap_audit": f"""
             WITH {LOG_CTE_SQL},

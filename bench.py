@@ -204,6 +204,7 @@ def bench_queries(spark):
         "cdc_quarantine_redrive": run_named("cdc_quarantine_redrive"),
         "cdc_token_index": run_named("cdc_token_index"),
         "cdc_index_search": run_named("cdc_index_search"),
+        "cdc_index_ranked": run_named("cdc_index_ranked"),
         "cdc_metadata_count": run_named("cdc_metadata_count"),
         "remap_tokens": run_named("remap_tokens"),
         "cdc_scd2_history": run_named("cdc_scd2_history"),

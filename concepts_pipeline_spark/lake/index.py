@@ -429,6 +429,52 @@ class TokenIndex:
             hits = hits.filter(F.col("n_matched") == len(probes))
         return hits
 
+    def search_ranked(self, tokens: list[int]) -> DataFrame:
+        """IDF-ranked search answered ENTIRELY from the index: every doc
+        matching at least one probe token, scored by the sum of the matched
+        tokens' BM25 idf — ``ln(1 + (N − df + 0.5)/(df + 0.5))`` with ``N``
+        the live doc count and ``df`` the token's document frequency. Output:
+        (doc_id, n_matched, score), score rounded to 6dp (float gate).
+
+        Everything the score needs is index/metadata-resident: ``df`` is the
+        probed tokens' posting sizes (already point-read for the match), and
+        ``N`` comes from the base manifest's live_rows footer stats — zero
+        data files opened (falls back to one MoR-resolving count only when
+        stats can't answer). Scale shape: the same O(df of probed tokens)
+        point read as ``search``, one tiny groupBy-token aggregation
+        broadcast back onto the pairs, one partial-agg per doc. This is the
+        ranked terms query the reference delegates to ES's BM25
+        (ref: recorder/MultiGetFlow.scala:20-53 fetches by id only; scoring
+        lives in the store) — here the engine owns the ranking."""
+        probes = sorted({int(t) for t in tokens})
+        pairs = self.lookup(probes)  # distinct (token, doc_id) by construction
+        n_live = self.base.count_live()
+        if n_live is None:
+            from .diff import read_live
+
+            m = self.base.manifest()
+            n_live = read_live(
+                self.spark, self.base, m, {f.bucket for f in m.files}
+            ).count()
+        n = F.lit(float(n_live))
+        df_col = F.col("df").cast("double")
+        idf = (
+            pairs.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .select(
+                "token",
+                F.log(F.lit(1.0) + (n - df_col + 0.5) / (df_col + 0.5)).alias("idf"),
+            )
+        )
+        return (
+            pairs.join(F.broadcast(idf), "token")
+            .groupBy("doc_id")
+            .agg(
+                F.count_distinct("token").alias("n_matched"),
+                F.round(F.sum("idf"), 6).alias("score"),
+            )
+        )
+
     def read_all(self) -> DataFrame:
         """The full index content as (token, doc_id) rows (gate/test surface)."""
         return (

@@ -268,6 +268,54 @@ def test_index_search_any_and_all(spark, tmp_path):
         ix.search([1], mode="nope")
 
 
+def test_index_search_ranked_bm25_idf(spark, tmp_path):
+    """search_ranked scores docs by summed BM25 idf over matched probes, with
+    df from the probed posting sizes and N from base manifest footer stats —
+    verified against a hand-computed expectation."""
+    import math
+
+    pipe = _pipe(spark, tmp_path, name="trank")
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 1, "I", [1, 2, 3], 3, "s"),
+            ("b", 2, "I", [2, 3], 2, "s"),
+            ("c", 3, "I", [3], 1, "s"),
+            ("d", 4, "I", [9], 1, "s"),
+        ]),
+        fence_token="b0",
+    )
+    ix = TokenIndex(spark, pipe.target, str(tmp_path / "ixrank"), num_shards=4)
+    ix.refresh()
+
+    def idf(n, df):
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    got = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in ix.search_ranked([1, 2]).collect()
+    }
+    # N=4 live docs; df(1)=1, df(2)=2
+    assert got == {
+        "a": (2, round(idf(4, 1) + idf(4, 2), 6)),
+        "b": (1, round(idf(4, 2), 6)),
+    }
+    # rare token outranks common one: probe {1, 3} on doc a vs c
+    got2 = {r["doc_id"]: r["score"] for r in ix.search_ranked([1, 3]).collect()}
+    assert got2["c"] == round(idf(4, 3), 6)  # df(3)=3: docs a, b, c
+    assert got2["a"] > got2["c"]
+
+    # a delete changes both df and N on the next refresh
+    pipe.apply_batch(
+        _batch(spark, [("b", 10, "D", None, None, None)]), fence_token="b1"
+    )
+    ix.refresh()
+    got3 = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in ix.search_ranked([2]).collect()
+    }
+    assert got3 == {"a": (1, round(idf(3, 1), 6))}
+
+
 def test_long_lived_reader_sees_out_of_process_splits(spark, tmp_path):
     """A reader handle constructed BEFORE another process splits a hot token
     must not probe the old slot space: the split overwrote old slots to

@@ -305,6 +305,21 @@ def main() -> None:
     sections.append(("exact-substring duplicate spans — map-only hashing + "
                      "partial-agg + per-doc islands", p))
 
+    # 14. IDF-ranked index search: the per-token idf frame (O(probes) rows)
+    # joins back onto the postings via BroadcastHashJoin, no cartesian, no
+    # Python node — the whole query is index point reads + two hash aggs
+    p = explain_str(entry.cdc_index_ranked(spark, SF))
+    results.append(check("ranked search broadcasts the per-token idf side", p,
+                         r"BroadcastHashJoin"))
+    results.append(check("ranked search has NO cartesian/nested-loop join", p,
+                         r"(CartesianProduct|BroadcastNestedLoopJoin)",
+                         must_match=False))
+    results.append(check("ranked search has NO Python node (built-ins only)", p,
+                         r"(ArrowEvalPython|BatchEvalPython|MapInPandas)",
+                         must_match=False))
+    sections.append(("IDF-ranked index search — broadcast idf join over "
+                     "posting point reads", p))
+
     with open("PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`python tools/plan_audit.py`)\n\n")
         fh.write("Asserted properties (see tool for the exact regexes):\n\n")
