@@ -440,7 +440,11 @@ class TokenIndex:
         probed tokens' posting sizes (already point-read for the match), and
         ``N`` comes from the base manifest's live_rows footer stats — zero
         data files opened (falls back to one MoR-resolving count only when
-        stats can't answer). Scale shape: the same O(df of probed tokens)
+        stats can't answer). ``N`` is read AT the index's applied version,
+        not the base head: postings and df reflect the last folded commit,
+        so a lagging index must score against the same snapshot or idf
+        shifts by ln((N'+1)/(N+1)) per matched token and docs with different
+        match counts can swap rank. Scale shape: the same O(df of probed tokens)
         point read as ``search``, one tiny groupBy-token aggregation
         broadcast back onto the pairs, one partial-agg per doc. This is the
         ranked terms query the reference delegates to ES's BM25
@@ -448,11 +452,12 @@ class TokenIndex:
         lives in the store) — here the engine owns the ranking."""
         probes = sorted({int(t) for t in tokens})
         pairs = self.lookup(probes)  # distinct (token, doc_id) by construction
-        n_live = self.base.count_live()
+        at = self.applied_version()
+        n_live = self.base.count_live(at)
         if n_live is None:
             from .diff import read_live
 
-            m = self.base.manifest()
+            m = self.base.manifest(at)
             n_live = read_live(
                 self.spark, self.base, m, {f.bucket for f in m.files}
             ).count()

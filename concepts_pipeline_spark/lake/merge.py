@@ -1143,14 +1143,13 @@ def compact_tiered(
         for b, pile in deltas.items():
             drows = sum(f.rows for f in pile)
             brows = base_rows.get(b, 0)
+            # the empty-base arm requires a pile deeper than the fanout so a
+            # lone fresh delta is not re-folded every batch while tiny
             if drows >= full_fold_ratio * brows and (
                 brows > 0 or len(pile) > fanout
             ):
-                # the guard on empty bases avoids re-folding a lone fresh
-                # delta every batch while the bucket is still tiny
-                if len(pile) > 1 or brows > 0:
-                    fold_buckets.add(b)
-                    continue
+                fold_buckets.add(b)
+                continue
             tiers: dict[int, list[DataFileEntry]] = {}
             for f in pile:
                 t = int(math.log(max(f.rows, 1) + 1, fanout))

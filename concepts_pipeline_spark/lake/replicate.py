@@ -104,15 +104,6 @@ class Replica:
             if cur >= target:
                 return applied
             nxt = target if coalesce else cur + 1
-            # fast path: bucket-mirror overwrite (zero joins — see
-            # _try_mirror). Falls back to the diff+merge path on schema
-            # drift, non-harmonic counts, or when the diff would read less.
-            mirrored = self._try_mirror(cur, nxt)
-            if mirrored is not None:
-                if mirrored:
-                    applied += nxt - cur
-                continue
-            d = snapshot_diff(self.spark, self.primary, cur, nxt)
             # the span's touched buckets are pure manifest arithmetic — when
             # the replica's bucket count is harmonic with the primary's, hand
             # them to the merge and skip its discovery pass (a persist +
@@ -120,10 +111,25 @@ class Replica:
             # (bucket_expr = pmod(xxhash64(keys), B)), so pnb % rnb == 0 maps
             # primary bucket b to replica bucket b % rnb exactly, and
             # rnb % pnb == 0 fans b out to {b + k*pnb}. Supersets are safe
-            # (a pure-carry bucket rewrite); non-harmonic counts fall back to
-            # discovery, and merge_into itself re-discovers if a concurrent
-            # rescale changes the replica's numbering after we read it.
-            tb = self._touched_replica_buckets(cur, nxt)
+            # (a pure-carry bucket rewrite). Derived ONCE per step (the
+            # per-version walk is O(span) driver manifest reads — both paths
+            # share it), and the ids only mean anything under the bucket
+            # count they were mapped with: rnb_seen travels WITH them — the
+            # mirror re-validates it against the exact manifest it CASes
+            # against, and the merge's stale-numbering guard compares it
+            # (not a fresh read that a concurrent rescale may already have
+            # bumped) to the count it prunes under.
+            rnb_seen = self.table.manifest().num_buckets
+            tb = self._touched_replica_buckets(cur, nxt, rnb_seen)
+            # fast path: bucket-mirror overwrite (zero joins — see
+            # _try_mirror). Falls back to the diff+merge path on schema
+            # drift, non-harmonic counts, or when the diff would read less.
+            mirrored = self._try_mirror(cur, nxt, tb, rnb_seen)
+            if mirrored is not None:
+                if mirrored:
+                    applied += nxt - cur
+                continue
+            d = snapshot_diff(self.spark, self.primary, cur, nxt)
             batch = (
                 d.withColumn(
                     "op",
@@ -143,11 +149,7 @@ class Replica:
                     fence_token=f"{FENCE_PREFIX}{nxt}",
                     max_retries=0,
                     touched_buckets=tb,
-                    touched_num_buckets=(
-                        self.table.manifest().num_buckets
-                        if tb is not None
-                        else None
-                    ),
+                    touched_num_buckets=rnb_seen if tb is not None else None,
                 )
             except CommitConflict:
                 continue
@@ -161,7 +163,7 @@ class Replica:
     _MAINTENANCE_OPS = frozenset({"compact", "rescale"})
 
     def _touched_replica_buckets(
-        self, from_version: int, to_version: int
+        self, from_version: int, to_version: int, rnb: int
     ) -> list[int] | None:
         """Replica buckets the span's diff rows can land in, from manifests
         alone (no Spark job) — or None when the merge must discover them
@@ -175,14 +177,16 @@ class Replica:
         own num_buckets, which per-version walking gives for free (a data or
         compaction commit never changes num_buckets, so within one step the
         from/to numbering agrees; the only version where it differs is the
-        rescale itself, which is excluded)."""
+        rescale itself, which is excluded). ``rnb`` is the replica bucket
+        count the caller observed — the returned ids are only meaningful
+        under it, so the caller must validate THAT count (not a fresh read)
+        wherever the ids are applied."""
         from .diff import _changed_buckets
 
         if to_version - from_version > 64:
             # one discovery job over the big span diff beats O(span) driver
             # manifest reads
             return None
-        rnb = self.table.manifest().num_buckets
         out: set[int] = set()
         try:
             prev = self.primary.manifest(from_version)
@@ -213,10 +217,15 @@ class Replica:
             return None
         return sorted(out)
 
-    def _try_mirror(self, cur: int, nxt: int) -> bool | None:
+    def _try_mirror(
+        self, cur: int, nxt: int, tb: list[int] | None, rnb_seen: int
+    ) -> bool | None:
         """Attempt the span as a bucket-mirror overwrite; None = ineligible
         (caller falls back to diff+merge), True = committed, False = lost the
         commit race (caller re-derives the span from the new cursor).
+        ``tb``/``rnb_seen`` are the caller's span bucket ids and the bucket
+        count they were mapped under (shared with the diff path — the
+        per-version walk runs once per step).
 
         The mirror observation: a CoW merge rewrites every touched replica
         bucket IN FULL anyway, so instead of computing per-key changes (the
@@ -243,10 +252,18 @@ class Replica:
         from .diff import read_live
         from .table import CommitConflict
 
-        tb = self._touched_replica_buckets(cur, nxt)
         if tb is None:
             return None
         m_r = self.table.manifest()
+        # bucket-numbering guard: tb's ids are valid only under rnb_seen.
+        # The mirror REPLACES bucket contents keyed by id, so a rescale that
+        # committed between the caller's derivation and this read would make
+        # us rewrite the WRONG buckets — and the commit CAS (against m_r,
+        # which is already post-rescale) would not catch it. Treat it as a
+        # lost race: the loop re-derives the span under the new numbering.
+        # A rescale landing AFTER this read fails the commit CAS instead.
+        if m_r.num_buckets != rnb_seen:
+            return False
         # stale-span guard: the diff+merge path survives a racing refresher
         # via LWW memory (an older span's rows lose against the winner's
         # higher _lsn), but the mirror REPLACES bucket contents and has no

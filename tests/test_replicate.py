@@ -139,8 +139,44 @@ def test_mirror_cursor_guard_rejects_stale_span(spark, tmp_path):
     loser = Replica(spark, pipe.target, shared)
     winner = Replica(spark, pipe.target, shared)
     winner.refresh(coalesce=True)  # cursor → 3
-    assert loser._try_mirror(0, 1) is False  # stale span refused outright
+    rnb = loser.table.manifest().num_buckets
+    tb = loser._touched_replica_buckets(0, 1, rnb)
+    assert loser._try_mirror(0, 1, tb, rnb) is False  # stale span refused
     assert logical(loser.read()) == {"x": ([7], 1, "s")}
+
+
+def test_mirror_rescale_guard_rejects_stale_bucket_ids(spark, tmp_path):
+    """Touched-bucket ids are only meaningful under the bucket count they
+    were mapped with: a replica-side rescale between the span derivation and
+    the mirror's manifest read renumbers every bucket, and replacing by stale
+    id would rewrite the WRONG buckets — the commit CAS (against the
+    post-rescale manifest) cannot catch it. The mirror must compare the
+    observed count against the CAS manifest and report a lost race so the
+    caller re-derives; the subsequent refresh still converges."""
+    from concepts_pipeline_spark.lake.merge import rescale_buckets
+    from concepts_pipeline_spark.lake.replicate import verify_replica
+
+    pipe = _pipe(spark, tmp_path, name="prs")
+    pipe.apply_batch(
+        _batch(spark, [
+            ("a", 1, "I", [1], 1, "s"),
+            ("b", 2, "I", [2], 1, "s"),
+        ]),
+        fence_token="r0",
+    )
+    rep = Replica(spark, pipe.target, str(tmp_path / "rrs"), num_buckets=4)
+    rep.refresh()
+    pipe.apply_batch(
+        _batch(spark, [("c", 3, "I", [3], 1, "t")]), fence_token="r1"
+    )
+    cur = rep.applied_version()
+    nxt = pipe.target.current_version()
+    rnb_old = rep.table.manifest().num_buckets
+    tb_old = rep._touched_replica_buckets(cur, nxt, rnb_old)
+    rescale_buckets(spark, rep.table, 8)  # renumbers every replica bucket
+    assert rep._try_mirror(cur, nxt, tb_old, rnb_old) is False
+    assert rep.refresh() > 0  # re-derives under the new numbering
+    assert verify_replica(spark, pipe.target, rep)["match"]
 
 
 def test_logical_digest_and_verify_replica(spark, tmp_path):

@@ -304,10 +304,20 @@ def test_index_search_ranked_bm25_idf(spark, tmp_path):
     assert got2["c"] == round(idf(4, 3), 6)  # df(3)=3: docs a, b, c
     assert got2["a"] > got2["c"]
 
-    # a delete changes both df and N on the next refresh
+    # a delete changes both df and N — but only AFTER the index folds it:
+    # a lagging index scores against ITS applied snapshot (N pinned to the
+    # applied version), never mixing head-count N with stale-postings df
     pipe.apply_batch(
         _batch(spark, [("b", 10, "D", None, None, None)]), fence_token="b1"
     )
+    stale = {
+        r["doc_id"]: (r["n_matched"], r["score"])
+        for r in ix.search_ranked([2]).collect()
+    }
+    assert stale == {
+        "a": (1, round(idf(4, 2), 6)),
+        "b": (1, round(idf(4, 2), 6)),
+    }
     ix.refresh()
     got3 = {
         r["doc_id"]: (r["n_matched"], r["score"])
