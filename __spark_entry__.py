@@ -683,6 +683,47 @@ def cdc_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (lake/cluster.cluster_by — OPTIMIZE ZORDER BY): the
+    replayed final state is rewritten into a table clustered on
+    (doc_id, source), then a two-dimensional AND-of-ranges probe is answered
+    via files_where_all manifest pruning. doc_id is the BUCKETING key, so the
+    unclustered layout is the adversarial case by construction — hash
+    bucketing spreads the id range across every file, and the same probe
+    prunes nothing there (asserted in-query, along with the rewrite being a
+    maintenance commit and the clustered probe actually skipping files). The
+    returned rows must equal the declarative filter (the oracle): clustering
+    is a logical no-op.
+
+    No reference analogue — the Scala pipeline delegates storage layout to
+    Elasticsearch; an engine that owns its lake needs the multi-dimensional
+    data-skipping story for payload predicates at 10^6-file scale."""
+    from concepts_pipeline_spark.lake.cluster import cluster_by
+    from concepts_pipeline_spark.lake.table import LakeTable
+
+    pipe = _shared_pipe(spark, sf_dir)
+    final = pipe.final_state()
+    root = _scratch_dir("cps-zorder-")
+    t = LakeTable.create(f"{root}/t", final.schema, ["doc_id"], num_buckets=4)
+    t.overwrite(final)
+    m0 = t.manifest()
+    preds = [("doc_id", "1", "2"), ("source", "click", "click")]
+    if len(t.files_where_all(m0, preds)) != len(m0.files):
+        raise AssertionError("unclustered layout should not be prunable")
+    cluster_by(spark, t, ["doc_id", "source"], bits=5, files_per_bucket=4)
+    m1 = t.manifest()
+    if m1.summary.get("operation") != "cluster":
+        raise AssertionError("cluster_by must commit a maintenance operation")
+    kept = t.files_where_all(m1, preds)
+    if not 0 < len(kept) < len(m1.files):
+        raise AssertionError(
+            f"z-order pruning skipped nothing ({len(kept)}/{len(m1.files)} kept)"
+        )
+    return t.read_where_all(spark, preds).select(
+        "doc_id", _j("tokens"), "n_tok", "source"
+    )
+
+
 def cdc_changes_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downstream change publication (SURVEY §2.6 W2/W3 — the reference routes
     only updated-not-noop ids to SNS, ConceptsAggregator.scala:120-124 +
@@ -2163,7 +2204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wap_publish": cdc_wap_publish,
         "cdc_replay_debezium": cdc_replay_debezium,
         "cdc_stream_final_state": cdc_stream_final_state,
-        "cdc_bootstrap_handoff": cdc_bootstrap_handoff,
+        # z-order clustering is new this round — it takes the first-50 slot
+        # of the long-stable cdc_bootstrap_handoff (r4 driver green, same
+        # FINAL_STATE oracle as the replay variants that stay in the window)
+        "cdc_clustered_scan": cdc_clustered_scan,
         "cdc_lww_latest": cdc_lww_latest,
         "cdc_quarantine_counts": cdc_quarantine_counts,
         "cdc_time_travel": cdc_time_travel,
@@ -2191,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors_lsh": q_dedup_survivors_lsh,
         "embedding_neardup": q_embedding_neardup,
         # --- positions 51+: fresh r4 driver green rows (rotation pool) ---
+        "cdc_bootstrap_handoff": cdc_bootstrap_handoff,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_stats_pruned_scan": cdc_stats_pruned_scan,
         "cdc_stream_cascade": cdc_stream_cascade,
@@ -2394,6 +2439,10 @@ def _oracle_sql_base() -> dict[str, str]:
         # state equals the declarative filter; pruning asserted in-query
         "cdc_stats_pruned_scan": FINAL_STATE_JSON_SQL
         + " WHERE source = 'click'",
+        # z-ordered rewrite is a logical no-op; the pruned 2-D range probe
+        # equals the declarative filter (pruning asserted in-query)
+        "cdc_clustered_scan": FINAL_STATE_JSON_SQL
+        + " WHERE doc_id BETWEEN '1' AND '2' AND source = 'click'",
         "cdc_stream_final_state": FINAL_STATE_JSON_SQL,
         "cdc_replay_compacted": FINAL_STATE_JSON_SQL,
         # tiered maintenance interleaved mid-replay: same declarative spec

@@ -160,7 +160,7 @@ class Replica:
     # churn flags buckets in _changed_buckets, but the diff there is empty —
     # counting them would turn every primary compaction into a pure-carry
     # rewrite of the corresponding replica buckets
-    _MAINTENANCE_OPS = frozenset({"compact", "rescale"})
+    _MAINTENANCE_OPS = frozenset({"compact", "rescale", "cluster"})
 
     def _touched_replica_buckets(
         self, from_version: int, to_version: int, rnb: int

@@ -833,21 +833,34 @@ class LakeTable:
         pruning is an optimization, never a correctness filter. Comparison
         only within the matching type domain (string stats never prune a
         numeric probe and vice versa), mirroring read_for_keys."""
-        out = []
-        for f in m.files:
-            rng = (f.col_stats or {}).get(col)
-            if not rng:
-                out.append(f)
-                continue
-            fmin, fmax = rng
-            num_stat = isinstance(fmin, (int, float)) and not isinstance(fmin, bool)
-            num_probe = isinstance(lo, (int, float)) and not isinstance(lo, bool)
-            if num_stat != num_probe:
-                out.append(f)  # cross-domain: cannot prune soundly
-                continue
-            if not (hi < fmin or lo > fmax):
-                out.append(f)
-        return out
+        return [f for f in m.files if LakeTable._stats_may_match(f, col, lo, hi)]
+
+    @staticmethod
+    def _stats_may_match(f: DataFileEntry, col: str, lo, hi) -> bool:
+        rng = (f.col_stats or {}).get(col)
+        if not rng:
+            return True
+        fmin, fmax = rng
+        num_stat = isinstance(fmin, (int, float)) and not isinstance(fmin, bool)
+        num_probe = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+        if num_stat != num_probe:
+            return True  # cross-domain: cannot prune soundly
+        return not (hi < fmin or lo > fmax)
+
+    @staticmethod
+    def files_where_all(
+        m: Manifest, preds: list[tuple[str, object, object]]
+    ) -> list[DataFileEntry]:
+        """AND-of-ranges file skipping: keep a file iff EVERY (col, lo, hi)
+        range can intersect its stats. On a z-ordered table (lake/cluster.py)
+        each file covers a small hyper-rectangle of the clustered dims, so a
+        multi-dimensional probe prunes multiplicatively — single-column stats
+        alone keep every file whose one dim happens to overlap."""
+        return [
+            f
+            for f in m.files
+            if all(LakeTable._stats_may_match(f, c, lo, hi) for c, lo, hi in preds)
+        ]
 
     def read_where(
         self,
@@ -870,6 +883,23 @@ class LakeTable:
         files = self.files_where(m, col, lo, hi)
         df = self._read_files(spark, m, files)
         return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+
+    def read_where_all(
+        self,
+        spark: SparkSession,
+        preds: list[tuple[str, object, object]],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Conjunctive predicate read with multi-column manifest pruning
+        (files_where_all) — the read shape z-order clustering exists for.
+        The exact AND filter is re-applied after the file cut, so pruning
+        remains an optimization, never a correctness filter."""
+        m = self.manifest(version)
+        files = self.files_where_all(m, preds)
+        df = self._read_files(spark, m, files)
+        for col, lo, hi in preds:
+            df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return df
 
     def version_as_of(self, ts_ms: int) -> int:
         """Timestamp time travel (Iceberg/Delta ``FOR SYSTEM_TIME AS OF``):

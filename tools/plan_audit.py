@@ -320,6 +320,33 @@ def main() -> None:
     sections.append(("IDF-ranked index search — broadcast idf join over "
                      "posting point reads", p))
 
+    # 15. z-order cluster rewrite (lake/cluster.zorder_layout): cell fold +
+    # Morton interleave are pure column arithmetic (no Python eval node, no
+    # join), and the ONLY wide operation is the single RangePartitioning
+    # exchange on (bucket, z) that becomes the file layout
+    from concepts_pipeline_spark.lake.cluster import zorder_layout
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    zl = zorder_layout(
+        docs, ["doc_id"], 4,
+        {"n_chars": [10, 100, 1000], "source": ["api", "web"]}, bits=2,
+    )
+    p = explain_str(zl)
+    results.append(check("z-order rewrite shuffles by range on (bucket, z)", p,
+                         r"Arguments: rangepartitioning\(__cb"))
+    results.append(check("z-order rewrite has NO second exchange", p,
+                         r"\(\d+\) Exchange\b[\s\S]*\(\d+\) Exchange\b",
+                         must_match=False))
+    results.append(check("z-order rewrite has NO Python node (column arithmetic only)", p,
+                         r"(ArrowEvalPython|BatchEvalPython|MapInPandas)",
+                         must_match=False))
+    results.append(check("z-order rewrite has NO join", p, r"Join",
+                         must_match=False))
+    sections.append(("z-order cluster rewrite — one range shuffle, "
+                     "codegen-only z computation", p))
+
     with open("PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`python tools/plan_audit.py`)\n\n")
         fh.write("Asserted properties (see tool for the exact regexes):\n\n")
