@@ -265,6 +265,20 @@ def cmd_compact(args) -> dict:
     return {"compacted_buckets": n}
 
 
+def cmd_cluster(args) -> dict:
+    from .lake import LakeTable
+    from .lake.cluster import cluster_by
+
+    spark = _spark("cps-cluster")
+    return cluster_by(
+        spark,
+        LakeTable(args.table),
+        [c.strip() for c in args.by.split(",") if c.strip()],
+        bits=args.bits,
+        files_per_bucket=args.files_per_bucket,
+    )
+
+
 def cmd_expire(args) -> dict:
     from .lake import LakeTable
 
@@ -564,6 +578,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="full = fold past-threshold buckets to base; tiered = "
                         "size-tiered delta consolidation with ratio-gated folds")
     g.set_defaults(fn=cmd_compact)
+
+    g = sub.add_parser("cluster",
+                       help="rewrite the table z-ordered on payload columns "
+                            "(OPTIMIZE ZORDER BY) for multi-dim data skipping")
+    g.add_argument("--table", required=True)
+    g.add_argument("--by", required=True,
+                   help="comma-separated columns to cluster on")
+    g.add_argument("--bits", type=int, default=8,
+                   help="bits per dimension (2^bits quantile cells)")
+    g.add_argument("--files-per-bucket", type=int, default=4)
+    g.set_defaults(fn=cmd_cluster)
 
     g = sub.add_parser("expire", help="expire old snapshots + vacuum orphan files")
     g.add_argument("--table", required=True)

@@ -108,6 +108,29 @@ def test_cli_replay_compact_expire(spark, tmp_path, capsys):
     assert LakeTable(target).exists()
 
 
+def test_cli_cluster(spark, tmp_path, capsys):
+    feed = derived_change_log(spark, SF).withColumn(
+        "batch_id", F.pmod(F.col("lsn"), F.lit(2))
+    )
+    feed.write.parquet(f"file://{tmp_path}/feed")
+    target = str(tmp_path / "tokens")
+    before = run(capsys, [
+        "replay", "--feed", f"file://{tmp_path}/feed", "--target", target,
+        "--quarantine", str(tmp_path / "q"), "--lineage", str(tmp_path / "l"),
+    ])["final_rows"]
+
+    out = run(capsys, [
+        "cluster", "--table", target, "--by", "n_tok,source", "--bits", "4",
+    ])
+    assert out["files"] > 0 and out["version"] > 0
+    t = LakeTable(target)
+    m = t.manifest()
+    assert m.summary["operation"] == "cluster"
+    assert set(m.properties["clustered_by"]) == {"n_tok", "source"}
+    live = t.read(spark).filter(~F.col("_deleted")).count()
+    assert live == before
+
+
 def test_cli_rollback_and_stats(spark, tmp_path, capsys):
     import json
 
