@@ -837,6 +837,11 @@ class LakeTable:
 
     @staticmethod
     def _stats_may_match(f: DataFileEntry, col: str, lo, hi) -> bool:
+        # delta files are NEVER value-pruned: their rows shadow base rows by
+        # KEY, not by value — pruning a delta whose new value left the probed
+        # range would resurrect the stale base row at LWW resolution
+        if f.kind != "base":
+            return True
         rng = (f.col_stats or {}).get(col)
         if not rng:
             return True
@@ -876,13 +881,30 @@ class LakeTable:
         skips whole files BEFORE any I/O — at 10^6-file scale that is the
         difference between a metadata decision and opening every footer
         (parquet row-group stats still prune inside the files that remain).
-        Raw physical rows (hidden CDC columns included) like ``read``; MoR
-        tables still need read-side LWW resolution downstream."""
+        Raw physical rows (hidden CDC columns included) like ``read`` —
+        except on MoR manifests, where rows are LWW-resolved BEFORE the
+        filter (tombstones retained): filtering raw base∪delta rows would
+        silently revive a base row whose newer delta version left the probed
+        range. Delta files are never value-pruned for the same reason."""
         m = self.manifest(version)
         hi = lo if hi is None else hi
         files = self.files_where(m, col, lo, hi)
-        df = self._read_files(spark, m, files)
+        df = self._resolved_if_mor(self._read_files(spark, m, files), m)
         return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+
+    def _resolved_if_mor(self, df: DataFrame, m: Manifest) -> DataFrame:
+        """LWW-fold base∪delta to one row per key when the manifest carries
+        merge-on-read deltas — value predicates are only sound against the
+        NEWEST version of each key. No-op on pure-base manifests and tables
+        without the hidden CDC columns."""
+        from ..operators.lww import lww_latest
+        from .merge import HIDDEN_LSN
+
+        if HIDDEN_LSN not in df.columns:
+            return df
+        if all(f.kind == "base" for f in m.files):
+            return df
+        return lww_latest(df, m.key_cols, lsn_col=HIDDEN_LSN, op_col=None)
 
     def read_where_all(
         self,
@@ -893,10 +915,11 @@ class LakeTable:
         """Conjunctive predicate read with multi-column manifest pruning
         (files_where_all) — the read shape z-order clustering exists for.
         The exact AND filter is re-applied after the file cut, so pruning
-        remains an optimization, never a correctness filter."""
+        remains an optimization, never a correctness filter. MoR manifests
+        are LWW-resolved before the filter (see read_where)."""
         m = self.manifest(version)
         files = self.files_where_all(m, preds)
-        df = self._read_files(spark, m, files)
+        df = self._resolved_if_mor(self._read_files(spark, m, files), m)
         for col, lo, hi in preds:
             df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         return df

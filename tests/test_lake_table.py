@@ -311,3 +311,54 @@ def test_column_stats_prune_files_on_read_where(spark, tmp_path):
     m2 = t.manifest()
     rewritten = [f for f in m2.files if f.path not in {x.path for x in m.files}]
     assert rewritten and all(f.col_stats for f in rewritten)
+
+
+def test_read_where_mor_deltas_never_value_pruned(spark, tmp_path):
+    """Value predicates against a merge-on-read manifest: delta files shadow
+    base rows by KEY, so value-pruning a delta (or filtering raw base∪delta
+    rows) can resurrect a stale base version whose newer value left the
+    probed range. read_where must LWW-resolve before filtering and never cut
+    delta files on stats."""
+    from concepts_pipeline_spark.lake.merge import HIDDEN_DELETED, merge_into
+
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("n_tok", IntegerType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["doc_id"], 2,
+                         properties={"stat_cols": ["n_tok"]})
+    base = spark.createDataFrame(
+        [("a", 10, "I", 1), ("b", 999, "I", 1), ("c", 12, "I", 1)],
+        "doc_id string, n_tok int, op string, lsn long",
+    )
+    merge_into(spark, t, base, fence_token="b0", lsn_col="lsn")
+    # MoR batch: a leaves the probed range, b enters it, c is tombstoned
+    delta = spark.createDataFrame(
+        [("a", 999, "U", 2), ("b", 11, "U", 2), ("c", None, "D", 2)],
+        "doc_id string, n_tok int, op string, lsn long",
+    )
+    merge_into(spark, t, delta, fence_token="b1", lsn_col="lsn",
+               strategy="mor")
+    m = t.manifest()
+    assert any(f.kind == "delta" for f in m.files)
+
+    kept = t.files_where(m, "n_tok", 5, 20)
+    assert all(f in kept for f in m.files if f.kind == "delta")
+
+    got = {
+        r["doc_id"]: r["n_tok"]
+        for r in t.read_where(spark, "n_tok", 5, 20)
+        .filter(~F.col(HIDDEN_DELETED))
+        .collect()
+    }
+    # a must NOT reappear at its stale value; b's new value must be found
+    # even though its base file's stats exclude the probe; c is dead
+    assert got == {"b": 11}
+
+    conj = {
+        r["doc_id"]
+        for r in t.read_where_all(spark, [("n_tok", 5, 20)])
+        .filter(~F.col(HIDDEN_DELETED))
+        .collect()
+    }
+    assert conj == {"b"}
