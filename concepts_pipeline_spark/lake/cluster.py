@@ -190,6 +190,13 @@ def cluster_by(
         props = dict(m.properties or {})
         props["stat_cols"] = sorted(set(props.get("stat_cols") or []) | set(cols))
         props["clustered_by"] = list(cols)
+        # persist the boundary grid so FUTURE writes can maintain the layout:
+        # write_data_files z-sorts rewritten buckets with these bounds, keeping
+        # parquet row-group stats tight on the clustered dims between rewrites
+        # (file-level order decays to bucket granularity under CoW; row-group
+        # skipping inside the rewritten file is what survives)
+        props["cluster_bounds"] = {c: bounds[c] for c in cols}
+        props["cluster_bits"] = bits
         staged_m = replace(m, properties=props)  # stat phase sees new stat_cols
         sid = table._current_schema_id(m)
         new_files = table.write_data_files(

@@ -521,6 +521,21 @@ class LakeTable:
         # posting index) turn it on at create time.
         if (m.properties or {}).get("sort_on_write"):
             out = out.sortWithinPartitions("__bucket", *m.key_cols)
+        # z-clustered tables (lake/cluster.cluster_by) keep their layout across
+        # rewrites: CoW merges fold a whole bucket into one file, so FILE-level
+        # z-ranges decay to bucket granularity — but z-sorting the rewrite with
+        # the boundary grid persisted at cluster time keeps parquet ROW-GROUP
+        # min/max tight on the clustered dims, and pushed-down predicates skip
+        # row groups inside the rewritten file. Local sort only, no shuffle.
+        # Skipped if DDL dropped/renamed a clustered dim (stale grid).
+        zcols = (m.properties or {}).get("clustered_by")
+        zbounds = (m.properties or {}).get("cluster_bounds")
+        if zcols and zbounds and all(c in out.columns for c in zcols):
+            from .cluster import _cell_expr, _z_expr
+
+            zbits = int((m.properties or {}).get("cluster_bits") or 8)
+            z = _z_expr([_cell_expr(c, zbounds[c]) for c in zcols], zbits)
+            out = out.sortWithinPartitions("__bucket", z)
         writer = out.write.partitionBy("__bucket").mode("overwrite")
         # Opt-in parquet bloom filter on the key column (table property
         # "bloom_ndv"): at 100 TB the per-file [min_key, max_key] range stats

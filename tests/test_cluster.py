@@ -119,6 +119,54 @@ def test_cluster_append_table_preserves_multiset(spark, tmp_path):
     assert sorted(tuple(r) for r in t.read(spark).collect()) == before
 
 
+def test_cluster_layout_maintained_across_rewrites(spark, tmp_path):
+    """cluster_by persists its boundary grid (cluster_bounds); every later
+    write z-sorts rewritten buckets with it, so parquet row-group stats stay
+    tight on the clustered dims between explicit re-clusterings. The rewritten
+    file's rows must come back z-nondecreasing; state stays the oracle's."""
+    import os
+
+    from concepts_pipeline_spark.lake.cluster import _cell_expr, _z_expr
+    from concepts_pipeline_spark.lake.merge import merge_into
+
+    t, df = _grid_table(spark, tmp_path, "g", rows=1024, buckets=2)
+    cluster_by(spark, t, ["x", "y"], bits=4, files_per_bucket=2)
+    m = t.manifest()
+    bounds = m.properties["cluster_bounds"]
+    assert set(bounds) == {"x", "y"} and m.properties["cluster_bits"] == 4
+
+    # CoW merge rewrites the touched buckets; the rewrite must stay z-sorted
+    src = spark.createDataFrame(
+        [(f"k{i}", int(i % 64), int((i // 64) % 64), "delta", "U")
+         for i in range(0, 1024, 7)],
+        "k string, x int, y int, s string, op string",
+    )
+    merge_into(spark, t, src, fence_token="w1")
+    m2 = t.manifest()
+    new_files = [
+        f for f in m2.files if f.path not in {x.path for x in m.files}
+    ]
+    assert new_files
+    z = _z_expr([_cell_expr(c, bounds[c]) for c in ("x", "y")], 4)
+    for f in new_files:
+        rows = (
+            spark.read.parquet(f"file://{os.path.join(t.path, f.path)}")
+            .select(z.alias("z"))
+            .collect()
+        )
+        zs = [r["z"] for r in rows]
+        assert zs == sorted(zs), f"rewritten file {f.path} lost z order"
+
+    # the maintained layout is a logical no-op: state equals the plain merge
+    want = {(f"k{i}",) + ((int(i % 64), int((i // 64) % 64), "delta")
+                          if i % 7 == 0 else
+                          (int(i % 64), int((i // 64) % 64),
+                           ["alpha", "beta", "gamma"][i % 3]))
+            for i in range(1024)}
+    got = {tuple(r) for r in t.read(spark).collect()}
+    assert got == want
+
+
 def test_cluster_is_maintenance_for_derived_surfaces(spark, tmp_path):
     """The replica's manifest walk must skip a cluster commit (its file churn
     flags every bucket, but the logical delta is empty), and an incremental
