@@ -848,15 +848,24 @@ class LakeTable:
         pruning is an optimization, never a correctness filter. Comparison
         only within the matching type domain (string stats never prune a
         numeric probe and vice versa), mirroring read_for_keys."""
-        return [f for f in m.files if LakeTable._stats_may_match(f, col, lo, hi)]
+        dirty = LakeTable._delta_buckets(m)
+        return [
+            f for f in m.files
+            if f.bucket in dirty or LakeTable._stats_may_match(f, col, lo, hi)
+        ]
+
+    @staticmethod
+    def _delta_buckets(m: Manifest) -> set:
+        """Buckets carrying merge-on-read deltas. NO file in such a bucket may
+        be value-pruned: delta rows shadow base rows by KEY, not value, and a
+        delta may even be STALE (``_mor_append`` defers the freshness check to
+        read-side LWW) — cutting either side of the base∪delta pair on stats
+        hands LWW a subset that resolves to the wrong version. Compaction
+        folds the bucket back to base and restores prunability."""
+        return {f.bucket for f in m.files if f.kind != "base"}
 
     @staticmethod
     def _stats_may_match(f: DataFileEntry, col: str, lo, hi) -> bool:
-        # delta files are NEVER value-pruned: their rows shadow base rows by
-        # KEY, not by value — pruning a delta whose new value left the probed
-        # range would resurrect the stale base row at LWW resolution
-        if f.kind != "base":
-            return True
         rng = (f.col_stats or {}).get(col)
         if not rng:
             return True
@@ -876,10 +885,12 @@ class LakeTable:
         each file covers a small hyper-rectangle of the clustered dims, so a
         multi-dimensional probe prunes multiplicatively — single-column stats
         alone keep every file whose one dim happens to overlap."""
+        dirty = LakeTable._delta_buckets(m)
         return [
             f
             for f in m.files
-            if all(LakeTable._stats_may_match(f, c, lo, hi) for c, lo, hi in preds)
+            if f.bucket in dirty
+            or all(LakeTable._stats_may_match(f, c, lo, hi) for c, lo, hi in preds)
         ]
 
     def read_where(
@@ -900,7 +911,9 @@ class LakeTable:
         except on MoR manifests, where rows are LWW-resolved BEFORE the
         filter (tombstones retained): filtering raw base∪delta rows would
         silently revive a base row whose newer delta version left the probed
-        range. Delta files are never value-pruned for the same reason."""
+        range. Buckets carrying deltas are never value-pruned at all (see
+        ``_delta_buckets`` — a delta may even be stale, so neither side of
+        the base∪delta pair can be cut on stats)."""
         m = self.manifest(version)
         hi = lo if hi is None else hi
         files = self.files_where(m, col, lo, hi)

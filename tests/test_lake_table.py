@@ -342,8 +342,23 @@ def test_read_where_mor_deltas_never_value_pruned(spark, tmp_path):
     m = t.manifest()
     assert any(f.kind == "delta" for f in m.files)
 
+    # a stale event lands as a delta too (_mor_append defers freshness to
+    # read-side LWW): d's live base value is 500 @ lsn 5, the lsn-2 replay
+    # carries an in-range 15 — the pruned read must still answer 500-wins
+    merge_into(spark, t,
+               spark.createDataFrame([("d", 500, "I", 5)],
+                                     "doc_id string, n_tok int, op string, lsn long"),
+               fence_token="b2", lsn_col="lsn")
+    merge_into(spark, t,
+               spark.createDataFrame([("d", 15, "U", 2)],
+                                     "doc_id string, n_tok int, op string, lsn long"),
+               fence_token="b3", lsn_col="lsn", strategy="mor")
+    m = t.manifest()
+
     kept = t.files_where(m, "n_tok", 5, 20)
-    assert all(f in kept for f in m.files if f.kind == "delta")
+    dirty = {f.bucket for f in m.files if f.kind == "delta"}
+    # no file in a delta-bearing bucket may be value-pruned
+    assert all(f in kept for f in m.files if f.bucket in dirty)
 
     got = {
         r["doc_id"]: r["n_tok"]
@@ -352,7 +367,8 @@ def test_read_where_mor_deltas_never_value_pruned(spark, tmp_path):
         .collect()
     }
     # a must NOT reappear at its stale value; b's new value must be found
-    # even though its base file's stats exclude the probe; c is dead
+    # even though its base file's stats exclude the probe; c is dead; d's
+    # stale in-range delta must NOT beat its fresher out-of-range base
     assert got == {"b": 11}
 
     conj = {
