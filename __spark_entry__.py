@@ -724,6 +724,59 @@ def cdc_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_mor_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stat-pruned predicate read under merge-on-read — the soundness
+    composition: 4-batch MoR replay → full compaction → z-order cluster on
+    doc_id (files now prunable) → a REDELIVERED event slice appended as deltas
+    (idempotent by LSN discipline, so the oracle is unchanged — but the
+    touched buckets are now dirty). read_where must (a) still prune clean
+    buckets' files (asserted in-query), (b) keep EVERY file of a delta-bearing
+    bucket — a delta may be stale, so neither side of base∪delta can be cut on
+    stats — and (c) LWW-resolve before filtering, or redelivered stale values
+    re-enter the probed range. Result must equal the declarative filter.
+
+    No reference analogue (the Scala pipeline's store owns its layout); this
+    pins the lake's MoR × column-stats interaction the way cdc_replay_mor pins
+    MoR × LWW."""
+    from concepts_pipeline_spark.lake.cluster import cluster_by
+    from concepts_pipeline_spark.lake.merge import HIDDEN_DELETED, compact
+
+    pipe = _replayed_pipe(spark, sf_dir, "morscan", strategy="mor")
+    t = pipe.target
+    compact(spark, t, 0)  # fold every dirty bucket to base
+    # doc_id is the hash-bucketing KEY: the adversarial layout for a range
+    # probe (every base file spans the whole id domain) until the z-rewrite
+    cluster_by(spark, t, ["doc_id"], bits=5, files_per_bucket=4)
+    m1 = t.manifest()
+    kept1 = t.files_where(m1, "doc_id", "3", "5")
+    if not 0 < len(kept1) < len(m1.files):
+        raise AssertionError(
+            f"clustered base layout should prune ({len(kept1)}/{len(m1.files)} kept)"
+        )
+    # redeliver an already-applied slice: MoR appends it as deltas without a
+    # freshness check — the state is unchanged, the buckets are dirty
+    log = derived_change_log(spark, sf_dir)
+    pipe.apply_batch(
+        log.filter(F.pmod(F.col("lsn"), F.lit(17)) == 3),
+        fence_token="morscan:redeliver",
+    )
+    m2 = t.manifest()
+    dirty = {f.bucket for f in m2.files if f.kind != "base"}
+    if not dirty:
+        raise AssertionError("redelivery must leave delta files")
+    kept2 = {f.path for f in t.files_where(m2, "doc_id", "3", "5")}
+    missing = [
+        f.path for f in m2.files if f.bucket in dirty and f.path not in kept2
+    ]
+    if missing:
+        raise AssertionError(f"delta-bearing bucket files pruned: {missing}")
+    return (
+        t.read_where(spark, "doc_id", "3", "5")
+        .filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+        .select("doc_id", _j("tokens"), "n_tok", "source")
+    )
+
+
 def cdc_changes_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downstream change publication (SURVEY §2.6 W2/W3 — the reference routes
     only updated-not-noop ids to SNS, ConceptsAggregator.scala:120-124 +
@@ -2208,9 +2261,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the long-stable cdc_bootstrap_handoff (r4 driver green, same
         # FINAL_STATE oracle as the replay variants that stay in the window)
         "cdc_clustered_scan": cdc_clustered_scan,
+        # the MoR × column-stats soundness composition is new this round — it
+        # takes the first-50 slot of the long-stable cdc_time_travel (r4
+        # driver green), rotated past 50
+        "cdc_mor_pruned_scan": cdc_mor_pruned_scan,
         "cdc_lww_latest": cdc_lww_latest,
         "cdc_quarantine_counts": cdc_quarantine_counts,
-        "cdc_time_travel": cdc_time_travel,
         "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_token_index": cdc_token_index,
         "cdc_index_search": cdc_index_search,
@@ -2235,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors_lsh": q_dedup_survivors_lsh,
         "embedding_neardup": q_embedding_neardup,
         # --- positions 51+: fresh r4 driver green rows (rotation pool) ---
+        "cdc_time_travel": cdc_time_travel,
         "cdc_bootstrap_handoff": cdc_bootstrap_handoff,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_stats_pruned_scan": cdc_stats_pruned_scan,
@@ -2443,6 +2500,11 @@ def _oracle_sql_base() -> dict[str, str]:
         # equals the declarative filter (pruning asserted in-query)
         "cdc_clustered_scan": FINAL_STATE_JSON_SQL
         + " WHERE doc_id BETWEEN '1' AND '2' AND source = 'click'",
+        # the redelivered slice is a no-op by LSN discipline; the pruned MoR
+        # read equals the declarative filter (pruning + delta-bucket keep
+        # asserted in-query)
+        "cdc_mor_pruned_scan": FINAL_STATE_JSON_SQL
+        + " WHERE doc_id BETWEEN '3' AND '5'",
         "cdc_stream_final_state": FINAL_STATE_JSON_SQL,
         "cdc_replay_compacted": FINAL_STATE_JSON_SQL,
         # tiered maintenance interleaved mid-replay: same declarative spec

@@ -201,6 +201,7 @@ def bench_queries(spark):
         "cdc_snapshot_diff": run_named("cdc_snapshot_diff"),
         "cdc_stats_pruned_scan": run_named("cdc_stats_pruned_scan"),
         "cdc_clustered_scan": run_named("cdc_clustered_scan"),
+        "cdc_mor_pruned_scan": run_named("cdc_mor_pruned_scan"),
         "cdc_outbox_from_cdf": run_named("cdc_outbox_from_cdf"),
         "cdc_quarantine_redrive": run_named("cdc_quarantine_redrive"),
         "cdc_token_index": run_named("cdc_token_index"),
