@@ -167,6 +167,21 @@ def test_cluster_layout_maintained_across_rewrites(spark, tmp_path):
     assert got == want
 
 
+def test_cluster_grid_guard_after_dropping_a_clustered_dim(spark, tmp_path):
+    """DDL that removes a clustered dimension leaves a stale boundary grid in
+    the properties; the write path must skip the maintained z-sort (not crash
+    on the missing column) and writes must keep working."""
+    t, df = _grid_table(spark, tmp_path, "g", rows=256, buckets=2)
+    cluster_by(spark, t, ["x", "y"], bits=3, files_per_bucket=2)
+    t.drop_column("y")
+    extra = spark.createDataFrame(
+        [("z1", 5, "alpha"), ("z2", 6, "beta")], "k string, x int, s string"
+    )
+    t.append(extra)
+    got = {r["k"] for r in t.read(spark).filter(F.col("x").isin(5, 6)).collect()}
+    assert {"z1", "z2"} <= got
+
+
 def test_cluster_is_maintenance_for_derived_surfaces(spark, tmp_path):
     """The replica's manifest walk must skip a cluster commit (its file churn
     flags every bucket, but the logical delta is empty), and an incremental

@@ -1,6 +1,7 @@
-"""Property-based composition of TAGS × RESCALE × COLUMN DDL × EXPIRY
-(hypothesis): for ANY schedule of merges, tag pins, bucket rescales, column
-drops/renames, and aggressive expiry (keep_last=1, zero orphan grace), every
+"""Property-based composition of TAGS × RESCALE × COLUMN DDL × EXPIRY ×
+CLUSTER (hypothesis): for ANY schedule of merges, tag pins, bucket rescales,
+column drops/renames, z-order rewrites, and aggressive expiry (keep_last=1,
+zero orphan grace), every
 live tag must still read BYTE-IDENTICALLY the state — including the schema —
 that was visible when it was pinned, and main must equal the python fold
 projected onto the current schema timeline.
@@ -25,7 +26,7 @@ KEYS = ["a", "b", "c", "d"]
 
 op = st.sampled_from(
     ["merge", "merge", "tag", "rescale_up", "rescale_down",
-     "drop_col", "rename_col", "expire"]
+     "drop_col", "rename_col", "expire", "cluster"]
 )
 ops_list = st.lists(op, min_size=4, max_size=14)
 
@@ -129,6 +130,15 @@ def test_tags_survive_rescale_ddl_expiry_schedules(
             cols["origin"] = cols.pop("source")
         elif kind == "expire":
             t.expire_snapshots(keep_last=1, orphan_grace_seconds=0.0)
+        elif kind == "cluster":
+            # z-rewrite mid-schedule: a logical no-op that must compose with
+            # every tag/rescale/DDL/expiry interleaving. Clustering on a
+            # droppable column (n_tok, while it exists) also exercises the
+            # stale-grid guard in write_data_files once a later drop lands.
+            from concepts_pipeline_spark.lake.cluster import cluster_by
+
+            zcols = ["doc_id"] + (["n_tok"] if "n_tok" in cols else [])
+            cluster_by(spark, t, zcols, bits=3, files_per_bucket=2)
 
         # invariants after EVERY op:
         assert _read(spark, t, cols) == _fold(events, cols), (
