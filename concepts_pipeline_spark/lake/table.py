@@ -555,6 +555,22 @@ class LakeTable:
             ).option(
                 f"parquet.bloom.filter.expected.ndv#{key0_}", str(int(bloom_ndv))
             )
+        # Opt-in payload-column blooms (table property "bloom_cols": a
+        # {col: expected_ndv} map): the complement of z-order clustering —
+        # the z/stat machinery serves RANGE probes on a few clustered dims,
+        # while a bloom serves EQUALITY probes on high-cardinality payload
+        # columns whose min/max spans everything (user ids, URLs, hashes).
+        # Same scale story as bloom_ndv: file-resident, lazily loaded,
+        # manifest stays O(files). Columns absent from this generation's
+        # physical schema are simply ignored by the writer, and a chunk that
+        # stays fully dictionary-encoded gets no bloom (parquet drops it —
+        # the dictionary already serves as an exact filter).
+        for c, ndv in ((m.properties or {}).get("bloom_cols") or {}).items():
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{c}", "true"
+            ).option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+            )
         writer.parquet(f"file://{tmp}")
 
         key0 = m.key_cols[0]

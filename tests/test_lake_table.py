@@ -174,6 +174,46 @@ def test_bloom_ndv_property_writes_parquet_blooms(spark, tmp_path):
     assert got == {"doc00005", "doc01999"}
 
 
+def test_bloom_cols_property_writes_payload_blooms(spark, tmp_path):
+    """bloom_cols ({col: ndv}) threads parquet blooms onto payload columns —
+    equality probes on high-cardinality payload values get row-group skipping
+    where min/max stats span everything. Same evidence as the key bloom:
+    identical data, strictly larger files, identical read results."""
+    import glob
+    import os
+
+    # high-cardinality payload values: a fully dictionary-encoded chunk gets
+    # NO bloom (parquet drops it — the dictionary is already an exact filter),
+    # so constant columns would make this test vacuous
+    rows = spark.range(2000).select(
+        F.format_string("doc%05d", F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.col("id").cast("int").alias("n_tok"),
+        F.format_string("origin-%05d", F.col("id")).alias("source"),
+    )
+    sizes = {}
+    tables = {}
+    for name, props in (("plain", None),
+                        ("bloom", {"bloom_cols": {"source": 4096,
+                                                  "n_tok": 4096}})):
+        t = LakeTable.create(
+            str(tmp_path / name), TOKENS_SCHEMA, ["doc_id"],
+            num_buckets=4, properties=props,
+        )
+        t.append(rows)
+        sizes[name] = sum(
+            os.path.getsize(p)
+            for p in glob.glob(str(tmp_path / name / "data" / "*.parquet"))
+        )
+        tables[name] = t
+    assert sizes["bloom"] > sizes["plain"]
+    a = tables["plain"].read(spark).orderBy("doc_id").collect()
+    b = tables["bloom"].read(spark).orderBy("doc_id").collect()
+    assert a == b
+    assert tables["bloom"].read(spark).filter(
+        F.col("source") == "origin-00042").count() == 1
+
+
 def test_count_live_is_manifest_only_and_exact(spark, tmp_path):
     """Metadata-only COUNT(*): exact on CoW tables (tombstones netted out via
     per-file live_rows footer stats), None under MoR deltas (which shadow
