@@ -2210,9 +2210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is the driver's sampling order: its CORRECTNESS budget
     checks the FIRST 50 entries, so positions 1-50 carry (a) every query that
     has never had a driver-visible row, (b) the ANN top-k pair that gained
-    full md5-mode oracles this round, and (c) a 20-query core-regression set
-    spanning replay/MoR/WAP/stream/index/dedup. Positions 51-77 are queries
-    with fresh r4 driver green rows — rotate them forward in later rounds."""
+    full md5-mode oracles this round, and (c) a core-regression set spanning
+    replay/MoR/WAP/stream/index plus the new lake-soundness compositions
+    (clustered/mor-pruned scans). Positions 51+ are queries with fresh r4
+    driver green rows — rotate them forward in later rounds."""
     return {
         # --- never driver-checked before r5 (registry tail in r1-r4) ---
         "epoch_shuffle": q_epoch_shuffle,
@@ -2286,11 +2287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle) is new this round — it takes the slot of the long-stable
         # r1-green events_hourly, rotated past 50
         "cdc_dup_spans_ivm": q_cdc_dup_spans_ivm,
+        # --- positions 51+: fresh r4 driver green rows (rotation pool).
+        # The dedup quartet rotates out this round to pay for the two new
+        # lake-soundness queries (clustered/mor-pruned scans); all four have
+        # fresh r4 driver rows and stay oracle-checked locally. ---
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh,
         "dedup_survivors_lsh": q_dedup_survivors_lsh,
         "embedding_neardup": q_embedding_neardup,
-        # --- positions 51+: fresh r4 driver green rows (rotation pool) ---
         "cdc_time_travel": cdc_time_travel,
         "cdc_bootstrap_handoff": cdc_bootstrap_handoff,
         "cdc_schema_evolution": cdc_schema_evolution,
