@@ -29,6 +29,45 @@ from .schema import conform
 from .table import LakeTable, Manifest
 
 
+# operations whose commits are logical no-ops by construction: their file
+# churn flags buckets in _changed_buckets, but the live state there is
+# byte-identical — a span walk can exclude them outright (the same set the
+# replica walk uses, lake/replicate._MAINTENANCE_OPS)
+MAINTENANCE_OPS = frozenset({"compact", "rescale", "cluster"})
+
+
+def span_data_buckets(
+    table: LakeTable, m_from: Manifest, m_to: Manifest, max_walk: int = 64
+) -> set[int] | None:
+    """Buckets changed by DATA commits in ``(from, to]`` — maintenance-only
+    churn excluded — or None when the cheap answer is unavailable (span too
+    long to walk manifests, an interior manifest expired, or a rescale inside
+    the span: bucket numbering changed mid-walk).
+
+    Why this exists: a compaction / rescale / z-order rewrite inside a span
+    touches EVERY bucket's file list, so the endpoint ``_changed_buckets``
+    degrades to O(table) for a logically empty step. Excluding maintenance
+    steps is sound because their live state is identical on both sides —
+    any bucket they alone touched contributes only rows that cancel (sum
+    consumers) or classify as noop (join consumers). A bucket a DATA step
+    touched is always included, so no real change is ever missed."""
+    if m_to.version - m_from.version > max_walk:
+        return None
+    out: set[int] = set()
+    try:
+        prev = m_from
+        for v in range(m_from.version + 1, m_to.version + 1):
+            cur = table.manifest(v)
+            if cur.num_buckets != prev.num_buckets:
+                return None  # rescale inside the span: ids not comparable
+            if (cur.summary or {}).get("operation") not in MAINTENANCE_OPS:
+                out |= _changed_buckets(prev, cur)
+            prev = cur
+    except OSError:
+        return None  # interior manifest expired; endpoint diff still works
+    return out
+
+
 def _changed_buckets(m_from: Manifest, m_to: Manifest) -> set[int]:
     """Buckets whose file set differs between the two manifests."""
 
@@ -101,7 +140,13 @@ def live_pair(
 
     m_from = table.manifest(from_version)
     m_to = table.manifest(to_version)
-    buckets = _changed_buckets(m_from, m_to)
+    # maintenance-aware span walk first: a compact/rescale/cluster commit
+    # inside the span would flag every bucket at the endpoints for a
+    # logically empty step (O(table) reads); fall back to the endpoint diff
+    # when the walk can't answer cheaply
+    buckets = span_data_buckets(table, m_from, m_to)
+    if buckets is None:
+        buckets = _changed_buckets(m_from, m_to)
     # user-visible schema: the stored table schema minus hidden engine columns
     # (_lsn / _deleted) — a diff is a statement about logical rows
     visible = StructType(

@@ -20,8 +20,11 @@ classification: unchanged rows cancel in the ± sum, so the refresh plan is
 two changed-bucket scans feeding one partial aggregation — no join, and the
 only shuffle is the O(groups × partitions) combine (see ``_delta_span``).
 
-Maintenance commits on the base (compaction, bucket rescale) produce an empty
-logical diff — the refresh walks through them as no-ops. A base ROLLBACK is
+Maintenance commits on the base (compaction, bucket rescale, z-order
+cluster) produce an empty logical diff — and cost nothing to walk through:
+``live_pair``'s maintenance-aware span walk (diff.span_data_buckets)
+excludes their all-bucket file churn outright, so a span containing one
+reads ZERO buckets instead of the whole table. A base ROLLBACK is
 forward-history (it commits a NEW version restoring the old state), so the
 view heals through it as an ordinary diff — no special case. For a view
 created late over a base with a long history, ``full_refresh()`` bootstraps

@@ -144,3 +144,51 @@ def test_diff_across_schema_evolution(spark, tmp_path):
     rows = {r["doc_id"]: r for r in snapshot_diff(spark, t, v1, v2).collect()}
     assert rows["a"]["change_type"] == "update"
     assert rows["a"]["lang"] == "en"
+
+
+def test_span_walk_excludes_maintenance_churn(spark, tmp_path):
+    """A compact/cluster/rescale commit inside a span flags every bucket at
+    the endpoints; the maintenance-aware walk (span_data_buckets) must keep
+    only the DATA commits' buckets — and live_pair over a maintenance-only
+    span must read zero buckets (empty frames), not the whole table."""
+    from concepts_pipeline_spark.lake.cluster import cluster_by
+    from concepts_pipeline_spark.lake.diff import live_pair, span_data_buckets
+    from concepts_pipeline_spark.lake.merge import compact
+
+    t = LakeTable.create(str(tmp_path / "t"), SCHEMA, ["doc_id"], num_buckets=4)
+    t.overwrite(df_of(spark, [
+        (f"k{i}", [i], 1, "s") for i in range(40)
+    ]))
+    v0 = t.current_version()
+
+    # MoR batch -> compact -> cluster: two maintenance commits after one data
+    ev = spark.createDataFrame(
+        [("k1", [9, 9], 2, "s", "U", 10)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "op string, lsn long",
+    )
+    merge_into(spark, t, ev, fence_token="d1", lsn_col="lsn", strategy="mor")
+    v_data = t.current_version()
+    compact(spark, t, 0)
+    cluster_by(spark, t, ["n_tok"], bits=3, files_per_bucket=2)
+    v_maint = t.current_version()
+    assert v_maint == v_data + 2
+
+    m = t.manifest
+    # maintenance-only span: zero data buckets, empty live_pair frames
+    assert span_data_buckets(t, m(v_data), m(v_maint)) == set()
+    old, new = live_pair(spark, t, v_data, v_maint)
+    assert old.count() == 0 and new.count() == 0
+    # endpoint diff alone would have flagged every bucket (the cluster
+    # rewrote all files)
+    assert len(_changed_buckets(m(v_data), m(v_maint))) == 4
+
+    # mixed span: exactly the data commit's buckets survive the walk
+    got = span_data_buckets(t, m(v0), m(v_maint))
+    assert got == _changed_buckets(m(v0), m(v_data))
+    assert len(got) < 4
+
+    # the classified diff across the maintenance span is still exact
+    assert changes(spark, t, v0, v_maint) == {
+        "k1": ("update", [9, 9], 2, "s"),
+    }
