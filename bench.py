@@ -273,7 +273,9 @@ def main():
             n_events / timings["cdc_wap_replay_1batch"], 1
         ),
         "ann_recall": measured_ann_recall(spark, SF_DIR),
-        "notes": "BASELINE.md: 359k ev/s @8 pinned cores, eff 0.870; WAP 0.830",
+        "notes": "BASELINE.md: 272.3k ev/s @8 pinned cores (19.4M-event MoR"
+                 " replay), eff 0.892 CPU-conserved; WAP 0.830; cluster_by"
+                 " eff 0.796 @1.87M rows",
     }
     # row counts are a regression aid, not driver contract — keep them OFF
     # stdout so the final JSON line stays small enough for the driver's
