@@ -448,6 +448,57 @@ def cmd_lookup(args) -> dict:
             "missing": sorted(set(args.key) - hits), "rows": rows}
 
 
+def cmd_scan(args) -> dict:
+    """Pruned predicate read: each --where is col:lo[:hi] (hi defaults to lo);
+    numeric bounds are auto-coerced when the column is numeric. --dry-run
+    reports the manifest pruning decision without reading any data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import NumericType
+
+    from .lake import LakeTable
+    from .lake.merge import HIDDEN_DELETED, HIDDEN_LSN
+
+    spark = _spark("cps-scan")
+    t = LakeTable(args.table)
+    m = t.manifest(args.version)
+    types = {f.name: f.dataType for f in m.schema.fields}
+    preds = []
+    for w in args.where:
+        parts = w.split(":")
+        if len(parts) == 2:
+            col, lo, hi = parts[0], parts[1], parts[1]
+        elif len(parts) == 3:
+            col, lo, hi = parts
+        else:
+            raise SystemExit(f"--where must be col:lo[:hi], got {w!r}")
+        if col not in types:
+            raise SystemExit(f"unknown column {col!r}")
+        if isinstance(types[col], NumericType):
+            lo, hi = float(lo), float(hi)
+            if lo.is_integer() and hi.is_integer():
+                lo, hi = int(lo), int(hi)
+        preds.append((col, lo, hi))
+    kept = t.files_where_all(m, preds)
+    out = {
+        "version": m.version,
+        "predicates": [list(p) for p in preds],
+        "files_total": len(m.files),
+        "files_kept": len(kept),
+        "files_pruned": len(m.files) - len(kept),
+        "rows_in_kept_files": sum(f.rows for f in kept),
+    }
+    if args.dry_run:
+        return out
+    df = t.read_where_all(spark, preds, version=args.version)
+    if HIDDEN_DELETED in df.columns:
+        df = df.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+        df = df.drop(HIDDEN_LSN, HIDDEN_DELETED)
+    rows = [r.asDict() for r in df.limit(args.limit).collect()]
+    out["returned"] = len(rows)
+    out["rows"] = rows
+    return out
+
+
 def cmd_index_refresh(args) -> dict:
     from .lake import LakeTable
     from .lake.index import TokenIndex
@@ -684,6 +735,20 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--key", nargs="+", required=True)
     g.add_argument("--version", type=int, default=None)
     g.set_defaults(fn=cmd_lookup)
+
+    g = sub.add_parser(
+        "scan",
+        help="pruned predicate read: AND of --where col:lo[:hi] ranges, "
+             "answered with multi-column manifest file skipping "
+             "(stats + z-order); --dry-run reports the pruning decision only",
+    )
+    g.add_argument("--table", required=True)
+    g.add_argument("--where", nargs="+", required=True,
+                   help="col:lo[:hi] (repeatable; AND semantics)")
+    g.add_argument("--version", type=int, default=None)
+    g.add_argument("--limit", type=int, default=100)
+    g.add_argument("--dry-run", action="store_true")
+    g.set_defaults(fn=cmd_scan)
 
     g = sub.add_parser(
         "index-refresh",

@@ -130,6 +130,18 @@ def test_cli_cluster(spark, tmp_path, capsys):
     live = t.read(spark).filter(~F.col("_deleted")).count()
     assert live == before
 
+    # pruned predicate scan over the clustered layout: dry-run reports the
+    # file cut, the real read returns only matching live rows
+    dry = run(capsys, [
+        "scan", "--table", target, "--where", "source:click", "--dry-run",
+    ])
+    assert 0 < dry["files_kept"] < dry["files_total"]
+    out = run(capsys, [
+        "scan", "--table", target, "--where", "source:click",
+    ])
+    assert out["returned"] == len(out["rows"]) > 0
+    assert all(r["source"] == "click" for r in out["rows"])
+
 
 def test_cli_rollback_and_stats(spark, tmp_path, capsys):
     import json
