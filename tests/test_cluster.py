@@ -167,6 +167,48 @@ def test_cluster_layout_maintained_across_rewrites(spark, tmp_path):
     assert got == want
 
 
+def test_cluster_on_branch_publishes_like_wap(spark, tmp_path):
+    """Maintenance can be staged like data: cluster_by on a WAP branch leaves
+    main untouched (and unprunable) until publish fast-forwards it to the
+    clustered layout — layout changes get the same audit window as writes."""
+    t, df = _grid_table(spark, tmp_path, "g", rows=512, buckets=2)
+    before = {tuple(r) for r in t.read(spark).collect()}
+    v0 = t.current_version()
+
+    b = t.create_branch("maint")
+    r = cluster_by(spark, b, ["x", "y"], bits=4, files_per_bucket=2)
+    assert r["files"] > 0
+
+    # main: untouched, no stats, nothing prunable
+    m_main = t.manifest()
+    assert t.current_version() == v0
+    assert m_main.summary.get("operation") != "cluster"
+    preds = [("x", 4, 11), ("y", 4, 11)]
+    assert len(t.files_where_all(m_main, preds)) == len(m_main.files)
+    # branch: clustered and prunable
+    m_b = b.manifest()
+    assert m_b.summary["operation"] == "cluster"
+    kept = b.files_where_all(m_b, preds)
+    assert 0 < len(kept) < len(m_b.files)
+
+    t.publish_branch("maint")
+    m2 = t.manifest()
+    assert m2.summary["operation"] == "publish"  # fast-forward commit
+    assert m2.properties["clustered_by"] == ["x", "y"]  # layout carried
+    assert 0 < len(t.files_where_all(m2, preds)) < len(m2.files)
+    assert {tuple(r) for r in t.read(spark).collect()} == before
+
+
+def test_cluster_rejects_overflowing_bit_budget(spark, tmp_path):
+    """bits x dims past a signed long would WRAP in the Java shift, not
+    throw — the API must refuse up front."""
+    import pytest
+
+    t, _ = _grid_table(spark, tmp_path, "g", rows=64, buckets=2)
+    with pytest.raises(ValueError, match="63"):
+        cluster_by(spark, t, ["x", "y"], bits=32)
+
+
 def test_cluster_grid_guard_after_dropping_a_clustered_dim(spark, tmp_path):
     """DDL that removes a clustered dimension leaves a stale boundary grid in
     the properties; the write path must skip the maintained z-sort (not crash
