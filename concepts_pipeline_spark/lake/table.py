@@ -529,8 +529,10 @@ class LakeTable:
         # row groups inside the rewritten file. Local sort only, no shuffle.
         # Skipped if DDL dropped/renamed a clustered dim (stale grid).
         zcols = (m.properties or {}).get("clustered_by")
-        zbounds = (m.properties or {}).get("cluster_bounds")
-        if zcols and zbounds and all(c in out.columns for c in zcols):
+        zbounds = (m.properties or {}).get("cluster_bounds") or {}
+        if zcols and zbounds and all(
+            c in out.columns and c in zbounds for c in zcols
+        ):
             from .cluster import _cell_expr, _z_expr
 
             zbits = int((m.properties or {}).get("cluster_bits") or 8)
@@ -933,22 +935,37 @@ class LakeTable:
         m = self.manifest(version)
         hi = lo if hi is None else hi
         files = self.files_where(m, col, lo, hi)
-        df = self._resolved_if_mor(self._read_files(spark, m, files), m)
+        df = self._read_files_resolved(spark, m, files)
         return df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
 
-    def _resolved_if_mor(self, df: DataFrame, m: Manifest) -> DataFrame:
-        """LWW-fold base∪delta to one row per key when the manifest carries
-        merge-on-read deltas — value predicates are only sound against the
-        NEWEST version of each key. No-op on pure-base manifests and tables
-        without the hidden CDC columns."""
+    def _read_files_resolved(
+        self, spark: SparkSession, m: Manifest, files: list[DataFileEntry]
+    ) -> DataFrame:
+        """Read a file subset with MoR resolution where (and ONLY where) it
+        is needed: buckets carrying deltas LWW-fold base∪delta by hidden LSN
+        — value predicates are only sound against the NEWEST version of each
+        key — while clean buckets pass through without touching the
+        aggregation (the read_merged split, applied to a pruned subset).
+        No-op on pure-base subsets and tables without the hidden columns."""
         from ..operators.lww import lww_latest
         from .merge import HIDDEN_LSN
 
-        if HIDDEN_LSN not in df.columns:
-            return df
-        if all(f.kind == "base" for f in m.files):
-            return df
-        return lww_latest(df, m.key_cols, lsn_col=HIDDEN_LSN, op_col=None)
+        dirty_buckets = {f.bucket for f in files if f.kind != "base"}
+        if not dirty_buckets or HIDDEN_LSN not in {
+            f.name for f in m.schema.fields
+        }:
+            return self._read_files(spark, m, files)
+        clean = [f for f in files if f.bucket not in dirty_buckets]
+        dirty = [f for f in files if f.bucket in dirty_buckets]
+        resolved = lww_latest(
+            self._read_files(spark, m, dirty),
+            m.key_cols,
+            lsn_col=HIDDEN_LSN,
+            op_col=None,
+        )
+        if not clean:
+            return resolved
+        return self._read_files(spark, m, clean).unionByName(resolved)
 
     def read_where_all(
         self,
@@ -963,7 +980,7 @@ class LakeTable:
         are LWW-resolved before the filter (see read_where)."""
         m = self.manifest(version)
         files = self.files_where_all(m, preds)
-        df = self._resolved_if_mor(self._read_files(spark, m, files), m)
+        df = self._read_files_resolved(spark, m, files)
         for col, lo, hi in preds:
             df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
         return df
