@@ -1027,6 +1027,51 @@ class LakeTable:
             prev_files, prev_rows = n_files, n_rows
         return out
 
+    def files_df(self, spark: SparkSession, version: int | None = None
+                 ) -> DataFrame:
+        """The snapshot's file inventory as a queryable DataFrame (Iceberg's
+        ``table.files`` metadata table): one row per data file with bucket,
+        kind, row counts, key range, and per-column stats serialized to JSON.
+        Built from the driver-resident manifest — no data I/O; distributed so
+        a 10^6-file inventory is analyzed with ordinary DataFrame ops, not a
+        driver loop."""
+        import json as _json
+
+        m = self.manifest(version)
+        rows = [
+            (
+                f.path, f.bucket, f.kind, f.rows, f.live_rows, f.schema_id,
+                None if f.min_key is None else str(f.min_key),
+                None if f.max_key is None else str(f.max_key),
+                _json.dumps(f.col_stats) if f.col_stats else None,
+            )
+            for f in m.files
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, bucket int, kind string, rows long, "
+            "live_rows long, schema_id int, min_key string, max_key string, "
+            "col_stats string",
+        )
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """The snapshot log as a queryable DataFrame (Iceberg's
+        ``table.snapshots`` / DESCRIBE HISTORY): one row per committed
+        version, from manifest headers only."""
+        return spark.createDataFrame(
+            [
+                (
+                    h["version"], h["committed_at_ms"], h["operation"],
+                    h["files"], h["rows"], h["files_delta"], h["rows_delta"],
+                    h["fence_tokens"],
+                )
+                for h in self.history()
+            ],
+            "version int, committed_at_ms long, operation string, "
+            "files int, rows long, files_delta int, rows_delta long, "
+            "fence_tokens int",
+        )
+
     # ---------- tags (named immutable snapshots) ----------
     #
     # A tag hardlinks one manifest to _tags/<name>.json: a frozen, named

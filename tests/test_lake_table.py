@@ -418,3 +418,30 @@ def test_read_where_mor_deltas_never_value_pruned(spark, tmp_path):
         .collect()
     }
     assert conj == {"b"}
+
+
+def test_metadata_dataframes(spark, tmp_path):
+    """files_df / snapshots_df: the manifest as queryable DataFrames (the
+    Iceberg metadata-table affordance) — counts agree with the manifest, no
+    data I/O needed, usable with ordinary aggregations."""
+    t = LakeTable.create(str(tmp_path / "t"), TOKENS_SCHEMA, ["doc_id"],
+                         num_buckets=4, properties={"stat_cols": ["source"]})
+    t.append(make_rows(spark, n=100, tag=0))
+    t.append(make_rows(spark, n=50, tag=1))
+    m = t.manifest()
+
+    fdf = t.files_df(spark)
+    assert fdf.count() == len(m.files)
+    per_kind = {r["kind"]: r["n"] for r in
+                fdf.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    assert per_kind == {"base": len(m.files)}
+    assert fdf.agg(F.sum("rows")).first()[0] == sum(f.rows for f in m.files)
+    assert fdf.filter(F.col("col_stats").isNotNull()).count() == len(m.files)
+
+    sdf = t.snapshots_df(spark)
+    vers = [r["version"] for r in sdf.orderBy("version").collect()]
+    assert vers == [h["version"] for h in t.history()]
+    assert sdf.filter(F.col("operation") == "append").count() == 2
+
+    # an older snapshot's inventory is still addressable
+    assert t.files_df(spark, version=vers[-2]).count() < len(m.files)
