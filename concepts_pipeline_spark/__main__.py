@@ -474,9 +474,11 @@ def cmd_scan(args) -> dict:
         if col not in types:
             raise SystemExit(f"unknown column {col!r}")
         if isinstance(types[col], NumericType):
-            lo, hi = float(lo), float(hi)
-            if lo.is_integer() and hi.is_integer():
+            # int first: float round-trip silently loses precision past 2^53
+            try:
                 lo, hi = int(lo), int(hi)
+            except ValueError:
+                lo, hi = float(lo), float(hi)
         preds.append((col, lo, hi))
     kept = t.files_where_all(m, preds)
     out = {
@@ -489,7 +491,9 @@ def cmd_scan(args) -> dict:
     }
     if args.dry_run:
         return out
-    df = t.read_where_all(spark, preds, version=args.version)
+    # pin the read to the SAME snapshot the pruning stats were computed on —
+    # a concurrent commit must not make the report and the rows diverge
+    df = t.read_where_all(spark, preds, version=m.version)
     if HIDDEN_DELETED in df.columns:
         df = df.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
         df = df.drop(HIDDEN_LSN, HIDDEN_DELETED)

@@ -138,7 +138,10 @@ def zorder_layout(
         df.withColumn("__cz", z)
         .withColumn("__cb", bucket_expr(key_cols, num_buckets))
         .repartitionByRange(n_parts, F.col("__cb"), F.col("__cz"))
-        .sortWithinPartitions("__cb", "__cz")
+        # key tiebreak matches the maintained write-side sort
+        # (table.write_data_files): key locality inside each z-cell keeps
+        # point-lookup row-group skipping useful on clustered tables
+        .sortWithinPartitions("__cb", "__cz", *key_cols)
         .drop("__cz", "__cb")
     )
 
@@ -170,6 +173,13 @@ def cluster_by(
 
     if not cols:
         raise ValueError("cluster_by needs at least one column")
+    if bits * len(cols) > 63:
+        # Java shift semantics wrap silently past 63 — the interleave would
+        # corrupt high cells, not throw
+        raise ValueError(
+            f"bits ({bits}) x dims ({len(cols)}) must fit a signed long "
+            "(<= 63 interleaved bits)"
+        )
     attempt = 0
     while True:
         m = table.manifest()
@@ -181,27 +191,41 @@ def cluster_by(
         df = table._read_files(spark, m, m.files)
         if HIDDEN_LSN in df.columns:
             df = lww_latest(df, m.key_cols, lsn_col=HIDDEN_LSN, op_col=None)
-        n_cells = 1 << bits
-        bounds = {c: _boundaries(df, c, n_cells, sample_limit) for c in cols}
-        out = zorder_layout(
-            df, m.key_cols, m.num_buckets, bounds, bits, files_per_bucket
-        )
+        # ONE resolved scan feeds every boundary job AND the rewrite — the
+        # read + LWW fold is the dominant cost on a big MoR table, and
+        # without the persist it would re-execute len(cols)+1 times
+        df = df.persist()
+        try:
+            n_cells = 1 << bits
+            bounds = {
+                c: _boundaries(df, c, n_cells, sample_limit) for c in cols
+            }
+            out = zorder_layout(
+                df, m.key_cols, m.num_buckets, bounds, bits, files_per_bucket
+            )
 
-        props = dict(m.properties or {})
-        props["stat_cols"] = sorted(set(props.get("stat_cols") or []) | set(cols))
-        props["clustered_by"] = list(cols)
-        # persist the boundary grid so FUTURE writes can maintain the layout:
-        # write_data_files z-sorts rewritten buckets with these bounds, keeping
-        # parquet row-group stats tight on the clustered dims between rewrites
-        # (file-level order decays to bucket granularity under CoW; row-group
-        # skipping inside the rewritten file is what survives)
-        props["cluster_bounds"] = {c: bounds[c] for c in cols}
-        props["cluster_bits"] = bits
-        staged_m = replace(m, properties=props)  # stat phase sees new stat_cols
-        sid = table._current_schema_id(m)
-        new_files = table.write_data_files(
-            out, staged_m, sid, repartition=False, kind="base"
-        )
+            props = dict(m.properties or {})
+            props["stat_cols"] = sorted(
+                set(props.get("stat_cols") or []) | set(cols)
+            )
+            props["clustered_by"] = list(cols)
+            # persist the boundary grid so FUTURE writes can maintain the
+            # layout: write_data_files z-sorts rewritten buckets with these
+            # bounds, keeping parquet row-group stats tight on the clustered
+            # dims between rewrites (file-level order decays to bucket
+            # granularity under CoW; row-group skipping inside the rewritten
+            # file is what survives)
+            props["cluster_bounds"] = {c: bounds[c] for c in cols}
+            props["cluster_bits"] = bits
+            # stat phase sees new stat_cols
+            staged_m = replace(m, properties=props)
+            sid = table._current_schema_id(m)
+            new_files = table.write_data_files(
+                out, staged_m, sid, repartition=False, kind="base",
+                presorted=True,  # zorder_layout already laid the data out
+            )
+        finally:
+            df.unpersist()
         try:
             committed = table.commit(
                 m,

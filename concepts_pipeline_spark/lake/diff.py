@@ -24,7 +24,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .merge import HIDDEN_DELETED, HIDDEN_LSN
+from .merge import HIDDEN_DELETED
 from .schema import conform
 from .table import LakeTable, Manifest
 
@@ -51,7 +51,10 @@ def span_data_buckets(
     any bucket they alone touched contributes only rows that cancel (sum
     consumers) or classify as noop (join consumers). A bucket a DATA step
     touched is always included, so no real change is ever missed."""
-    if m_to.version - m_from.version > max_walk:
+    if not 0 < m_to.version - m_from.version <= max_walk:
+        # reversed/empty spans must fall back to the (symmetric) endpoint
+        # diff — an empty walk would report zero changes for a real inverse
+        # span
         return None
     out: set[int] = set()
     try:
@@ -88,8 +91,6 @@ def read_live(
     stripped) for a bucket subset of snapshot ``m`` — the shared "current
     logical rows" reader used by snapshot_diff, predicate DML (lake/mutate),
     and view recompute (lake/view)."""
-    from ..operators.lww import lww_latest
-
     files = [f for f in m.files if f.bucket in buckets]
     if not files:
         from pyspark.sql.types import StructType
@@ -102,22 +103,11 @@ def read_live(
                 [f for f in m.schema.fields if not f.name.startswith("_")]
             ),
         )
-    delta_buckets = {f.bucket for f in files if f.kind == "delta"}
-    clean = [f for f in files if f.bucket not in delta_buckets]
-    dirty = [f for f in files if f.bucket in delta_buckets]
-    parts = []
-    if clean:
-        parts.append(table._read_files(spark, m, clean))
-    if dirty:
-        parts.append(
-            lww_latest(
-                table._read_files(spark, m, dirty),
-                m.key_cols,
-                lsn_col=HIDDEN_LSN,
-                op_col=None,
-            )
-        )
-    df = reduce(lambda x, y: x.unionByName(y), parts)
+    # ONE resolution helper for the whole engine: the clean/dirty bucket
+    # split + LWW fold lives in LakeTable._read_files_resolved (shared with
+    # read_where/read_where_all) so the two paths can never drift on what
+    # counts as a dirty bucket
+    df = table._read_files_resolved(spark, m, files)
     if HIDDEN_DELETED in df.columns:
         df = df.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
     drop = [c for c in df.columns if c.startswith("_")]

@@ -159,8 +159,10 @@ class Replica:
     # maintenance operations are logical no-ops by construction: their file
     # churn flags buckets in _changed_buckets, but the diff there is empty —
     # counting them would turn every primary compaction into a pure-carry
-    # rewrite of the corresponding replica buckets
-    _MAINTENANCE_OPS = frozenset({"compact", "rescale", "cluster"})
+    # rewrite of the corresponding replica buckets. ONE definition for the
+    # whole engine (diff.span_data_buckets uses the same set): a new
+    # maintenance op added in one place is maintenance everywhere.
+    from .diff import MAINTENANCE_OPS as _MAINTENANCE_OPS
 
     def _touched_replica_buckets(
         self, from_version: int, to_version: int, rnb: int

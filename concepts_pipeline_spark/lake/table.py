@@ -475,6 +475,7 @@ class LakeTable:
         repartition: bool = True,
         kind: str = "base",
         metric_cols: list[str] | None = None,
+        presorted: bool = False,
     ):
         """Write df as bucketed immutable parquet files under data/; return entries.
 
@@ -519,15 +520,16 @@ class LakeTable:
         # by default: the ingest path's throughput headline should not pay a
         # write-side sort it doesn't need; lookup-heavy derived tables (the
         # posting index) turn it on at create time.
-        if (m.properties or {}).get("sort_on_write"):
-            out = out.sortWithinPartitions("__bucket", *m.key_cols)
         # z-clustered tables (lake/cluster.cluster_by) keep their layout across
         # rewrites: CoW merges fold a whole bucket into one file, so FILE-level
         # z-ranges decay to bucket granularity — but z-sorting the rewrite with
         # the boundary grid persisted at cluster time keeps parquet ROW-GROUP
         # min/max tight on the clustered dims, and pushed-down predicates skip
         # row groups inside the rewritten file. Local sort only, no shuffle.
-        # Skipped if DDL dropped/renamed a clustered dim (stale grid).
+        # Skipped if DDL dropped/renamed a clustered dim (stale grid), or when
+        # the caller already laid the data out (cluster_by's own rewrite —
+        # ``presorted`` avoids a redundant second full sort).
+        zsort = None
         zcols = (m.properties or {}).get("clustered_by")
         zbounds = (m.properties or {}).get("cluster_bounds") or {}
         if zcols and zbounds and all(
@@ -536,8 +538,17 @@ class LakeTable:
             from .cluster import _cell_expr, _z_expr
 
             zbits = int((m.properties or {}).get("cluster_bits") or 8)
-            z = _z_expr([_cell_expr(c, zbounds[c]) for c in zcols], zbits)
-            out = out.sortWithinPartitions("__bucket", z)
+            zsort = _z_expr([_cell_expr(c, zbounds[c]) for c in zcols], zbits)
+        if presorted:
+            pass  # layout established upstream; do not re-sort
+        elif zsort is not None:
+            # z-primary with key tiebreak: sorting by z alone would silently
+            # DISCARD a sort_on_write table's key clustering — the tiebreak
+            # keeps key locality inside each z-cell so point-lookup row-group
+            # skipping degrades gracefully instead of vanishing
+            out = out.sortWithinPartitions("__bucket", zsort, *m.key_cols)
+        elif (m.properties or {}).get("sort_on_write"):
+            out = out.sortWithinPartitions("__bucket", *m.key_cols)
         writer = out.write.partitionBy("__bucket").mode("overwrite")
         # Opt-in parquet bloom filter on the key column (table property
         # "bloom_ndv"): at 100 TB the per-file [min_key, max_key] range stats
