@@ -31,6 +31,7 @@ from concepts_pipeline_spark.cdc.derive import (
     FINAL_STATE_SQL,
     LOG_CTE_SQL,
     REASON_SQL,
+    SPARSE_FINAL_STATE_SQL,
     derived_change_log,
 )
 from concepts_pipeline_spark.operators.dedup import (
@@ -229,6 +230,41 @@ def cdc_replay_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolves base∪delta by hidden LSN. Must equal the SAME FINAL_STATE_SQL
     oracle as copy-on-write — one declarative spec, two physical strategies."""
     pipe = _replayed_pipe(spark, sf_dir, "mor-replay", strategy="mor")
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
+def cdc_partial_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-level CDC replay: sparse after-images (each event sets only the
+    columns it changed, NULL = "no statement") applied in four maximally
+    out-of-order batches under ``update_mode='partial'``. Each payload column
+    is an independent LWW register versioned by the LSN of the event that last
+    set it (hidden ``_colv`` version vector), with one persisted delete
+    barrier (``_dlsn``) — a row-level LSN gate would both drop late-arriving
+    assignments to never-again-set columns and let redelivered old assignments
+    overwrite newer ones. Must equal the declarative whole-log per-column
+    arg_max spec (cdc.derive.SPARSE_FINAL_STATE_SQL) regardless of batch
+    split or arrival order.
+
+    No reference analogue (the ES sink only does whole-doc or scripted-append
+    upserts); this is Debezium-style column-level capture as a first-class
+    apply mode."""
+    from concepts_pipeline_spark.cdc.derive import derived_sparse_change_log
+
+    log = derived_sparse_change_log(spark, sf_dir)
+    root = _scratch_dir("cps-partialcol-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        quarantine_path=f"{root}/quarantine",
+        lineage_path=f"{root}/lineage",
+        num_buckets=16,
+        update_mode="partial",
+    )
+    for b in range(4):
+        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
+        pipe.apply_batch(batch, fence_token=f"partial:{b}")
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
@@ -2257,6 +2293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mor": cdc_replay_mor,
         "cdc_wap_publish": cdc_wap_publish,
         "cdc_replay_debezium": cdc_replay_debezium,
+        # column-level CDC (sparse after-images, per-column LWW registers) is
+        # new this session — it takes a first-50 slot; cdc_snapshot_diff
+        # (driver-green r4) rotates past 50 to pay for it
+        "cdc_partial_columns": cdc_partial_columns,
         "cdc_stream_final_state": cdc_stream_final_state,
         # z-order clustering is new this round — it takes the first-50 slot
         # of the long-stable cdc_bootstrap_handoff (r4 driver green, same
@@ -2268,7 +2308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_pruned_scan": cdc_mor_pruned_scan,
         "cdc_lww_latest": cdc_lww_latest,
         "cdc_quarantine_counts": cdc_quarantine_counts,
-        "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_token_index": cdc_token_index,
         "cdc_index_search": cdc_index_search,
         # IDF-ranked index search is new this round — it takes the first-50
@@ -2291,6 +2330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The dedup quartet rotates out this round to pay for the two new
         # lake-soundness queries (clustered/mor-pruned scans); all four have
         # fresh r4 driver rows and stay oracle-checked locally. ---
+        # rotated past 50 this session for cdc_partial_columns (driver-green
+        # r4; the diff surface stays pytest- and locally-oracle-covered)
+        "cdc_snapshot_diff": cdc_snapshot_diff,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh,
         "dedup_survivors_lsh": q_dedup_survivors_lsh,
@@ -2450,6 +2492,12 @@ SELECT doc_id, CAST(to_json(tokens) AS VARCHAR) AS tokens, n_tok, source
 FROM ({FINAL_STATE_SQL})
 """
 
+# same gate-surface form for the COLUMN-level (sparse after-image) spec
+SPARSE_FINAL_STATE_JSON_SQL = f"""
+SELECT doc_id, CAST(to_json(tokens) AS VARCHAR) AS tokens, n_tok, source
+FROM ({SPARSE_FINAL_STATE_SQL})
+"""
+
 
 def _hash_split_case_sql(
     splits: dict[str, float] | None = None, salt: str = "split-v1"
@@ -2478,6 +2526,7 @@ def _oracle_sql_base() -> dict[str, str]:
     return {
         "cdc_replay_final_state": FINAL_STATE_JSON_SQL,
         "cdc_replay_mor": FINAL_STATE_JSON_SQL,
+        "cdc_partial_columns": SPARSE_FINAL_STATE_JSON_SQL,
         # WAP: staged-audited-published replay equals the direct-replay spec;
         # the audit-rejected poison batch is asserted inside the query
         "cdc_wap_publish": FINAL_STATE_JSON_SQL,

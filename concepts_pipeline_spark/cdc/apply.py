@@ -34,8 +34,8 @@ from pyspark.sql.types import (
 )
 
 from ..lake import LakeTable, merge_into, MergeStats
-from ..lake.merge import HIDDEN_DELETED, HIDDEN_LSN
-from ..operators.lww import lww_latest
+from ..lake.merge import ALL_HIDDEN, HIDDEN_COLV, HIDDEN_DELETED, HIDDEN_DLSN, HIDDEN_LSN
+from ..operators.lww import lww_fold_partial, lww_latest
 from .generator import VOCAB_SIZE
 
 LINEAGE_SCHEMA = StructType(
@@ -65,21 +65,41 @@ def valid_event_expr(
     n_tok_col: str | None = "n_tok",
     delete_op: str = "D",
     vocab_size: int = VOCAB_SIZE,
+    partial: bool = False,
 ) -> F.Column:
     """Reject reason per event, NULL when valid. Pure column expressions (JVM-side,
     whole-stage-codegen'd) — the fast path. ``n_tok_col=None`` skips the
     count-consistency check (a feed that does not carry the count column —
-    e.g. after a RENAME COLUMN — cannot be held to it)."""
+    e.g. after a RENAME COLUMN — cannot be held to it).
+
+    ``partial=True`` validates COLUMN-level change events (sparse after-images,
+    update_mode='partial'): a NULL payload column means "no statement", so
+    NULL tokens are valid — but the tokens↔n_tok invariant must still be
+    enforceable, so the pair travels together: tokens present requires a
+    matching n_tok, and an orphan n_tok (count without the array it counts)
+    is rejected. Everything else (op set, vocab range, non-empty) is identical.
+    """
     op, toks = F.col(op_col), F.col(tokens_col)
     # op.isNull() is explicit: under SQL three-valued logic ~isin(...) is NULL
     # (not true) for a NULL op, which would let a NULL-op event with a populated
     # after-image slip past every branch and be applied as a live upsert.
-    expr = (
-        F.when(op.isNull() | ~op.isin("I", "U", delete_op), F.lit("unknown_op"))
-        .when(op == delete_op, F.lit(None).cast("string"))  # deletes carry no payload
-        .when(toks.isNull(), F.lit("null_tokens"))
-        .when(F.size(toks) == 0, F.lit("empty_tokens"))
-    )
+    expr = F.when(
+        op.isNull() | ~op.isin("I", "U", delete_op), F.lit("unknown_op")
+    ).when(op == delete_op, F.lit(None).cast("string"))  # deletes carry no payload
+    if partial:
+        if n_tok_col is not None:
+            # orphan count: n_tok set while tokens is "no statement" — the
+            # invariant n_tok == size(tokens) could not be checked now nor
+            # guaranteed later (the columns would carry different LSNs)
+            expr = expr.when(
+                toks.isNull() & F.col(n_tok_col).isNotNull(),
+                F.lit("n_tok_mismatch"),
+            )
+        # sparse upsert with no tokens statement: valid
+        expr = expr.when(toks.isNull(), F.lit(None).cast("string"))
+    else:
+        expr = expr.when(toks.isNull(), F.lit("null_tokens"))
+    expr = expr.when(F.size(toks) == 0, F.lit("empty_tokens"))
     if n_tok_col is not None:
         n = F.col(n_tok_col)
         expr = expr.when(
@@ -239,13 +259,25 @@ class CdcPipeline:
         self.user_schema = target_schema
         # physical schema adds the hidden CDC columns: last-applied LSN per key and
         # the tombstone flag (deletes persist so stale redeliveries stay dead)
-        physical = StructType(
-            list(target_schema.fields)
-            + [
-                StructField(HIDDEN_LSN, LongType(), True),
-                StructField(HIDDEN_DELETED, BooleanType(), True),
+        physical_fields = list(target_schema.fields) + [
+            StructField(HIDDEN_LSN, LongType(), True),
+            StructField(HIDDEN_DELETED, BooleanType(), True),
+        ]
+        if update_mode == "partial":
+            # column-level CDC: per-column version vector + persisted delete
+            # barrier (operators.lww.lww_fold_partial / merge 'partial' mode)
+            if strategy != "cow":
+                raise ValueError(
+                    "update_mode='partial' requires strategy='cow' — "
+                    "per-column resolution folds against the target state"
+                )
+            from pyspark.sql.types import MapType
+
+            physical_fields += [
+                StructField(HIDDEN_COLV, MapType(StringType(), LongType()), True),
+                StructField(HIDDEN_DLSN, LongType(), True),
             ]
-        )
+        physical = StructType(physical_fields)
         self.target = LakeTable.create(
             target_path, physical, key_cols, num_buckets, if_not_exists=True
         )
@@ -353,6 +385,7 @@ class CdcPipeline:
             valid_event_expr(
                 vocab_size=self.vocab_size,
                 n_tok_col="n_tok" if "n_tok" in batch.columns else None,
+                partial=self.update_mode == "partial",
             ),
         )
 
@@ -421,14 +454,32 @@ class CdcPipeline:
             rows_in = probe["rows_in"]
             touched_buckets = [int(b) for b in probe["buckets"]]
 
-        deduped = lww_latest(
-            valid,
-            self.key_cols,
-            lsn_col=self.lsn_col,
-            op_col=self.op_col,
-            salt_buckets=self.salt_buckets,
-        )
-        source = deduped.drop("event_ts")
+        if self.update_mode == "partial":
+            # column-level CDC: per-COLUMN LWW fold (sparse after-images);
+            # emits the _colv version vector + _dlsn barrier the merge needs.
+            # Same shape as lww_latest's agg path: one hash aggregation with
+            # map-side partial combine, no window.
+            deduped = lww_fold_partial(
+                valid.drop("event_ts") if "event_ts" in valid.columns else valid,
+                self.key_cols,
+                val_cols=[
+                    f.name
+                    for f in self.user_schema.fields
+                    if f.name not in self.key_cols
+                ],
+                lsn_col=self.lsn_col,
+                op_col=self.op_col,
+            )
+            source = deduped
+        else:
+            deduped = lww_latest(
+                valid,
+                self.key_cols,
+                lsn_col=self.lsn_col,
+                op_col=self.op_col,
+                salt_buckets=self.salt_buckets,
+            )
+            source = deduped.drop("event_ts")
         stats = merge_into(
             self.spark,
             self.target,
@@ -623,7 +674,7 @@ class CdcPipeline:
         live = df.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
         if include_hidden:
             return live
-        hidden = {HIDDEN_LSN, HIDDEN_DELETED}
+        hidden = set(ALL_HIDDEN)
         return live.select(*[c for c in live.columns if c not in hidden])
 
 

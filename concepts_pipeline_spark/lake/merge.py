@@ -44,6 +44,11 @@ BUCKET_COL = "__bucket"
 # hidden columns for LSN-aware CDC merges (see merge_into(lsn_col=...))
 HIDDEN_LSN = "_lsn"
 HIDDEN_DELETED = "_deleted"
+# hidden columns for COLUMN-level CDC merges (update_mode='partial'): the
+# per-column version vector and the persisted delete barrier
+HIDDEN_COLV = "_colv"
+HIDDEN_DLSN = "_dlsn"
+ALL_HIDDEN = (HIDDEN_LSN, HIDDEN_DELETED, HIDDEN_COLV, HIDDEN_DLSN)
 
 
 _MIN_LSN = -(2**63) + 1
@@ -340,7 +345,7 @@ def _merge_into_once(
     target_sub = conform(target_sub, new_schema)
 
     data_cols = [f.name for f in new_schema.fields]
-    hidden = {HIDDEN_LSN, HIDDEN_DELETED} if lsn_col is not None else set()
+    hidden = set(ALL_HIDDEN) if lsn_col is not None else set()
     val_cols = [c for c in data_cols if c not in key_cols and c not in hidden]
 
     t = target_sub.withColumn("__t", F.lit(True)).alias("t")
@@ -416,6 +421,22 @@ def _merge_into_once(
         }
     elif update_mode == "replace":
         new_val = {c: F.col(f"s.{c}") for c in val_cols}
+    elif update_mode == "partial":
+        # column-level CDC: handled entirely inside the lsn-gated assembly
+        # below (per-column version-vector resolution, not a whole-row win)
+        if lsn_col is None:
+            raise ValueError("update_mode='partial' requires lsn_col")
+        if sum_cols:
+            raise ValueError("sum_cols is not supported with update_mode='partial'")
+        for need in (HIDDEN_COLV, HIDDEN_DLSN):
+            if need not in data_cols:
+                raise ValueError(
+                    "update_mode='partial' requires the table to carry the "
+                    f"hidden {HIDDEN_COLV}/{HIDDEN_DLSN} columns (create it "
+                    "via CdcPipeline(update_mode='partial')) and the source "
+                    "to be pre-folded with operators.lww.lww_fold_partial"
+                )
+        new_val = {c: F.col(f"s.{c}") for c in val_cols}  # placeholder; unused
     else:
         raise ValueError(f"unknown update_mode {update_mode!r}")
     # sum-accumulate numeric columns on match (the painless script's generality
@@ -440,7 +461,92 @@ def _merge_into_once(
     ]
     field_types = {f.name: f.dataType for f in new_schema.fields}
 
-    if lsn_col is not None:
+    if lsn_col is not None and update_mode == "partial":
+        # -- column-level CDC resolution --------------------------------
+        # Each payload column is an independent LWW register versioned by
+        # the LSN of the event that last SET it (the per-column version
+        # vector in the hidden map `_colv`), with one shared delete barrier
+        # (`_dlsn`, the highest delete LSN ever observed for the key): a
+        # column assignment exists only if it is newer than every delete.
+        # This is what makes sparse-after-image apply correct under
+        # OUT-OF-ORDER batches — a row-level LSN gate would drop a late-
+        # arriving old assignment to a column no newer event ever set, and
+        # would let a redelivered old assignment overwrite a newer one.
+        NEG = F.lit(_MIN_LSN)
+        s_only = F.col("__s").isNotNull() & F.col("__t").isNull()
+        t_deleted = F.coalesce(F.col(f"t.{HIDDEN_DELETED}"), F.lit(False))
+        t_lsn_raw = F.col(f"t.{HIDDEN_LSN}")
+        s_lsn_raw = F.col(f"s.{HIDDEN_LSN}")
+        t_lsn = F.coalesce(t_lsn_raw, NEG)
+        s_lsn = F.coalesce(s_lsn_raw, NEG)
+        s_dlsn = F.coalesce(F.col(f"s.{HIDDEN_DLSN}"), NEG)
+        # the target's effective barrier: its persisted barrier, advanced to
+        # its row LSN while tombstoned (the tombstone IS a delete memory)
+        t_barrier = F.greatest(
+            F.coalesce(F.col(f"t.{HIDDEN_DLSN}"), NEG),
+            F.when(t_deleted, t_lsn).otherwise(NEG),
+        )
+        new_barrier = F.greatest(s_dlsn, t_barrier)
+        # row liveness: the newest surviving upsert vs the newest delete —
+        # LSNs are a total order per key, so strict compare decides
+        live_upsert = F.greatest(
+            F.when(F.col("__s").isNotNull() & ~is_delete, s_lsn).otherwise(NEG),
+            F.when(F.col("__t").isNotNull() & ~t_deleted, t_lsn).otherwise(NEG),
+        )
+        new_deleted = new_barrier > live_upsert
+
+        p_val: dict[str, F.Column] = {}
+        p_lsn: dict[str, F.Column] = {}
+        for c in val_cols:
+            tl = F.try_element_at(F.col(f"t.{HIDDEN_COLV}"), F.lit(c))
+            sl = F.try_element_at(F.col(f"s.{HIDDEN_COLV}"), F.lit(c))
+            valid_t = tl.isNotNull() & (tl > s_dlsn)
+            valid_s = sl.isNotNull() & (sl > t_barrier)
+            use_src = valid_s & (~valid_t | (sl > tl))
+            p_val[c] = F.when(use_src, F.col(f"s.{c}")).when(
+                valid_t, F.col(f"t.{c}")
+            )
+            p_lsn[c] = F.when(use_src, sl).when(valid_t, tl)
+
+        old_struct_p = F.struct(*[F.col(f"t.{c}").alias(c) for c in val_cols])
+        new_struct_p = F.struct(*[p_val[c].alias(c) for c in val_cols])
+        changed_p = ~old_struct_p.eqNullSafe(new_struct_p)
+
+        action = (
+            F.when(s_only & is_delete, F.lit("delete_missing"))
+            .when(s_only, F.lit("inserted"))
+            .when(is_matched & new_deleted & ~t_deleted, F.lit("deleted"))
+            .when(is_matched & new_deleted, F.lit("noop"))
+            .when(is_matched & (t_deleted | changed_p), F.lit("updated"))
+            .when(is_matched & (s_lsn > t_lsn), F.lit("noop"))
+            .when(is_matched, F.lit("stale"))
+            .otherwise(F.lit("carried"))
+        )
+        colv_entries = [
+            F.struct(F.lit(c).alias("key"), p_lsn[c].alias("value"))
+            for c in val_cols
+        ]
+        new_colv = F.map_from_entries(
+            F.filter(F.array(*colv_entries), lambda e: e["value"].isNotNull())
+        )
+        out_val = [
+            F.when(new_deleted, F.lit(None).cast(field_types[c]))
+            .otherwise(p_val[c])
+            .alias(c)
+            for c in val_cols
+        ] + [
+            F.greatest(t_lsn, s_lsn).alias(HIDDEN_LSN),
+            new_deleted.alias(HIDDEN_DELETED),
+            F.when(new_deleted, F.lit(None).cast(field_types[HIDDEN_COLV]))
+            .otherwise(new_colv)
+            .alias(HIDDEN_COLV),
+            F.when(new_barrier > NEG, new_barrier).alias(HIDDEN_DLSN),
+        ]
+        result = (
+            joined.select(*out_key, *out_val, action.alias(ACTION_COL))
+            .withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets))
+        )
+    elif lsn_col is not None:
         s_only = F.col("__s").isNotNull() & F.col("__t").isNull()
         t_deleted = F.coalesce(F.col(f"t.{HIDDEN_DELETED}"), F.lit(False))
         fresh = is_matched & (

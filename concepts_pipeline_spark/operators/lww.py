@@ -113,3 +113,102 @@ def lww_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# sentinel ordering floor for barrier comparisons: far below any real LSN but
+# safely away from LONG_MIN (greatest()/arithmetic must never overflow)
+_NEG_LSN = -(1 << 62)
+
+
+def lww_fold_partial(
+    df: DataFrame,
+    key_cols: list[str],
+    val_cols: list[str],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    delete_op: str = "D",
+    colv_col: str = "_colv",
+    dlsn_col: str = "_dlsn",
+) -> DataFrame:
+    """Per-COLUMN LWW fold of a sparse change batch (column-level CDC).
+
+    Whole-row LWW (``lww_latest``) assumes every event carries a full
+    after-image. Column-level change capture does not: an event sets only the
+    columns it changed and leaves the rest NULL ("no statement"). Folding such
+    a batch correctly means each column independently keeps the value from the
+    newest event that SET it — unless a later delete cleared the row.
+
+    One ``groupBy(key)`` hash aggregation (map-side partial combine, no window,
+    no Python) producing one row per key:
+
+    - each ``val_cols`` column: the value from the highest-LSN event that set
+      it AND is newer than the batch's last delete; NULL = no surviving
+      assignment in this batch
+    - ``colv_col``: ``map<column, lsn>`` recording the LSN of each surviving
+      assignment — the per-column version vector the merge needs to order
+      column writes across out-of-order batches
+    - ``dlsn_col``: the batch's highest delete LSN (NULL if none) — the delete
+      barrier, carried so the merge can clear target columns older than it
+    - ``lsn_col``: highest event LSN overall (the row version)
+    - ``op_col``: ``delete_op`` when the batch's net effect is a deleted row
+      (last delete outranks the last upsert), else ``'U'``
+
+    The barrier trick: within the batch, a column's winner is the max-LSN
+    non-NULL assignment; if that winner is older than the batch's last delete,
+    NO assignment survives (the winner is the newest, so every other candidate
+    is older still) — which lets delete-barrier filtering run AFTER a single
+    aggregation instead of needing a per-key pre-join on the delete LSN.
+
+    Same-LSN duplicates resolve deterministically with ``lww_latest``'s total
+    order (delete outranks upsert; residual full-row-hash tiebreak).
+    """
+    is_del = F.col(op_col) == F.lit(delete_op)
+    lsn = F.col(lsn_col).cast("long")
+    # residual tiebreak over the full row, as in lww_latest: equal-(lsn, op)
+    # duplicates with different payloads pick the SAME winner on every replay
+    rh = F.bitwise_not(F.xxhash64(*[F.col(c) for c in df.columns]))
+    aggs = []
+    for c in val_cols:
+        order_c = F.when(
+            ~is_del & F.col(c).isNotNull(),
+            F.struct(lsn.alias("l"), rh.alias("h")),
+        )
+        aggs.append(
+            F.max_by(
+                F.struct(lsn.alias("l"), F.col(c).alias("v")), order_c
+            ).alias(f"__w_{c}")
+        )
+    # delete/upsert extremes; the same-LSN D-outranks-U rule rides a struct
+    # order (lsn, is_delete) so a racing D|U at one LSN nets to deleted
+    aggs += [
+        F.max(F.when(is_del, lsn)).alias("__dl"),
+        F.max(F.when(~is_del, lsn)).alias("__ul"),
+        F.max(lsn).alias("__ml"),
+    ]
+    g = df.groupBy(*key_cols).agg(*aggs)
+
+    dl = F.coalesce(F.col("__dl"), F.lit(_NEG_LSN))
+    out = [F.col(k) for k in key_cols]
+    entries = []
+    for c in val_cols:
+        w_l, w_v = F.col(f"__w_{c}.l"), F.col(f"__w_{c}.v")
+        survives = w_l.isNotNull() & (w_l > dl)
+        out.append(F.when(survives, w_v).alias(c))
+        entries.append(
+            F.struct(
+                F.lit(c).alias("key"),
+                F.when(survives, w_l).alias("value"),
+            )
+        )
+    out += [
+        F.map_from_entries(
+            F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
+        ).alias(colv_col),
+        F.col("__dl").alias(dlsn_col),
+        F.col("__ml").alias(lsn_col),
+        F.when(
+            dl >= F.coalesce(F.col("__ul"), F.lit(_NEG_LSN)),
+            F.lit(delete_op),
+        ).otherwise(F.lit("U")).alias(op_col),
+    ]
+    return g.select(*out)

@@ -1,0 +1,250 @@
+"""Column-level CDC (update_mode='partial'): per-column LWW registers.
+
+Sparse after-images — an event sets only the columns it changed, NULL means
+"no statement". Correct apply under out-of-order batches needs per-column
+versions (the hidden _colv map) plus a persisted delete barrier (_dlsn):
+row-level LSN gating would (a) drop a late-arriving old assignment to a
+column no newer event ever set and (b) classify-but-not-apply scenarios
+around deletes. These tests pin the fold operator, the merge resolution,
+batch-split invariance, validation, and exactly-once fencing.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from concepts_pipeline_spark.cdc.apply import CdcPipeline, valid_event_expr
+from concepts_pipeline_spark.operators.lww import lww_fold_partial
+from tests.test_lake_table import TOKENS_SCHEMA
+
+EV_DDL = (
+    "doc_id string, lsn long, op string, tokens array<int>, "
+    "n_tok int, source string"
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, EV_DDL)
+
+
+def _pipe(spark, tmp_path, name="pt", **kw):
+    kw.setdefault("quarantine_path", str(tmp_path / f"{name}-q"))
+    return CdcPipeline(
+        spark, str(tmp_path / name), TOKENS_SCHEMA, ["doc_id"],
+        num_buckets=4, update_mode="partial", **kw,
+    )
+
+
+def ev(doc, lsn, op="U", tokens=None, n_tok=None, source=None):
+    return (doc, lsn, op, tokens, n_tok, source)
+
+
+def _state(pipe):
+    return {
+        r["doc_id"]: (r["tokens"], r["n_tok"], r["source"])
+        for r in pipe.final_state().collect()
+    }
+
+
+# ---------------------------------------------------------------- fold unit
+
+
+def test_fold_per_column_winners_and_delete_barrier(spark):
+    df = _batch(
+        spark,
+        [
+            ev("a", 1, tokens=[1], n_tok=1),
+            ev("a", 2, source="s1"),
+            ev("a", 3, source="s2"),          # newest source
+            ev("b", 1, tokens=[9], n_tok=1),
+            ev("b", 2, "D"),                  # barrier kills lsn-1 tokens
+            ev("b", 3, source="web"),         # revives with source only
+            ev("c", 5, tokens=[7], n_tok=1),
+            ev("c", 9, "D"),                  # net delete
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in lww_fold_partial(
+            df, ["doc_id"], val_cols=["tokens", "n_tok", "source"]
+        ).collect()
+    }
+    a = out["a"]
+    assert a["tokens"] == [1] and a["n_tok"] == 1 and a["source"] == "s2"
+    assert a["_colv"] == {"tokens": 1, "n_tok": 1, "source": 3}
+    assert a["_dlsn"] is None and a["op"] == "U" and a["lsn"] == 3
+    b = out["b"]
+    assert b["tokens"] is None and b["source"] == "web"
+    assert b["_colv"] == {"source": 3}
+    assert b["_dlsn"] == 2 and b["op"] == "U" and b["lsn"] == 3
+    c = out["c"]
+    assert c["op"] == "D" and c["_colv"] == {} and c["tokens"] is None
+    assert c["_dlsn"] == 9 and c["lsn"] == 9
+
+
+def test_fold_same_lsn_delete_outranks_upsert(spark):
+    df = _batch(spark, [ev("a", 5, "U", tokens=[1], n_tok=1), ev("a", 5, "D")])
+    row = lww_fold_partial(
+        df, ["doc_id"], val_cols=["tokens", "n_tok", "source"]
+    ).collect()[0]
+    assert row["op"] == "D" and row["tokens"] is None
+
+
+def test_fold_is_one_aggregation_no_window(spark):
+    df = _batch(spark, [ev("a", 1, tokens=[1], n_tok=1)])
+    plan = (
+        lww_fold_partial(df, ["doc_id"], val_cols=["tokens", "n_tok", "source"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    # partial + final aggregate around ONE exchange: hot keys combine map-side
+    assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------------------- out-of-order apply
+
+
+def test_late_old_assignment_still_applies(spark, tmp_path):
+    """A column assignment older than the row's LSN must apply when no newer
+    event ever set that column — the case a row-level LSN gate gets wrong."""
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, [ev("a", 20, source="web")]), "b1")
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 10, tokens=[1, 2], n_tok=2)]), "b2"
+    )
+    assert _state(pipe) == {"a": ([1, 2], 2, "web")}
+
+
+def test_redelivered_old_assignment_does_not_overwrite(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, [ev("a", 20, source="web")]), "b1")
+    # stale duplicate of an OLDER source assignment, delivered later
+    pipe.apply_batch(_batch(spark, [ev("a", 12, source="api")]), "b2")
+    assert _state(pipe) == {"a": (None, None, "web")}
+
+
+def test_delete_barrier_across_batches(spark, tmp_path):
+    """Delete arrives first; an older column assignment must stay dead, a
+    newer one must revive the row with only its column."""
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(_batch(spark, [ev("a", 15, "D"), ev("b", 15, "D")]), "b1")
+    pipe.apply_batch(
+        _batch(
+            spark,
+            [
+                ev("a", 10, tokens=[3], n_tok=1),  # pre-delete: stays dead
+                ev("b", 20, source="rss"),         # post-delete: revives
+            ],
+        ),
+        "b2",
+    )
+    assert _state(pipe) == {"b": (None, None, "rss")}
+
+
+def test_tombstone_then_revival_drops_pre_delete_columns(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 1, tokens=[1], n_tok=1, source="s0")]), "b1"
+    )
+    pipe.apply_batch(_batch(spark, [ev("a", 2, "D")]), "b2")
+    pipe.apply_batch(_batch(spark, [ev("a", 3, source="s1")]), "b3")
+    # tokens from lsn 1 must NOT resurrect through the revival
+    assert _state(pipe) == {"a": (None, None, "s1")}
+
+
+def test_batch_split_invariance(spark, tmp_path):
+    """Any partition of the event log into any batch arrival order yields the
+    same final state (the spec is a pure function of the event set)."""
+    events = [
+        ev("a", 1, tokens=[1], n_tok=1),
+        ev("a", 4, source="s1"),
+        ev("a", 6, "D"),
+        ev("a", 8, tokens=[2, 3], n_tok=2),
+        ev("b", 2, source="x"),
+        ev("b", 3, tokens=[5], n_tok=1),
+        ev("b", 7, "D"),
+        ev("c", 5, tokens=[9], n_tok=1),
+        ev("c", 9, source="y"),
+    ]
+    expected = {"a": ([2, 3], 2, None), "c": ([9], 1, "y")}
+    for i, order in enumerate(itertools.permutations(range(3))):
+        pipe = _pipe(spark, tmp_path, name=f"split{i}")
+        batches = [events[0::3], events[1::3], events[2::3]]
+        for j, b in enumerate(order):
+            pipe.apply_batch(_batch(spark, batches[b]), f"s{i}:{j}")
+        assert _state(pipe) == expected, f"order {order}"
+
+
+# ------------------------------------------------------------- validation
+
+
+def test_partial_validation_rules(spark, tmp_path):
+    rows = [
+        ev("ok-sparse", 1, source="s"),                     # valid: no statement
+        ev("ok-full", 2, tokens=[1, 2], n_tok=2),           # valid
+        ev("orphan-n", 3, n_tok=2),                         # n_tok without tokens
+        ev("oov", 4, tokens=[999999], n_tok=1),             # out of vocab
+        ev("mismatch", 5, tokens=[1], n_tok=3),             # count wrong
+        ev("no-count", 6, tokens=[1]),                      # tokens need n_tok
+        ev("bad-op", 7, "X", source="s"),
+    ]
+    df = _batch(spark, rows).withColumn(
+        "reject_reason", valid_event_expr(partial=True)
+    )
+    got = {r["doc_id"]: r["reject_reason"] for r in df.collect()}
+    assert got == {
+        "ok-sparse": None,
+        "ok-full": None,
+        "orphan-n": "n_tok_mismatch",
+        "oov": "token_out_of_vocab",
+        "mismatch": "n_tok_mismatch",
+        "no-count": "n_tok_mismatch",
+        "bad-op": "unknown_op",
+    }
+    pipe = _pipe(spark, tmp_path, name="val")
+    pipe.apply_batch(_batch(spark, rows), "v1")
+    q = {
+        r["reject_reason"]: r["n"]
+        for r in pipe.quarantine.read(spark)
+        .groupBy("reject_reason").agg(F.count("*").alias("n")).collect()
+    }
+    assert q == {"n_tok_mismatch": 3, "token_out_of_vocab": 1, "unknown_op": 1}
+    assert _state(pipe) == {
+        "ok-sparse": (None, None, "s"),
+        "ok-full": ([1, 2], 2, None),
+    }
+
+
+# ------------------------------------------------------ fencing / guards
+
+
+def test_partial_fence_replay_is_noop(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path, name="fence")
+    b = _batch(spark, [ev("a", 1, source="s")])
+    r1 = pipe.apply_batch(b, "f1")
+    v = pipe.target.current_version()
+    r2 = pipe.apply_batch(b, "f1")  # replay
+    assert r2.stats.skipped and pipe.target.current_version() == v
+    assert not r1.stats.skipped
+
+
+def test_partial_requires_cow(spark, tmp_path):
+    with pytest.raises(ValueError, match="strategy='cow'"):
+        _pipe(spark, tmp_path, name="morfail", strategy="mor")
+
+
+def test_partial_merge_requires_folded_source(spark, tmp_path):
+    """merge_into(update_mode='partial') refuses a table without the hidden
+    version-vector columns."""
+    from concepts_pipeline_spark.lake import LakeTable
+    from concepts_pipeline_spark.lake.merge import merge_into
+
+    t = LakeTable.create(
+        str(tmp_path / "plain"), TOKENS_SCHEMA, ["doc_id"], num_buckets=2
+    )
+    src = _batch(spark, [ev("a", 1, source="s")])
+    with pytest.raises(ValueError, match="partial"):
+        merge_into(spark, t, src, lsn_col="lsn", update_mode="partial")
