@@ -347,6 +347,30 @@ def main() -> None:
     sections.append(("z-order cluster rewrite — one range shuffle, "
                      "codegen-only z computation", p))
 
+    # 16. column-level CDC fold (operators/lww.lww_fold_partial): the sparse
+    # after-image pre-reduce is ONE hash aggregation with a map-side partial
+    # combine (per-column max_by), no window, no Python — the same shuffle
+    # discipline as whole-row LWW
+    from concepts_pipeline_spark.cdc.derive import derived_sparse_change_log
+    from concepts_pipeline_spark.operators.lww import lww_fold_partial
+
+    slog = derived_sparse_change_log(spark, SF)
+    fold = lww_fold_partial(
+        slog, ["doc_id"], val_cols=["tokens", "n_tok", "source"]
+    )
+    p = explain_str(fold)
+    results.append(check("partial-CDC fold has map-side partial max_by", p,
+                         r"partial_max_by"))
+    results.append(check("partial-CDC fold has NO window", p, r"\bWindow\b",
+                         must_match=False))
+    results.append(check("partial-CDC fold has NO Python node", p,
+                         r"(ArrowEvalPython|BatchEvalPython|MapInPandas)",
+                         must_match=False))
+    results.append(check("partial-CDC fold shuffles only per-key winners", p,
+                         r"partial_max_by[\s\S]*hashpartitioning\(doc_id"))
+    sections.append(("column-level CDC fold — one partial+final aggregation",
+                     p))
+
     with open("PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`python tools/plan_audit.py`)\n\n")
         fh.write("Asserted properties (see tool for the exact regexes):\n\n")
