@@ -576,6 +576,37 @@ def _merge_into_once(
             .alias(HIDDEN_LSN),
             F.when(use_s, is_delete).otherwise(t_deleted).alias(HIDDEN_DELETED),
         ]
+        if HIDDEN_COLV in data_cols:
+            # whole-row merge on a COLUMN-level (partial-mode) table — the DML
+            # path (delete_where/update_where) and any mixed full-after-image
+            # feed land here. Keep the per-column registers coherent: a row
+            # replaced at LSN L states EVERY column at L (a later sparse event
+            # older than L must lose those columns), and a delete advances the
+            # persisted barrier so pre-delete sparse assignments stay dead.
+            full_map = F.map_from_arrays(
+                F.array(*[F.lit(c) for c in val_cols]),
+                F.array_repeat(
+                    F.col(f"s.{HIDDEN_LSN}").cast("long"), len(val_cols)
+                ),
+            )
+            out_val += [
+                F.when(
+                    use_s & is_delete,
+                    F.lit(None).cast(field_types[HIDDEN_COLV]),
+                )
+                .when(use_s, full_map)
+                .otherwise(F.col(f"t.{HIDDEN_COLV}"))
+                .alias(HIDDEN_COLV),
+                F.when(
+                    use_s & is_delete,
+                    F.greatest(
+                        F.coalesce(F.col(f"t.{HIDDEN_DLSN}"), F.lit(_MIN_LSN)),
+                        F.col(f"s.{HIDDEN_LSN}"),
+                    ),
+                )
+                .otherwise(F.col(f"t.{HIDDEN_DLSN}"))
+                .alias(HIDDEN_DLSN),
+            ]
         result = (
             joined.select(*out_key, *out_val, action.alias(ACTION_COL))
             .withColumn(BUCKET_COL, bucket_expr(key_cols, m.num_buckets))

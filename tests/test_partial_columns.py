@@ -248,3 +248,51 @@ def test_partial_merge_requires_folded_source(spark, tmp_path):
     src = _batch(spark, [ev("a", 1, source="s")])
     with pytest.raises(ValueError, match="partial"):
         merge_into(spark, t, src, lsn_col="lsn", update_mode="partial")
+
+
+# ------------------------------------------------- DML on a partial table
+
+
+def test_predicate_dml_maintains_column_registers(spark, tmp_path):
+    """delete_where/update_where are whole-row merges at max(_lsn)+1; on a
+    partial-mode table they must keep the per-column registers coherent:
+    the DML states every column at its LSN, and a DML delete advances the
+    persisted barrier so pre-delete sparse assignments stay dead."""
+    from concepts_pipeline_spark.lake.mutate import delete_where, update_where
+
+    pipe = _pipe(spark, tmp_path, name="dml")
+    pipe.apply_batch(
+        _batch(
+            spark,
+            [
+                ev("a", 10, tokens=[1], n_tok=1, source="s0"),
+                ev("b", 11, tokens=[2], n_tok=1, source="s0"),
+            ],
+        ),
+        "d1",
+    )
+    # UPDATE ... SET source='fixed' WHERE doc_id='a'  (stamped lsn 12)
+    update_where(
+        spark, pipe.target, {"source": F.lit("fixed")},
+        F.col("doc_id") == "a", fence_token="dml-u",
+    )
+    # DELETE WHERE doc_id='b'  (stamped lsn 13)
+    delete_where(spark, pipe.target, F.col("doc_id") == "b", fence_token="dml-d")
+
+    # a sparse source assignment OLDER than the DML must lose to it
+    pipe.apply_batch(_batch(spark, [ev("a", 11, source="late-old")]), "d2")
+    # a pre-delete sparse assignment must stay dead; a post-delete one revives
+    pipe.apply_batch(
+        _batch(
+            spark,
+            [ev("b", 12, source="pre-delete"), ev("b", 30, tokens=[9], n_tok=1)],
+        ),
+        "d3",
+    )
+    assert _state(pipe) == {
+        "a": ([1], 1, "fixed"),
+        "b": ([9], 1, None),
+    }
+    # and a sparse assignment NEWER than the DML wins over it
+    pipe.apply_batch(_batch(spark, [ev("a", 40, source="newer")]), "d4")
+    assert _state(pipe)["a"] == ([1], 1, "newer")
