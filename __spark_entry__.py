@@ -1072,6 +1072,31 @@ def cdc_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_live long")
 
 
+def cdc_metadata_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only MIN/MAX (lake/table.agg_bounds — Iceberg's aggregate
+    pushdown): the live bounds of a stat-tracked numeric column answered
+    purely from per-file [min,max] manifest stats (the same footer pass that
+    powers pruned reads). ZERO data files opened, zero Spark jobs. Exact on
+    CoW because every current file holds exactly the current rows and
+    tombstones carry NULL payloads (parquet footer min/max ignores NULLs,
+    like SQL MIN/MAX). The oracle is the real MIN/MAX over the final-state
+    spec. The replayed state is rewritten into a stat_cols=['n_tok'] table
+    (the shared replay's table predates the stats property)."""
+    from concepts_pipeline_spark.lake.table import LakeTable
+
+    pipe = _shared_pipe(spark, sf_dir)
+    final = pipe.final_state()
+    root = _scratch_dir("cps-aggbounds-")
+    t = LakeTable.create(
+        f"{root}/t", final.schema, ["doc_id"], num_buckets=4,
+        properties={"stat_cols": ["n_tok"]},
+    )
+    t.append(final)
+    b = t.agg_bounds("n_tok")
+    assert b is not None, "CoW stat_cols manifest must answer bounds"
+    return spark.createDataFrame([b], "min_n_tok int, max_n_tok int")
+
+
 def cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL completeness audit (operators/temporal.sequence_gap_audit): find
     every missing LSN range in a lossy feed — here the change log with two
@@ -2307,7 +2332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver green), rotated past 50
         "cdc_mor_pruned_scan": cdc_mor_pruned_scan,
         "cdc_lww_latest": cdc_lww_latest,
-        "cdc_quarantine_counts": cdc_quarantine_counts,
+        # metadata-only MIN/MAX (aggregate pushdown) is new this session — it
+        # takes the first-50 slot of cdc_quarantine_counts (driver-green r4;
+        # quarantine classes stay pinned by pytest + the partial/redrive rows)
+        "cdc_metadata_bounds": cdc_metadata_bounds,
         "cdc_token_index": cdc_token_index,
         "cdc_index_search": cdc_index_search,
         # IDF-ranked index search is new this round — it takes the first-50
@@ -2333,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated past 50 this session for cdc_partial_columns (driver-green
         # r4; the diff surface stays pytest- and locally-oracle-covered)
         "cdc_snapshot_diff": cdc_snapshot_diff,
+        "cdc_quarantine_counts": cdc_quarantine_counts,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh,
         "dedup_survivors_lsh": q_dedup_survivors_lsh,
@@ -2527,6 +2556,11 @@ def _oracle_sql_base() -> dict[str, str]:
         "cdc_replay_final_state": FINAL_STATE_JSON_SQL,
         "cdc_replay_mor": FINAL_STATE_JSON_SQL,
         "cdc_partial_columns": SPARSE_FINAL_STATE_JSON_SQL,
+        "cdc_metadata_bounds": (
+            "SELECT CAST(min(n_tok) AS INT) AS min_n_tok, "
+            "CAST(max(n_tok) AS INT) AS max_n_tok "
+            f"FROM ({FINAL_STATE_SQL})"
+        ),
         # WAP: staged-audited-published replay equals the direct-replay spec;
         # the audit-rejected poison batch is asserted inside the query
         "cdc_wap_publish": FINAL_STATE_JSON_SQL,

@@ -436,6 +436,38 @@ class LakeTable:
             return None
         return sum(f.live_rows for f in m.files)
 
+    def agg_bounds(
+        self, col: str, version: int | None = None
+    ) -> tuple | None:
+        """MIN/MAX of a live column from MANIFEST STATS ONLY — zero data files
+        opened, zero Spark jobs (the aggregate-pushdown analogue of
+        ``count_live``). Exact on CoW tables because every current file holds
+        exactly the current rows and tombstones carry NULL payloads (parquet
+        footer min/max ignores NULLs, same as SQL MIN/MAX).
+
+        Returns ``(min, max)`` or None when not metadata-derivable: MoR delta
+        files shadow base rows key-by-key (a stale delta value could widen the
+        range), a file lacking stats for ``col`` (not in ``stat_cols`` at its
+        write time, or an all-NULL column chunk), or non-numeric stats (string
+        footer min/max may be truncated — fine for conservative pruning, not
+        for an exact answer)."""
+        m = self.manifest(version)
+        lo = hi = None
+        for f in m.files:
+            if f.kind != "base":
+                return None
+            rng = (f.col_stats or {}).get(col)
+            if not rng:
+                if f.live_rows == 0 or f.rows == 0:
+                    continue  # nothing live to bound
+                return None
+            fmin, fmax = rng
+            if isinstance(fmin, bool) or not isinstance(fmin, (int, float)):
+                return None
+            lo = fmin if lo is None else min(lo, fmin)
+            hi = fmax if hi is None else max(hi, fmax)
+        return None if lo is None else (lo, hi)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self.manifest(version)
         return self._read_files(spark, m, m.files)

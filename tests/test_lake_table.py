@@ -445,3 +445,52 @@ def test_metadata_dataframes(spark, tmp_path):
 
     # an older snapshot's inventory is still addressable
     assert t.files_df(spark, version=vers[-2]).count() < len(m.files)
+
+
+def test_agg_bounds_metadata_min_max(spark, tmp_path):
+    """agg_bounds: MIN/MAX from manifest column stats only (aggregate
+    pushdown). Exact on CoW incl. after tombstoning deletes (NULL payloads
+    never enter footer stats); None under MoR deltas, for un-statted or
+    string columns, and across files missing stats."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from concepts_pipeline_spark.lake.merge import merge_into
+    from concepts_pipeline_spark.lake.table import LakeTable
+
+    schema = StructType([
+        StructField("doc_id", StringType()),
+        StructField("source", StringType()),
+        StructField("score", IntegerType()),
+    ])
+    t = LakeTable.create(str(tmp_path / "ab"), schema, ["doc_id"], 2,
+                         properties={"stat_cols": ["source", "score"]})
+    t.append(spark.createDataFrame(
+        [(f"a{i}", "alpha", 10 + i) for i in range(10)], schema))
+    t.append(spark.createDataFrame(
+        [(f"b{i}", "beta", 100 + i) for i in range(10)], schema))
+    assert t.agg_bounds("score") == (10, 109)
+    # string stats: footer min/max may truncate — refuse the exact answer
+    assert t.agg_bounds("source") is None
+    # un-statted column
+    assert t.agg_bounds("doc_id") is None
+
+    # CDC tombstone delete of the whole beta generation: bounds tighten
+    # (tombstones carry NULL payloads, invisible to footer stats)
+    src = spark.createDataFrame(
+        [(f"b{i}", None, None, "D", 1000 + i) for i in range(10)],
+        "doc_id string, source string, score int, op string, lsn long",
+    )
+    merge_into(spark, t, src, lsn_col="lsn")
+    assert t.agg_bounds("score") == (10, 19)
+    # time travel: bounds answered at any version
+    assert t.agg_bounds("score", version=2) == (10, 109)
+
+    # MoR delta shadows values key-by-key: not metadata-derivable
+    src2 = spark.createDataFrame(
+        [("a0", "alpha", 7, "U", 2000)],
+        "doc_id string, source string, score int, op string, lsn long",
+    )
+    merge_into(spark, t, src2, lsn_col="lsn", strategy="mor")
+    assert t.agg_bounds("score") is None

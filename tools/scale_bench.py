@@ -91,7 +91,8 @@ def _jvm_cpu_seconds() -> float:
 
 
 def worker(cpus: int, num_batches: int, single_batch: bool = False,
-           strategy: str = "cow", wap: bool = False) -> None:
+           strategy: str = "cow", wap: bool = False,
+           partial: bool = False) -> None:
     import tempfile
 
     from pyspark.sql import functions as F
@@ -112,6 +113,19 @@ def worker(cpus: int, num_batches: int, single_batch: bool = False,
         spark.read.schema(CHANGE_LOG_SCHEMA)
         .parquet(f"file://{FEED_DIR}")
     )
+    if partial:
+        # sparsify deterministically into column-level events: 1/3 full rows,
+        # 1/3 tokens+n_tok only, 1/3 source only (deletes untouched) — the
+        # column-register fold then has real per-column contention to resolve
+        m = F.pmod(F.xxhash64(F.col("lsn")), F.lit(3))
+        is_del = F.col("op") == "D"
+        feed = feed.withColumn(
+            "tokens", F.when(~is_del & (m != 2), F.col("tokens"))
+        ).withColumn(
+            "n_tok", F.when(~is_del & (m != 2), F.col("n_tok"))
+        ).withColumn(
+            "source", F.when(~is_del & (m != 1), F.col("source"))
+        )
     n_events = feed.count()
     root = tempfile.mkdtemp(prefix=f"cps-scale-{cpus}-")
     pipe = CdcPipeline(
@@ -124,6 +138,7 @@ def worker(cpus: int, num_batches: int, single_batch: bool = False,
         num_buckets=32,  # identical physical layout at every parallelism level
         salt_buckets=8,
         strategy=strategy,
+        update_mode="partial" if partial else "replace",
     )
     # JIT/codegen warmup on a scratch table: the first micro-batch otherwise pays
     # ~10 s of one-time JVM compilation that is not steady-state throughput
@@ -170,7 +185,7 @@ def worker(cpus: int, num_batches: int, single_batch: bool = False,
     jvm_cpu = _jvm_cpu_seconds() - c0
     final_rows = pipe.final_state().count()
     print(json.dumps({
-        "cpus": cpus, "strategy": strategy, "wap": wap,
+        "cpus": cpus, "strategy": strategy, "wap": wap, "partial": partial,
         "events": n_events, "applied": applied,
         "elapsed_sec": round(elapsed, 2),
         "events_per_sec": round(n_events / elapsed, 1),
@@ -199,6 +214,9 @@ def main() -> None:
     ap.add_argument("--strategy", default="cow", choices=["cow", "mor"])
     ap.add_argument("--wap", action="store_true",
                     help="stage-audit-publish every batch (write-audit-publish)")
+    ap.add_argument("--partial", action="store_true",
+                    help="column-level CDC: sparsify the feed into sparse "
+                         "after-images and apply under update_mode='partial'")
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--prep-worker", action="store_true")
     args = ap.parse_args()
@@ -208,7 +226,7 @@ def main() -> None:
         return
     if args.worker is not None:
         worker(args.worker, args.batches, single_batch=not args.multi_batch,
-               strategy=args.strategy, wap=args.wap)
+               strategy=args.strategy, wap=args.wap, partial=args.partial)
         return
 
     prep(args.events, args.keys, args.batches)
@@ -233,6 +251,8 @@ def main() -> None:
                 cmd.append("--multi-batch")
             if args.wap:
                 cmd.append("--wap")
+            if args.partial:
+                cmd.append("--partial")
             if not args.no_pin and os.path.exists("/usr/bin/taskset"):
                 cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd
             out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
