@@ -296,3 +296,53 @@ def test_predicate_dml_maintains_column_registers(spark, tmp_path):
     # and a sparse assignment NEWER than the DML wins over it
     pipe.apply_batch(_batch(spark, [ev("a", 40, source="newer")]), "d4")
     assert _state(pipe)["a"] == ([1], 1, "newer")
+
+
+# -------------------------------------------------------------- streaming
+
+
+def test_streaming_partial_with_kill_and_resume(spark, tmp_path):
+    """Structured-Streaming apply of a sparse feed under update_mode='partial':
+    kill the stream mid-replay, restart from checkpoint — per-column state
+    converges to the event-order fold with no duplicate or lost applies."""
+    from concepts_pipeline_spark.streaming import run_stream
+
+    events = [
+        ev("a", 1, tokens=[1], n_tok=1),
+        ev("a", 5, source="s1"),
+        ev("b", 2, tokens=[4], n_tok=1, source="s0"),
+        ev("b", 6, "D"),
+        ev("b", 7, source="s2"),
+        ev("c", 3, source="x"),
+        ev("c", 8, tokens=[9, 9], n_tok=2),
+        ev("a", 9, tokens=[2], n_tok=1),
+    ]
+    feed = str(tmp_path / "feed")
+    # several small files => several micro-batches at maxFilesPerTrigger=1
+    _batch(spark, events).repartition(4).write.parquet(f"file://{feed}")
+
+    pipe = _pipe(spark, tmp_path, name="stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    crashed = {"n": 0}
+
+    def boom(batch_id, df):
+        if batch_id == 1 and crashed["n"] == 0:
+            crashed["n"] = 1
+            raise RuntimeError("injected crash")
+
+    h = run_stream(spark, pipe, feed, ckpt, name="pstream", on_batch=boom)
+    try:
+        h.query.awaitTermination()
+    except Exception:
+        pass
+    # resume from checkpoint; the killed micro-batch replays exactly once
+    h2 = run_stream(spark, pipe, feed, ckpt, name="pstream")
+    h2.query.awaitTermination()
+
+    assert crashed["n"] == 1
+    assert _state(pipe) == {
+        "a": ([2], 1, "s1"),
+        "b": (None, None, "s2"),
+        "c": ([9, 9], 2, "x"),
+    }
