@@ -346,3 +346,69 @@ def test_streaming_partial_with_kill_and_resume(spark, tmp_path):
         "b": (None, None, "s2"),
         "c": ([9, 9], 2, "x"),
     }
+
+
+def test_partial_schema_evolution_new_column(spark, tmp_path):
+    """A later batch carrying a brand-new payload column: the fold registers
+    it, the merge evolves the table schema, old rows read NULL, and the
+    per-column ordering applies to the new register like any other."""
+    pipe = _pipe(spark, tmp_path, name="evo")
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 1, tokens=[1], n_tok=1, source="s0")]), "e1"
+    )
+    wide = spark.createDataFrame(
+        [("a", 5, "U", None, None, None, "en"), ("b", 6, "U", None, None, "s1", "de")],
+        EV_DDL + ", lang string",
+    )
+    pipe.apply_batch(wide, "e2")
+    got = {
+        r["doc_id"]: (r["tokens"], r["source"], r["lang"])
+        for r in pipe.final_state().collect()
+    }
+    assert got == {"a": ([1], "s0", "en"), "b": (None, "s1", "de")}
+    # ordering on the new register: an older redelivered lang loses
+    wide_old = spark.createDataFrame(
+        [("a", 3, "U", None, None, None, "fr")], EV_DDL + ", lang string"
+    )
+    pipe.apply_batch(wide_old, "e3")
+    got = {
+        r["doc_id"]: r["lang"] for r in pipe.final_state().collect()
+    }
+    assert got == {"a": "en", "b": "de"}
+
+
+def test_partial_wap_audit_gate(spark, tmp_path):
+    """Write-audit-publish over a partial pipeline: the audit sees the fully
+    merged candidate (per-column resolution included); a rejected batch moves
+    nothing and leaves the fence unclaimed."""
+    from concepts_pipeline_spark.cdc.apply import BatchAuditError
+
+    pipe = _pipe(spark, tmp_path, name="wap")
+
+    def no_mass_delete(s, branch, result):
+        from concepts_pipeline_spark.lake.merge import HIDDEN_DELETED
+
+        live = branch.read(s).filter(
+            ~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False))
+        ).count()
+        return live > 0
+
+    pipe.apply_batch_wap(
+        _batch(spark, [ev("a", 1, tokens=[1], n_tok=1), ev("b", 2, source="s")]),
+        "w1", audit=no_mass_delete,
+    )
+    assert _state(pipe) == {"a": ([1], 1, None), "b": (None, None, "s")}
+    v = pipe.target.current_version()
+
+    poison = _batch(spark, [ev("a", 10, "D"), ev("b", 11, "D")])
+    with pytest.raises(BatchAuditError):
+        pipe.apply_batch_wap(poison, "w2", audit=no_mass_delete)
+    assert pipe.target.current_version() == v
+    assert not pipe.target.has_fence_token("w2")
+    assert _state(pipe) == {"a": ([1], 1, None), "b": (None, None, "s")}
+    # a corrected batch reuses the unclaimed fence
+    pipe.apply_batch_wap(
+        _batch(spark, [ev("a", 10, "D"), ev("b", 11, source="s2")]),
+        "w2", audit=no_mass_delete,
+    )
+    assert _state(pipe) == {"b": (None, None, "s2")}
