@@ -458,15 +458,17 @@ class CdcPipeline:
             # column-level CDC: per-COLUMN LWW fold (sparse after-images);
             # emits the _colv version vector + _dlsn barrier the merge needs.
             # Same shape as lww_latest's agg path: one hash aggregation with
-            # map-side partial combine, no window.
+            # map-side partial combine, no window. val_cols come from the
+            # BATCH (not the construction-time schema): a batch carrying a
+            # new payload column folds it like any other register and the
+            # merge's schema evolution adds it to the table.
+            non_payload = set(self.key_cols) | {
+                self.lsn_col, self.op_col, "event_ts",
+            }
             deduped = lww_fold_partial(
                 valid.drop("event_ts") if "event_ts" in valid.columns else valid,
                 self.key_cols,
-                val_cols=[
-                    f.name
-                    for f in self.user_schema.fields
-                    if f.name not in self.key_cols
-                ],
+                val_cols=[c for c in valid.columns if c not in non_payload],
                 lsn_col=self.lsn_col,
                 op_col=self.op_col,
             )
