@@ -94,6 +94,7 @@ def parse_debezium(
     df: DataFrame,
     row_schema: StructType,
     value_col: str = "value",
+    toast_sentinel: str | None = None,
 ) -> DataFrame:
     """Debezium JSON envelopes → the engine's canonical change-log contract.
 
@@ -109,7 +110,18 @@ def parse_debezium(
     identical on a batch read and a streaming tail, so a landed Debezium
     topic dump is a drop-in feed for replay AND run_stream. Unparseable or
     unknown-op lines surface with NULL op and fall to the validator's
-    quarantine path instead of failing the job."""
+    quarantine path instead of failing the job.
+
+    ``toast_sentinel`` (e.g. Debezium's ``"__debezium_unavailable_value"``):
+    Postgres does not re-emit unchanged TOASTed columns, so Debezium fills
+    them with a sentinel string — the canonical real-world source of SPARSE
+    after-images. String-typed fields equal to the sentinel become NULL
+    ("no statement"), which is exactly what ``update_mode='partial'`` needs:
+    the per-column registers keep the target's value. Without partial mode a
+    sentinel-NULLed column would overwrite real data with NULL — pair this
+    option with a partial-mode pipeline. (Non-string fields can't carry the
+    sentinel in typed JSON; a sentinel there fails the field parse and
+    degrades to the same NULL no-statement.)"""
     env = debezium_envelope_schema(row_schema)
     p = F.from_json(F.col(value_col), env).getField("payload")
     op = (
@@ -121,10 +133,17 @@ def parse_debezium(
     row = F.when(p.getField("op") == "d", p.getField("before")).otherwise(
         p.getField("after")
     )
+
+    def field(f):
+        c = row.getField(f.name)
+        if toast_sentinel is not None and isinstance(f.dataType, StringType):
+            c = F.when(c == F.lit(toast_sentinel), F.lit(None)).otherwise(c)
+        return c.alias(f.name)
+
     return df.select(
         p.getField("source").getField("lsn").alias("lsn"),
         op.alias("op"),
-        *[row.getField(f.name).alias(f.name) for f in row_schema.fields],
+        *[field(f) for f in row_schema.fields],
     )
 
 

@@ -412,3 +412,44 @@ def test_partial_wap_audit_gate(spark, tmp_path):
         "w2", audit=no_mass_delete,
     )
     assert _state(pipe) == {"b": (None, None, "s2")}
+
+
+# ------------------------------------------------- Debezium TOAST columns
+
+
+def test_debezium_toast_sentinel_feeds_partial_mode(spark, tmp_path):
+    """Postgres TOAST: Debezium fills unchanged unfetched columns with a
+    sentinel string — the canonical real-world sparse after-image. With
+    toast_sentinel set, parse_debezium maps it to NULL ("no statement"),
+    and a partial-mode pipeline keeps the target's value where whole-row
+    replace would have nulled it."""
+    import json
+
+    from concepts_pipeline_spark.cdc.feed import parse_debezium
+    from tests.test_lake_table import TOKENS_SCHEMA
+
+    SENT = "__debezium_unavailable_value"
+
+    def envelope(op, lsn, after):
+        return json.dumps(
+            {"payload": {"op": op, "after": after, "before": None,
+                         "source": {"lsn": lsn}}}
+        )
+
+    lines = [
+        envelope("c", 1, {"doc_id": "a", "tokens": [1, 2], "n_tok": 2,
+                          "source": "s0"}),
+        # update that re-states tokens but NOT source (TOASTed, unchanged)
+        envelope("u", 2, {"doc_id": "a", "tokens": [3], "n_tok": 1,
+                          "source": SENT}),
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    parsed = parse_debezium(df, TOKENS_SCHEMA, toast_sentinel=SENT)
+    rows = {r["lsn"]: r.asDict() for r in parsed.collect()}
+    assert rows[2]["source"] is None and rows[2]["tokens"] == [3]
+    assert rows[1]["source"] == "s0"
+
+    pipe = _pipe(spark, tmp_path, name="toast")
+    pipe.apply_batch(parsed, "t1")
+    # source survives the TOASTed update; tokens replaced
+    assert _state(pipe) == {"a": ([3], 1, "s0")}
