@@ -453,3 +453,66 @@ def test_debezium_toast_sentinel_feeds_partial_mode(spark, tmp_path):
     pipe.apply_batch(parsed, "t1")
     # source survives the TOASTed update; tokens replaced
     assert _state(pipe) == {"a": ([3], 1, "s0")}
+
+
+# ------------------------------------------- derived surfaces over partial
+
+
+def test_partial_changes_outbox_actions(spark, tmp_path):
+    """The per-key action classification (outbox) under per-column
+    resolution: late-but-winning column = updated, losing redelivery =
+    suppressed, delete = deleted."""
+    pipe = _pipe(
+        spark, tmp_path, name="obx",
+        changes_path=str(tmp_path / "obx-changes"),
+    )
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 10, tokens=[1], n_tok=1),
+                       ev("b", 11, source="s")]), "o1"
+    )
+    pipe.apply_batch(
+        _batch(spark, [
+            ev("a", 5, source="old-but-wins"),   # older lsn, fresh column
+            ev("b", 3, source="loses"),          # older lsn, loses
+            ev("b", 20, "D"),
+        ]), "o2",
+    )
+    acts = {
+        (r["doc_id"], r["fence_token"]): r["action"]
+        for r in pipe.changes.read(spark).collect()
+    }
+    assert acts[("a", "o1")] == "inserted" and acts[("b", "o1")] == "inserted"
+    assert acts[("a", "o2")] == "updated"      # the old assignment APPLIED
+    assert acts[("b", "o2")] == "deleted"
+
+
+def test_partial_snapshot_diff_and_incremental_view(spark, tmp_path):
+    """CDF + incremental aggregation over a partial-mode table: hidden
+    register columns stay invisible to the diff, and the view's ± fold
+    equals the recompute across sparse updates."""
+    from concepts_pipeline_spark.lake.diff import snapshot_diff
+    from concepts_pipeline_spark.lake.view import IncrementalAggView
+
+    pipe = _pipe(spark, tmp_path, name="ivm")
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 1, tokens=[1], n_tok=1, source="s1"),
+                       ev("b", 2, tokens=[2, 2], n_tok=2, source="s2")]), "v1"
+    )
+    view = IncrementalAggView(
+        spark, pipe.target, str(tmp_path / "view"),
+        group_cols=["source"], sum_cols={"toks": "n_tok"},
+    )
+    view.refresh()
+    v_from = pipe.target.current_version()
+    # sparse moves: a's source moves s1→s2 (tokens untouched); b deleted
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 5, source="s2"), ev("b", 6, "D")]), "v2"
+    )
+    d = snapshot_diff(spark, pipe.target, v_from, pipe.target.current_version())
+    assert not [c for c in d.columns if c.startswith("_")], d.columns
+    kinds = {(r["doc_id"], r["change_type"]) for r in d.collect()}
+    assert kinds == {("a", "update"), ("b", "delete")}
+    view.refresh()
+    got = {r["source"]: (r["n_rows"], r["toks"])
+           for r in view.read().collect()}
+    assert got == {"s2": (1, 1)}
