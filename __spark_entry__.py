@@ -268,6 +268,39 @@ def cdc_partial_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
+def cdc_partial_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level CDC under MERGE-ON-READ: the same sparse out-of-order
+    replay as cdc_partial_columns, but batches append per-key REGISTER rows
+    as delta files (no target read, no bucket rewrite — the
+    write-amplification-free shape a 10^10-event sparse feed needs) and the
+    read resolves base∪delta per COLUMN via the associative register fold
+    (lake.merge.resolve_rows → operators.lww.lww_fold_registers). Size-tiered
+    compaction runs after every batch to exercise fold-of-folds
+    associativity. Must equal the SAME declarative whole-log spec as the CoW
+    path — one oracle, two physical strategies (mirroring
+    cdc_replay_final_state vs cdc_replay_mor)."""
+    from concepts_pipeline_spark.cdc.derive import derived_sparse_change_log
+    from concepts_pipeline_spark.lake.merge import compact_tiered
+
+    log = derived_sparse_change_log(spark, sf_dir)
+    root = _scratch_dir("cps-partialmor-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        quarantine_path=f"{root}/quarantine",
+        num_buckets=16,
+        update_mode="partial",
+        strategy="mor",
+    )
+    for b in range(4):
+        batch = log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b)
+        pipe.apply_batch(batch, fence_token=f"pmor:{b}")
+        compact_tiered(spark, pipe.target, fanout=1)
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
 def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same 4-batch out-of-order replay through write-audit-publish: each
     batch is staged on a branch (its own manifest chain sharing the data dir),
@@ -2322,6 +2355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this session — it takes a first-50 slot; cdc_snapshot_diff
         # (driver-green r4) rotates past 50 to pay for it
         "cdc_partial_columns": cdc_partial_columns,
+        # partial × merge-on-read (register deltas + associative read fold)
+        # is new this session — first-50 slot paid by rotating
+        # cdc_outbox_from_cdf (driver-green r4) past 50
+        "cdc_partial_mor": cdc_partial_mor,
         "cdc_stream_final_state": cdc_stream_final_state,
         # z-order clustering is new this round — it takes the first-50 slot
         # of the long-stable cdc_bootstrap_handoff (r4 driver green, same
@@ -2341,7 +2378,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IDF-ranked index search is new this round — it takes the first-50
         # slot of the long-stable r1-green q1_pricing_summary, rotated past 50
         "cdc_index_ranked": cdc_index_ranked,
-        "cdc_outbox_from_cdf": cdc_outbox_from_cdf,
         "cdc_quarantine_redrive": cdc_quarantine_redrive,
         "cdc_incremental_agg": cdc_incremental_agg,
         # size-tiered maintenance is new this round — it takes the first-50
@@ -2362,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4; the diff surface stays pytest- and locally-oracle-covered)
         "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_quarantine_counts": cdc_quarantine_counts,
+        "cdc_outbox_from_cdf": cdc_outbox_from_cdf,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh,
         "dedup_survivors_lsh": q_dedup_survivors_lsh,
@@ -2556,6 +2593,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "cdc_replay_final_state": FINAL_STATE_JSON_SQL,
         "cdc_replay_mor": FINAL_STATE_JSON_SQL,
         "cdc_partial_columns": SPARSE_FINAL_STATE_JSON_SQL,
+        "cdc_partial_mor": SPARSE_FINAL_STATE_JSON_SQL,
         "cdc_metadata_bounds": (
             "SELECT CAST(min(n_tok) AS INT) AS min_n_tok, "
             "CAST(max(n_tok) AS INT) AS max_n_tok "

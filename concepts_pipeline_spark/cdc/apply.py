@@ -265,12 +265,9 @@ class CdcPipeline:
         ]
         if update_mode == "partial":
             # column-level CDC: per-column version vector + persisted delete
-            # barrier (operators.lww.lww_fold_partial / merge 'partial' mode)
-            if strategy != "cow":
-                raise ValueError(
-                    "update_mode='partial' requires strategy='cow' — "
-                    "per-column resolution folds against the target state"
-                )
+            # barrier (operators.lww.lww_fold_partial / merge 'partial' mode;
+            # under strategy='mor' batches append register deltas and
+            # lake.merge.resolve_rows folds them per column at read time)
             from pyspark.sql.types import MapType
 
             physical_fields += [

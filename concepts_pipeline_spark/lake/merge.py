@@ -282,9 +282,13 @@ def _merge_into_once(
             # a MoR write stages only the delta rows — aggregates over "the
             # merged result" cannot be answered there; refuse loudly
             raise ValueError("observe_aggs is not supported under merge-on-read")
-        if update_mode != "replace" or sum_cols:
+        if update_mode not in ("replace", "partial") or sum_cols:
             # deferred set-union/sum would need union/sum (not LWW) read
-            # resolution — refuse loudly rather than silently replacing
+            # resolution — refuse loudly rather than silently replacing.
+            # 'partial' IS supported: its register rows carry everything the
+            # read-side per-column fold needs (resolve_rows dispatches on the
+            # _colv column) and the fold is associative, so append-only
+            # deltas + tiered consolidation compose exactly
             raise ValueError(
                 f"update_mode={update_mode!r}/sum_cols={sum_cols!r} is not "
                 "supported under merge-on-read; "
@@ -842,10 +846,22 @@ def _mor_append(
     data_cols = [f.name for f in new_schema.fields]
     val_cols = [
         c for c in data_cols
-        if c not in m.key_cols and c not in (HIDDEN_LSN, HIDDEN_DELETED)
+        if c not in m.key_cols and c not in ALL_HIDDEN
     ]
     field_types = {f.name: f.dataType for f in new_schema.fields}
     # tombstones carry no payload (matches the CoW delete arm)
+    extra_hidden = []
+    if HIDDEN_COLV in data_cols:
+        # partial-mode delta: the register map rides the delta row (nulled on
+        # tombstones, like payload) but the delete BARRIER must persist —
+        # read-side register resolution folds it into B
+        extra_hidden = [
+            F.when(
+                F.col(HIDDEN_DELETED),
+                F.lit(None).cast(field_types[HIDDEN_COLV]),
+            ).otherwise(F.col(HIDDEN_COLV)).alias(HIDDEN_COLV),
+            F.col(HIDDEN_DLSN),
+        ]
     keep = src.select(
         *m.key_cols,
         *[
@@ -856,6 +872,7 @@ def _mor_append(
         ],
         F.col(HIDDEN_LSN),
         F.col(HIDDEN_DELETED),
+        *extra_hidden,
     )
     new_files = table.write_data_files(
         keep, _with_schemas(m, schemas), schema_id, kind="delta"
@@ -886,25 +903,39 @@ def _mor_append(
     return stats
 
 
+def resolve_rows(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """ONE MoR read-resolution helper for the whole engine: whole-row LWW by
+    hidden ``_lsn`` — or, when the rows carry the ``_colv`` register map
+    (column-level / partial-mode tables), the per-column register fold
+    (operators.lww.lww_fold_registers; associative, so delta-subset
+    consolidation composes). Every site that folds base∪delta rows
+    (read_merged, compact, compact_tiered, point lookups, pruned reads) goes
+    through here so the two disciplines can never drift."""
+    if HIDDEN_COLV in df.columns:
+        from ..operators.lww import lww_fold_registers
+
+        val_cols = [
+            c for c in df.columns
+            if c not in key_cols and c not in ALL_HIDDEN
+        ]
+        return lww_fold_registers(df, key_cols, val_cols)
+    from ..operators.lww import lww_latest
+
+    return lww_latest(df, key_cols, lsn_col=HIDDEN_LSN, op_col=None)
+
+
 def read_merged(spark: SparkSession, table: LakeTable, version: int | None = None):
     """Snapshot read with MoR resolution: LWW by hidden _lsn over base∪delta.
 
     Buckets without deltas short-circuit (no aggregation); tombstones are KEPT
     (callers filter, same contract as the CoW read path)."""
-    from ..operators.lww import lww_latest
-
     m = table.manifest(version)
     delta_buckets = {f.bucket for f in m.files if f.kind == "delta"}
     if not delta_buckets:
         return table._read_files(spark, m, m.files)
     clean = [f for f in m.files if f.bucket not in delta_buckets]
     dirty = [f for f in m.files if f.bucket in delta_buckets]
-    resolved = lww_latest(
-        table._read_files(spark, m, dirty),
-        m.key_cols,
-        lsn_col=HIDDEN_LSN,
-        op_col=None,
-    )
+    resolved = resolve_rows(table._read_files(spark, m, dirty), m.key_cols)
     if not clean:
         return resolved
     return table._read_files(spark, m, clean).unionByName(resolved)
@@ -979,7 +1010,7 @@ def read_for_keys_df(
         F.broadcast(probe), on=list(m.key_cols), how="left_semi"
     )
     if any(f.kind == "delta" for f in files):
-        df = _lww(df, m.key_cols, lsn_col=HIDDEN_LSN, op_col=None)
+        df = resolve_rows(df, m.key_cols)
     return df
 
 
@@ -1133,7 +1164,7 @@ def read_for_keys(
             residual = F.col(key0).isin(list(keys))
         df = base_df.filter(residual)
     if any(f.kind == "delta" for f in files):
-        df = lww_latest(df, m.key_cols, lsn_col=HIDDEN_LSN, op_col=None)
+        df = resolve_rows(df, m.key_cols)
     return df
 
 
@@ -1190,11 +1221,8 @@ def compact(
             return 0
         victim_files = [f for f in m.files if f.bucket in targets]
         keep_files = [f for f in m.files if f.bucket not in targets]
-        resolved = lww_latest(
-            table._read_files(spark, m, victim_files),
-            m.key_cols,
-            lsn_col=HIDDEN_LSN,
-            op_col=None,
+        resolved = resolve_rows(
+            table._read_files(spark, m, victim_files), m.key_cols
         )
         sid = table._current_schema_id(m)
         new_files = table.write_data_files(resolved, m, sid, kind="base")
@@ -1304,21 +1332,15 @@ def compact_tiered(
         if consolidate:
             victims = [f for fs in consolidate.values() for f in fs]
             removed.update(f.path for f in victims)
-            resolved = lww_latest(
-                table._read_files(spark, m, victims),
-                m.key_cols,
-                lsn_col=HIDDEN_LSN,
-                op_col=None,
+            resolved = resolve_rows(
+                table._read_files(spark, m, victims), m.key_cols
             )
             new_files += table.write_data_files(resolved, m, sid, kind="delta")
         if fold_buckets:
             victims = [f for f in m.files if f.bucket in fold_buckets]
             removed.update(f.path for f in victims)
-            resolved = lww_latest(
-                table._read_files(spark, m, victims),
-                m.key_cols,
-                lsn_col=HIDDEN_LSN,
-                op_col=None,
+            resolved = resolve_rows(
+                table._read_files(spark, m, victims), m.key_cols
             )
             new_files += table.write_data_files(resolved, m, sid, kind="base")
         keep = [f for f in m.files if f.path not in removed]

@@ -990,8 +990,7 @@ class LakeTable:
         key — while clean buckets pass through without touching the
         aggregation (the read_merged split, applied to a pruned subset).
         No-op on pure-base subsets and tables without the hidden columns."""
-        from ..operators.lww import lww_latest
-        from .merge import HIDDEN_LSN
+        from .merge import HIDDEN_LSN, resolve_rows
 
         dirty_buckets = {f.bucket for f in files if f.kind != "base"}
         if not dirty_buckets or HIDDEN_LSN not in {
@@ -1000,12 +999,7 @@ class LakeTable:
             return self._read_files(spark, m, files)
         clean = [f for f in files if f.bucket not in dirty_buckets]
         dirty = [f for f in files if f.bucket in dirty_buckets]
-        resolved = lww_latest(
-            self._read_files(spark, m, dirty),
-            m.key_cols,
-            lsn_col=HIDDEN_LSN,
-            op_col=None,
-        )
+        resolved = resolve_rows(self._read_files(spark, m, dirty), m.key_cols)
         if not clean:
             return resolved
         return self._read_files(spark, m, clean).unionByName(resolved)

@@ -212,3 +212,95 @@ def lww_fold_partial(
         ).otherwise(F.lit("U")).alias(op_col),
     ]
     return g.select(*out)
+
+
+def lww_fold_registers(
+    df: DataFrame,
+    key_cols: list[str],
+    val_cols: list[str],
+    lsn_col: str = "_lsn",
+    deleted_col: str = "_deleted",
+    colv_col: str = "_colv",
+    dlsn_col: str = "_dlsn",
+) -> DataFrame:
+    """Merge per-key REGISTER rows (column-level CDC state rows carrying the
+    ``_colv`` version vector + ``_dlsn`` delete barrier) into one resolved
+    register row per key — the read-side resolution for partial-mode
+    merge-on-read, and the compaction fold.
+
+    Input rows are the output shape of :func:`lww_fold_partial` after the
+    merge stamped hidden columns (or base rows of a partial table): each row
+    states some columns at explicit LSNs. Resolution per key:
+
+    - ``B`` (barrier) = max over rows of (``_dlsn``, row LSN if tombstoned)
+    - each column: the max-LSN assignment across rows, kept iff newer than
+      ``B`` (the winner is the maximum, so "winner ≤ B" proves no candidate
+      survives — the same post-aggregation barrier trick as the batch fold)
+    - live iff the newest non-tombstone row LSN outranks ``B``
+
+    The operation is ASSOCIATIVE and COMMUTATIVE (each column is a
+    join-semilattice of (lsn, value) registers; the barrier only grows), so
+    size-tiered consolidation of delta subsets composes exactly — the same
+    property whole-row LWW gives plain MoR tables.
+
+    One hash aggregation, map-side partial combine, no window, no Python —
+    identical shuffle discipline to ``lww_latest``. Output column set equals
+    the input's (order preserved) so union/write sites need no adaptation.
+    """
+    NEG = F.lit(_NEG_LSN)
+    deleted = F.coalesce(F.col(deleted_col), F.lit(False))
+    lsn = F.col(lsn_col)
+    # residual tiebreak (same-LSN register duplicates): xxhash64 refuses MAP
+    # inputs, so hash the map's entry list instead (map_from_entries builds
+    # _colv in deterministic val_cols order, so entry order is stable)
+    rh = F.bitwise_not(
+        F.xxhash64(
+            *[
+                F.map_entries(F.col(c)) if c == colv_col else F.col(c)
+                for c in df.columns
+            ]
+        )
+    )
+    row_barrier = F.greatest(
+        F.coalesce(F.col(dlsn_col), NEG), F.when(deleted, lsn).otherwise(NEG)
+    )
+    row_upsert = F.when(~deleted, lsn).otherwise(NEG)
+    aggs = []
+    for c in val_cols:
+        lc = F.try_element_at(F.col(colv_col), F.lit(c))
+        order_c = F.when(
+            lc.isNotNull(), F.struct(lc.alias("l"), rh.alias("h"))
+        )
+        aggs.append(
+            F.max_by(
+                F.struct(lc.alias("l"), F.col(c).alias("v")), order_c
+            ).alias(f"__w_{c}")
+        )
+    aggs += [
+        F.max(row_barrier).alias("__b"),
+        F.max(row_upsert).alias("__u"),
+        F.max(lsn).alias("__ml"),
+    ]
+    g = df.groupBy(*key_cols).agg(*aggs)
+
+    B = F.col("__b")
+    live = F.col("__u") > B
+    exprs: dict[str, F.Column] = {k: F.col(k) for k in key_cols}
+    entries = []
+    for c in val_cols:
+        w_l, w_v = F.col(f"__w_{c}.l"), F.col(f"__w_{c}.v")
+        surv = live & w_l.isNotNull() & (w_l > B)
+        exprs[c] = F.when(surv, w_v)
+        entries.append(
+            F.struct(F.lit(c).alias("key"), F.when(surv, w_l).alias("value"))
+        )
+    exprs[lsn_col] = F.col("__ml")
+    exprs[deleted_col] = ~live
+    exprs[colv_col] = F.when(
+        live,
+        F.map_from_entries(
+            F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
+        ),
+    )
+    exprs[dlsn_col] = F.when(B > NEG, B)
+    return g.select(*[exprs[c].alias(c) for c in df.columns])

@@ -516,3 +516,79 @@ def test_partial_snapshot_diff_and_incremental_view(spark, tmp_path):
     got = {r["source"]: (r["n_rows"], r["toks"])
            for r in view.read().collect()}
     assert got == {"s2": (1, 1)}
+
+
+# ---------------------------------------------------------- merge-on-read
+
+
+def _mor_pipe(spark, tmp_path, name="pmor", **kw):
+    return _pipe(spark, tmp_path, name=name, strategy="mor", **kw)
+
+
+def test_partial_mor_replay_and_compaction_equals_cow(spark, tmp_path):
+    """MoR register deltas + read-side per-column fold equal the CoW partial
+    merge on the same out-of-order schedule; compaction (full and tiered)
+    folds registers associatively without changing the resolved state."""
+    from concepts_pipeline_spark.lake.merge import compact, compact_tiered
+
+    events = [
+        ev("a", 1, tokens=[1], n_tok=1),
+        ev("a", 4, source="s1"),
+        ev("a", 6, "D"),
+        ev("a", 8, tokens=[2, 3], n_tok=2),
+        ev("b", 2, source="x"),
+        ev("b", 3, tokens=[5], n_tok=1),
+        ev("b", 7, "D"),
+        ev("c", 5, tokens=[9], n_tok=1),
+        ev("c", 9, source="y"),
+    ]
+    expected = {"a": ([2, 3], 2, None), "c": ([9], 1, "y")}
+    mor = _mor_pipe(spark, tmp_path)
+    cow = _pipe(spark, tmp_path, name="cowtwin")
+    for j, chunk in enumerate([events[2::3], events[0::3], events[1::3]]):
+        mor.apply_batch(_batch(spark, chunk), f"m:{j}")
+        cow.apply_batch(_batch(spark, chunk), f"c:{j}")
+    assert any(f.kind == "delta" for f in mor.target.manifest().files)
+    assert _state(mor) == expected == _state(cow)
+
+    compact_tiered(spark, mor.target, fanout=1)
+    assert _state(mor) == expected
+    compact(spark, mor.target, max_delta_files_per_bucket=0)
+    m = mor.target.manifest()
+    assert all(f.kind == "base" for f in m.files)
+    assert _state(mor) == expected
+    # post-compaction ordering: an older redelivered assignment still loses,
+    # a genuinely-new column on a never-again-set slot still wins
+    mor.apply_batch(
+        _batch(spark, [ev("a", 5, source="old"), ev("c", 6, n_tok=None,
+                                                    tokens=None, source=None)]),
+        "m:post",
+    )
+    assert _state(mor)["a"] == ([2, 3], 2, None)
+
+
+def test_partial_mor_point_lookup_and_pruned_read(spark, tmp_path):
+    """read_for_keys and read_where on a partial MoR table route through the
+    register fold (resolve_rows dispatch): lookups see per-column state, and
+    value predicates are applied only AFTER resolution."""
+    from concepts_pipeline_spark.lake.merge import read_for_keys
+
+    pipe = _mor_pipe(spark, tmp_path, name="look")
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 1, tokens=[1], n_tok=1, source="s1"),
+                       ev("b", 2, tokens=[2], n_tok=1, source="s2")]), "l1"
+    )
+    # sparse delta moves a's source without restating tokens
+    pipe.apply_batch(_batch(spark, [ev("a", 5, source="s9")]), "l2")
+    got = {
+        r["doc_id"]: (r["tokens"], r["source"])
+        for r in read_for_keys(spark, pipe.target, ["a"]).collect()
+    }
+    assert got == {"a": ([1], "s9")}
+    # read_where on source: the raw base row for 'a' says s1 — filtering
+    # before resolution would wrongly return it; after resolution it is s9
+    t = pipe.target
+    rows = t.read_where(spark, "source", "s1").collect()
+    assert [r["doc_id"] for r in rows] == []
+    rows = t.read_where(spark, "source", "s9").collect()
+    assert [(r["doc_id"], r["tokens"]) for r in rows] == [("a", [1])]

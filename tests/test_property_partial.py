@@ -76,9 +76,10 @@ def python_oracle(rows):
     max_examples=10, deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
-@given(evs=events_list, split=splits, reverse=st.booleans())
+@given(evs=events_list, split=splits, reverse=st.booleans(),
+       strategy=st.sampled_from(["cow", "mor"]))
 def test_any_sparse_replay_matches_python_fold(
-    spark, tmp_path_factory, evs, split, reverse
+    spark, tmp_path_factory, evs, split, reverse, strategy
 ):
     rows = []
     for lsn, (doc, op, has_t, toks, has_s, src) in enumerate(evs):
@@ -98,7 +99,7 @@ def test_any_sparse_replay_matches_python_fold(
     pipe = CdcPipeline(
         spark, str(root / "t"), SCHEMA, ["doc_id"],
         quarantine_path=str(root / "q"),
-        num_buckets=2, update_mode="partial",
+        num_buckets=2, update_mode="partial", strategy=strategy,
     )
     n_batches = max(split) + 1
     order = range(n_batches)

@@ -371,6 +371,28 @@ def main() -> None:
     sections.append(("column-level CDC fold — one partial+final aggregation",
                      p))
 
+    # 17. partial-MoR register fold (operators/lww.lww_fold_registers): the
+    # read-side resolution of base∪delta register rows is the SAME
+    # one-aggregation shape — map-side partial combine, no window, no Python
+    from concepts_pipeline_spark.operators.lww import lww_fold_registers
+
+    regs = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string, "
+            "_lsn long, _deleted boolean, _colv map<string,bigint>, _dlsn long"
+    )
+    p = explain_str(
+        lww_fold_registers(regs, ["doc_id"], ["tokens", "n_tok", "source"])
+    )
+    results.append(check("register fold has map-side partial max_by", p,
+                         r"partial_max_by"))
+    results.append(check("register fold has NO window", p, r"\bWindow\b",
+                         must_match=False))
+    results.append(check("register fold has NO Python node", p,
+                         r"(ArrowEvalPython|BatchEvalPython|MapInPandas)",
+                         must_match=False))
+    sections.append(("partial-MoR register fold — read-side per-column "
+                     "resolution, one aggregation", p))
+
     with open("PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`python tools/plan_audit.py`)\n\n")
         fh.write("Asserted properties (see tool for the exact regexes):\n\n")
