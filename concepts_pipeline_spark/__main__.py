@@ -4,7 +4,7 @@ mains (ingestor/aggregator/recorder Main.scala) plus the CDC/lake lifecycle:
   python -m concepts_pipeline_spark ingest    --input <gz-ndjson…> --table <dir> [--authority lc-subjects]
   python -m concepts_pipeline_spark aggregate --input <works-parquet> --json-col doc --key-col work_id --table <dir>
   python -m concepts_pipeline_spark record    --catalogue <dir> --authoritative <dir> --out <dir>
-  python -m concepts_pipeline_spark replay    --feed <parquet-dir> --target <dir> [--strategy cow|mor] [--batch-col batch_id]
+  python -m concepts_pipeline_spark replay    --feed <parquet-dir> --target <dir> [--strategy cow|mor] [--update-mode replace|partial] [--batch-col batch_id]
   python -m concepts_pipeline_spark stream    --feed <dir> --target <dir> --checkpoint <dir>
   python -m concepts_pipeline_spark compact   --table <dir> [--max-delta-files 4]
   python -m concepts_pipeline_spark expire    --table <dir> [--keep-last 2]
@@ -165,6 +165,7 @@ def cmd_replay(args) -> dict:
         changes_path=args.changes,
         num_buckets=args.buckets,
         strategy=args.strategy,
+        update_mode=args.update_mode,
     )
     results = []
     if args.batch_col and args.batch_col in feed.columns:
@@ -200,6 +201,7 @@ def cmd_stream(args) -> dict:
         lineage_path=args.lineage,
         num_buckets=args.buckets,
         strategy=args.strategy,
+        update_mode=args.update_mode,
     )
     audit = None
     if args.wap_max_delete_frac is not None:
@@ -612,6 +614,10 @@ def build_parser() -> argparse.ArgumentParser:
         g.add_argument("--lineage", default=None)
         g.add_argument("--buckets", type=int, default=16)
         g.add_argument("--strategy", default="cow", choices=["cow", "mor"])
+        g.add_argument("--update-mode", default="replace",
+                       choices=["replace", "partial"],
+                       help="'partial' = column-level CDC: sparse after-"
+                            "images fold through per-column LWW registers")
         g.add_argument("--feed-format", default="parquet",
                        choices=["parquet", "jsonl", "csv", "debezium"])
         if name == "replay":

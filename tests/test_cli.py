@@ -448,3 +448,25 @@ def test_cli_stream_wap_delete_gate_mor(spark, tmp_path, capsys):
     # permissive gate from the same checkpoint: the gated batch re-delivers
     out = run(capsys, argv[:-1] + ["1.0"])
     assert out["final_rows"] == 1
+
+
+def test_cli_replay_partial_update_mode(spark, tmp_path, capsys):
+    """--update-mode partial: sparse-after-image replay through the CLI, both
+    strategies, equal final state."""
+    from concepts_pipeline_spark.cdc.derive import derived_sparse_change_log
+
+    feed = derived_sparse_change_log(spark, SF).withColumn(
+        "batch_id", F.pmod(F.col("lsn"), F.lit(3))
+    )
+    feed.write.parquet(f"file://{tmp_path}/sfeed")
+    states = {}
+    for strat in ("cow", "mor"):
+        target = str(tmp_path / f"tok-{strat}")
+        out = run(capsys, [
+            "replay", "--feed", f"file://{tmp_path}/sfeed", "--target", target,
+            "--strategy", strat, "--update-mode", "partial",
+            "--quarantine", str(tmp_path / f"q-{strat}"),
+        ])
+        assert len(out["batches"]) == 3
+        states[strat] = out["final_rows"]
+    assert states["cow"] == states["mor"] > 0
