@@ -231,11 +231,6 @@ def test_partial_fence_replay_is_noop(spark, tmp_path):
     assert not r1.stats.skipped
 
 
-def test_partial_requires_cow(spark, tmp_path):
-    with pytest.raises(ValueError, match="strategy='cow'"):
-        _pipe(spark, tmp_path, name="morfail", strategy="mor")
-
-
 def test_partial_merge_requires_folded_source(spark, tmp_path):
     """merge_into(update_mode='partial') refuses a table without the hidden
     version-vector columns."""
