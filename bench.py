@@ -277,7 +277,8 @@ def main():
         "ann_recall": measured_ann_recall(spark, SF_DIR),
         "notes": "BASELINE.md: 272.3k ev/s @8 pinned cores (19.4M-event MoR"
                  " replay), eff 0.892 CPU-conserved; WAP 0.830; cluster_by"
-                 " eff 0.796 @1.87M rows",
+                 " eff 0.796 @1.87M rows; column-level (partial) apply at"
+                 " parity with whole-row on the same-session 17.6M control",
     }
     # row counts are a regression aid, not driver contract — keep them OFF
     # stdout so the final JSON line stays small enough for the driver's

@@ -587,3 +587,44 @@ def test_partial_mor_point_lookup_and_pruned_read(spark, tmp_path):
     assert [r["doc_id"] for r in rows] == []
     rows = t.read_where(spark, "source", "s9").collect()
     assert [(r["doc_id"], r["tokens"]) for r in rows] == [("a", [1])]
+
+
+# --------------------------------------- replication / index composition
+
+
+def test_partial_table_replication_and_token_index(spark, tmp_path):
+    """Downstream surfaces compose with a partial-mode primary: the replica
+    mirrors the LOGICAL state (its own hidden columns — register machinery
+    stays private to the primary), digests match, and a TokenIndex maintained
+    from the primary's CDF answers lookups over sparse updates."""
+    from concepts_pipeline_spark.lake.index import TokenIndex
+    from concepts_pipeline_spark.lake.replicate import Replica, verify_replica
+
+    pipe = _pipe(spark, tmp_path, name="prim")
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 1, tokens=[7, 8], n_tok=2, source="s1"),
+                       ev("b", 2, tokens=[8], n_tok=1, source="s2")]), "r1"
+    )
+    rep = Replica(spark, pipe.target, str(tmp_path / "rep"), num_buckets=2)
+    rep.refresh()
+    assert verify_replica(spark, pipe.target, rep)
+
+    ix = TokenIndex(spark, pipe.target, str(tmp_path / "ix"), num_shards=2)
+    ix.refresh()
+    assert {r["doc_id"] for r in ix.lookup([8]).collect()} == {"a", "b"}
+
+    # sparse updates: a's tokens restated (drops 8), b deleted
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 5, tokens=[7], n_tok=1), ev("b", 6, "D")]), "r2"
+    )
+    rep.refresh()
+    assert verify_replica(spark, pipe.target, rep)
+    got = {
+        r["doc_id"]: (r["tokens"], r["source"])
+        for r in rep.table.read(spark).filter(~F.coalesce(
+            F.col("_deleted"), F.lit(False))).collect()
+    }
+    assert got == {"a": ([7], "s1")}
+    ix.refresh()
+    assert ix.lookup([8]).count() == 0
+    assert {r["doc_id"] for r in ix.lookup([7]).collect()} == {"a"}
