@@ -301,6 +301,54 @@ def cdc_partial_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
 
 
+def cdc_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-snapshot synchronization (CdcPipeline.sync_snapshot): after two
+    change batches, the table is synced to a complete deterministic dump —
+    upserts for every dump row plus synthesized deletes for every live key
+    absent from it, all at ONE LSN (max applied + 1) — then the remaining two
+    batches apply on top. The reference re-ingests full works snapshots but
+    upserts alone can never express a source-side deletion
+    (ref: aggregator/.../WorksSnapshotSource.scala bulk replay); here the
+    sync is one fenced batch on the normal apply path, so racing-ahead CDC
+    events (higher LSN) still win and stale redeliveries still lose. The
+    oracle folds the same three phases declaratively: prefix state → snapshot
+    point (tail events win iff STRICTLY newer — the sync occupies its LSN
+    slot, same convention as predicate DML) → tail fold."""
+    log = derived_change_log(spark, sf_dir)
+    root = _scratch_dir("cps-syncsnap-")
+    pipe = CdcPipeline(
+        spark,
+        target_path=f"{root}/tokens",
+        target_schema=TOKENS_SCHEMA,
+        key_cols=["doc_id"],
+        quarantine_path=f"{root}/quarantine",
+        num_buckets=16,
+        salt_buckets=4,
+    )
+    for b in (0, 1):
+        pipe.apply_batch(
+            log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b), f"sync:{b}"
+        )
+    # deterministic complete dump: every doc_id (seen anywhere in the log)
+    # whose md5 starts 0-7, with derived payload — replayable in DuckDB
+    snap = (
+        log.select("doc_id").distinct()
+        .filter(F.substring(F.md5(F.col("doc_id")), 1, 1).isin(*"01234567"))
+        .select(
+            "doc_id",
+            F.array(F.length("doc_id").cast("int")).alias("tokens"),
+            F.lit(1).cast("int").alias("n_tok"),
+            F.lit("snap").alias("source"),
+        )
+    )
+    pipe.sync_snapshot(snap, "sync:snap")
+    for b in (2, 3):
+        pipe.apply_batch(
+            log.filter(F.pmod(F.col("lsn"), F.lit(4)) == b), f"sync:{b}"
+        )
+    return pipe.final_state().select("doc_id", _j("tokens"), "n_tok", "source")
+
+
 def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same 4-batch out-of-order replay through write-audit-publish: each
     batch is staged on a branch (its own manifest chain sharing the data dir),
@@ -2359,6 +2407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is new this session — first-50 slot paid by rotating
         # cdc_outbox_from_cdf (driver-green r4) past 50
         "cdc_partial_mor": cdc_partial_mor,
+        # full-snapshot synchronization is new this session — first-50 slot
+        # paid by rotating cdc_quarantine_redrive (driver-green r4) past 50
+        "cdc_snapshot_sync": cdc_snapshot_sync,
         "cdc_stream_final_state": cdc_stream_final_state,
         # z-order clustering is new this round — it takes the first-50 slot
         # of the long-stable cdc_bootstrap_handoff (r4 driver green, same
@@ -2378,7 +2429,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IDF-ranked index search is new this round — it takes the first-50
         # slot of the long-stable r1-green q1_pricing_summary, rotated past 50
         "cdc_index_ranked": cdc_index_ranked,
-        "cdc_quarantine_redrive": cdc_quarantine_redrive,
         "cdc_incremental_agg": cdc_incremental_agg,
         # size-tiered maintenance is new this round — it takes the first-50
         # slot of the long-stable cdc_schema_evolution (r4 driver green)
@@ -2399,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_quarantine_counts": cdc_quarantine_counts,
         "cdc_outbox_from_cdf": cdc_outbox_from_cdf,
+        "cdc_quarantine_redrive": cdc_quarantine_redrive,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh,
         "dedup_survivors_lsh": q_dedup_survivors_lsh,
@@ -2565,6 +2616,56 @@ FROM ({SPARSE_FINAL_STATE_SQL})
 """
 
 
+
+# Snapshot-sync spec: prefix fold -> sync point (upsert every dump key at L,
+# delete every live non-dump key at L; L = max valid prefix LSN + 1) -> tail
+# fold, tail wins only if STRICTLY newer than the row it meets.
+SNAPSHOT_SYNC_SQL = f"""
+WITH {LOG_CTE_SQL},
+tagged AS (SELECT *, {REASON_SQL} AS reject_reason FROM log),
+valid AS (SELECT * FROM tagged WHERE reject_reason IS NULL),
+b01 AS (SELECT * FROM valid WHERE lsn % 4 IN (0, 1)),
+s1 AS (SELECT doc_id, op, lsn,
+              row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+       FROM b01),
+state1 AS (SELECT doc_id, lsn, (op <> 'D') AS live FROM s1 WHERE rn = 1),
+lv AS (SELECT coalesce(max(lsn), 0) + 1 AS L FROM b01),
+snapk AS (SELECT DISTINCT doc_id FROM log
+          WHERE substr(md5(doc_id), 1, 1) IN
+                ('0','1','2','3','4','5','6','7')),
+post AS (
+  SELECT coalesce(sk.doc_id, st.doc_id) AS doc_id,
+         CASE WHEN sk.doc_id IS NOT NULL THEN lv.L
+              WHEN st.live THEN lv.L
+              ELSE st.lsn END AS lsn,
+         (sk.doc_id IS NOT NULL) AS live,
+         (sk.doc_id IS NOT NULL) AS from_snap
+  FROM snapk sk FULL OUTER JOIN state1 st ON sk.doc_id = st.doc_id
+  CROSS JOIN lv
+),
+b23 AS (SELECT * FROM valid WHERE lsn % 4 IN (2, 3)),
+t1 AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+       FROM b23),
+tw AS (SELECT * FROM t1 WHERE rn = 1),
+final AS (
+  SELECT coalesce(tw.doc_id, p.doc_id) AS doc_id,
+         CASE WHEN tw.doc_id IS NOT NULL AND tw.lsn > coalesce(p.lsn, -1)
+              THEN tw.op <> 'D' ELSE coalesce(p.live, FALSE) END AS live,
+         (tw.doc_id IS NOT NULL AND tw.lsn > coalesce(p.lsn, -1)) AS tail_wins,
+         tw.tokens AS t_tokens, tw.n_tok AS t_n_tok, tw.source AS t_source,
+         coalesce(p.from_snap, FALSE) AS from_snap
+  FROM tw FULL OUTER JOIN post p ON tw.doc_id = p.doc_id
+)
+SELECT doc_id,
+       CAST(to_json(CASE WHEN tail_wins THEN t_tokens
+                         ELSE [CAST(length(doc_id) AS INT)] END) AS VARCHAR)
+         AS tokens,
+       CASE WHEN tail_wins THEN t_n_tok ELSE 1 END AS n_tok,
+       CASE WHEN tail_wins THEN t_source ELSE 'snap' END AS source
+FROM final WHERE live
+"""
+
+
 def _hash_split_case_sql(
     splits: dict[str, float] | None = None, salt: str = "split-v1"
 ) -> str:
@@ -2594,6 +2695,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "cdc_replay_mor": FINAL_STATE_JSON_SQL,
         "cdc_partial_columns": SPARSE_FINAL_STATE_JSON_SQL,
         "cdc_partial_mor": SPARSE_FINAL_STATE_JSON_SQL,
+        "cdc_snapshot_sync": SNAPSHOT_SYNC_SQL,
         "cdc_metadata_bounds": (
             "SELECT CAST(min(n_tok) AS INT) AS min_n_tok, "
             "CAST(max(n_tok) AS INT) AS max_n_tok "

@@ -162,6 +162,7 @@ def bench_queries(spark):
         "cdc_replay_debezium": run_named("cdc_replay_debezium"),
         "cdc_partial_columns": run_named("cdc_partial_columns"),
         "cdc_partial_mor": run_named("cdc_partial_mor"),
+        "cdc_snapshot_sync": run_named("cdc_snapshot_sync"),
         "cdc_lww": run_named("cdc_lww_latest"),
         "exact_dedup": run_named("exact_dedup"),
         "minhash_lsh_3gram": lambda: materialize(

@@ -327,6 +327,7 @@ class CdcPipeline:
         batch: DataFrame,
         fence_token: str,
         on_reject: str = "quarantine",
+        _update_mode: str | None = None,
     ) -> ApplyResult:
         """Validate + LWW + fenced merge + lineage for one change batch.
 
@@ -382,7 +383,7 @@ class CdcPipeline:
             valid_event_expr(
                 vocab_size=self.vocab_size,
                 n_tok_col="n_tok" if "n_tok" in batch.columns else None,
-                partial=self.update_mode == "partial",
+                partial=(_update_mode or self.update_mode) == "partial",
             ),
         )
 
@@ -451,7 +452,7 @@ class CdcPipeline:
             rows_in = probe["rows_in"]
             touched_buckets = [int(b) for b in probe["buckets"]]
 
-        if self.update_mode == "partial":
+        if (_update_mode or self.update_mode) == "partial":
             # column-level CDC: per-COLUMN LWW fold (sparse after-images);
             # emits the _colv version vector + _dlsn barrier the merge needs.
             # Same shape as lww_latest's agg path: one hash aggregation with
@@ -484,7 +485,7 @@ class CdcPipeline:
             self.target,
             source,
             op_col=self.op_col,
-            update_mode=self.update_mode,
+            update_mode=_update_mode or self.update_mode,
             array_union_cols=self.array_union_cols,
             fence_token=fence_token,
             lsn_col=self.lsn_col,
@@ -627,6 +628,93 @@ class CdcPipeline:
                 continue
             main.drop_branch(name)
             return result
+
+    def sync_snapshot(
+        self,
+        snapshot: DataFrame,
+        fence_token: str,
+        lsn: int | None = None,
+        on_reject: str = "quarantine",
+        null_means: str = "clear",
+    ) -> ApplyResult:
+        """Full-snapshot synchronization: make the table equal a complete
+        source dump, as ONE fenced change batch on the normal apply path.
+
+        The reference periodically re-ingests the full works snapshot
+        (ref: aggregator/.../WorksSnapshotSource.scala bulk replay) but a
+        document REMOVED at the source can never disappear — upserts alone
+        cannot express deletion. Here the snapshot becomes upserts for every
+        dump row plus synthesized deletes for every currently-live key ABSENT
+        from the dump, all stamped with one LSN (``max(_lsn)+1`` by default —
+        the same "one point on the total order" discipline as predicate DML,
+        lake/mutate.py): CDC events that raced ahead of the dump (higher LSN)
+        still win, stale redeliveries behind it still lose, and a crashed
+        sync replays idempotently (the fence short-circuits; the derived
+        batch is recomputed from the same table state otherwise).
+
+        ``snapshot`` carries the payload columns (no op/lsn). Keys absent
+        from BOTH the dump and the live table are untouched — including
+        tombstones, whose LSN memory must keep suppressing their own stale
+        redeliveries. Works under every table mode (replace / partial ×
+        cow / mor): the synthesized batch is ordinary events.
+
+        ``null_means`` matters only on PARTIAL-mode tables, where the apply
+        path normally reads NULL as "no statement": a COMPLETE dump's NULL
+        means the column IS null, so the default ``'clear'`` routes the sync
+        through the whole-row merge (which states every column at the sync
+        LSN — registers stay coherent, exactly the DML discipline).
+        ``'keep'`` opts into sparse-dump semantics: NULL columns preserve the
+        table's current values (per-column registers decide).
+
+        Scale: the dump scan is the unavoidable cost; the live-key side is a
+        key-and-LSN-only column-pruned read, and the delete synthesis is one
+        hash LEFT ANTI join on the key — no window, no Python. A sync
+        inherently touches every live bucket (it makes a statement about the
+        whole key space).
+        """
+        key_cols = self.key_cols
+        if lsn is None:
+            if self.target.has_fence_token(fence_token):
+                lsn = 0  # replayed sync: apply_batch short-circuits unread
+            else:
+                from ..lake.mutate import _next_lsn
+
+                lsn = _next_lsn(self.spark, self.target, self.target.manifest())
+        payload_cols = [
+            f.name for f in self.user_schema.fields if f.name not in key_cols
+        ]
+        ups = snapshot.select(
+            *key_cols,
+            *[F.col(c) for c in payload_cols],
+        ).withColumn(self.op_col, F.lit("U")).withColumn(
+            self.lsn_col, F.lit(lsn).cast("long")
+        )
+        live_keys = self.final_state().select(*key_cols)
+        dels = (
+            live_keys.join(
+                snapshot.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+            )
+            .select(
+                *key_cols,
+                *[
+                    F.lit(None).cast(self.user_schema[c].dataType).alias(c)
+                    for c in payload_cols
+                ],
+            )
+            .withColumn(self.op_col, F.lit("D"))
+            .withColumn(self.lsn_col, F.lit(lsn).cast("long"))
+        )
+        if null_means not in ("clear", "keep"):
+            raise ValueError("null_means must be 'clear' or 'keep'")
+        forced = (
+            "replace"
+            if (null_means == "clear" and self.update_mode == "partial")
+            else None
+        )
+        return self.apply_batch(
+            ups.unionByName(dels), fence_token, on_reject=on_reject,
+            _update_mode=forced,
+        )
 
     def redrive_quarantine(
         self,

@@ -854,12 +854,22 @@ def _mor_append(
     if HIDDEN_COLV in data_cols:
         # partial-mode delta: the register map rides the delta row (nulled on
         # tombstones, like payload) but the delete BARRIER must persist —
-        # read-side register resolution folds it into B
+        # read-side register resolution folds it into B. A LIVE delta row
+        # WITHOUT a register map is a whole-row statement (replace-mode
+        # source on a register table — snapshot sync, DML): it states every
+        # column at its row LSN, so synthesize the full map here; otherwise
+        # the read-side fold would see no assignments and lose the values.
+        full_map = F.map_from_arrays(
+            F.array(*[F.lit(c) for c in val_cols]),
+            F.array_repeat(F.col(HIDDEN_LSN).cast("long"), len(val_cols)),
+        )
         extra_hidden = [
             F.when(
                 F.col(HIDDEN_DELETED),
                 F.lit(None).cast(field_types[HIDDEN_COLV]),
-            ).otherwise(F.col(HIDDEN_COLV)).alias(HIDDEN_COLV),
+            )
+            .otherwise(F.coalesce(F.col(HIDDEN_COLV), full_map))
+            .alias(HIDDEN_COLV),
             F.col(HIDDEN_DLSN),
         ]
     keep = src.select(
