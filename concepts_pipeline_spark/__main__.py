@@ -170,10 +170,17 @@ def cmd_replay(args) -> dict:
     results = []
     if args.batch_col and args.batch_col in feed.columns:
         batch_ids = sorted(
-            r[0] for r in feed.select(args.batch_col).distinct().collect()
+            (r[0] for r in feed.select(args.batch_col).distinct().collect()),
+            key=lambda b: (b is None, b),
         )
         for b in batch_ids:
-            batch = feed.filter(F.col(args.batch_col) == b).drop(args.batch_col)
+            # eqNullSafe: a feed without batch ids reads the column as NULL
+            # (the canonical schema carries it), and `== NULL` would silently
+            # replay ZERO events — null-safe equality keeps those rows in one
+            # NULL-batch group instead
+            batch = feed.filter(
+                F.col(args.batch_col).eqNullSafe(F.lit(b))
+            ).drop(args.batch_col)
             r = pipe.apply_batch(batch, fence_token=f"replay:{b}")
             results.append({"batch": b, "applied": r.stats.applied,
                             "quarantined": r.quarantined,
@@ -183,6 +190,38 @@ def cmd_replay(args) -> dict:
         results.append({"batch": "all", "applied": r.stats.applied,
                         "quarantined": r.quarantined, "skipped": r.stats.skipped})
     return {"batches": results, "final_rows": pipe.final_state().count()}
+
+
+def cmd_sync_snapshot(args) -> dict:
+    """Sync the tokens table to a complete dump (upserts + derived deletes,
+    one fenced batch at max(_lsn)+1 — see CdcPipeline.sync_snapshot)."""
+    from pyspark.sql.types import StructType
+
+    from .cdc.apply import CdcPipeline
+
+    spark = _spark("cps-sync-snapshot")
+    pipe = CdcPipeline(
+        spark,
+        target_path=args.target,
+        target_schema=StructType.fromDDL(args.schema),
+        key_cols=args.keys.split(","),
+        quarantine_path=args.quarantine,
+        lineage_path=args.lineage,
+        num_buckets=args.buckets,
+        strategy=args.strategy,
+        update_mode=args.update_mode,
+    )
+    snap = spark.read.parquet(args.snapshot)
+    r = pipe.sync_snapshot(
+        snap, fence_token=args.fence, null_means=args.null_means
+    )
+    return {
+        "skipped": r.stats.skipped,
+        "applied": r.stats.applied,
+        "deleted": r.stats.deleted,
+        "quarantined": r.quarantined,
+        "final_rows": pipe.final_state().count(),
+    }
 
 
 def cmd_stream(args) -> dict:
@@ -631,6 +670,25 @@ def build_parser() -> argparse.ArgumentParser:
                                 "publish; reject if staged deletes exceed this "
                                 "fraction of the pre-batch live count")
         g.set_defaults(fn=fn)
+
+    g = sub.add_parser(
+        "sync-snapshot",
+        help="sync the table to a COMPLETE dump (upserts + derived deletes, "
+             "one fenced batch)",
+    )
+    g.add_argument("--snapshot", required=True, help="parquet dir of the dump")
+    g.add_argument("--target", required=True)
+    g.add_argument("--schema", default=TOKENS_SCHEMA_DDL)
+    g.add_argument("--keys", default="doc_id")
+    g.add_argument("--quarantine", default=None)
+    g.add_argument("--lineage", default=None)
+    g.add_argument("--buckets", type=int, default=16)
+    g.add_argument("--strategy", default="cow", choices=["cow", "mor"])
+    g.add_argument("--update-mode", default="replace",
+                   choices=["replace", "partial"])
+    g.add_argument("--null-means", default="clear", choices=["clear", "keep"])
+    g.add_argument("--fence", required=True)
+    g.set_defaults(fn=cmd_sync_snapshot)
 
     g = sub.add_parser("compact", help="fold merge-on-read deltas back to base files")
     g.add_argument("--table", required=True)

@@ -100,3 +100,28 @@ def test_sync_snapshot_duplicate_dump_keys_resolve_deterministically(
     pipe2 = _pipe(spark, tmp_path, "dup2")
     pipe2.sync_snapshot(snap, "s1")
     assert _state(pipe2) == first and set(first) == {"a"}
+
+
+def test_cli_sync_snapshot(spark, tmp_path, capsys):
+    import json
+
+    from concepts_pipeline_spark.__main__ import main
+
+    spark.createDataFrame(
+        [("a", 1, "U", [1], 1, "s"), ("b", 2, "U", [2], 1, "s")], EV_DDL
+    ).write.parquet(f"file://{tmp_path}/feed")
+    target = str(tmp_path / "t")
+    assert main([
+        "replay", "--feed", f"file://{tmp_path}/feed", "--target", target,
+        "--quarantine", str(tmp_path / "q"),
+    ]) == 0
+    capsys.readouterr()
+    spark.createDataFrame([("a", [9], 1, "snap")], SNAP_DDL).write.parquet(
+        f"file://{tmp_path}/dump"
+    )
+    assert main([
+        "sync-snapshot", "--snapshot", f"file://{tmp_path}/dump",
+        "--target", target, "--fence", "sync1",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["final_rows"] == 1 and out["deleted"] == 1
