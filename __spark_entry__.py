@@ -2638,8 +2638,7 @@ post AS (
          CASE WHEN sk.doc_id IS NOT NULL THEN lv.L
               WHEN st.live THEN lv.L
               ELSE st.lsn END AS lsn,
-         (sk.doc_id IS NOT NULL) AS live,
-         (sk.doc_id IS NOT NULL) AS from_snap
+         (sk.doc_id IS NOT NULL) AS live
   FROM snapk sk FULL OUTER JOIN state1 st ON sk.doc_id = st.doc_id
   CROSS JOIN lv
 ),
@@ -2652,8 +2651,7 @@ final AS (
          CASE WHEN tw.doc_id IS NOT NULL AND tw.lsn > coalesce(p.lsn, -1)
               THEN tw.op <> 'D' ELSE coalesce(p.live, FALSE) END AS live,
          (tw.doc_id IS NOT NULL AND tw.lsn > coalesce(p.lsn, -1)) AS tail_wins,
-         tw.tokens AS t_tokens, tw.n_tok AS t_n_tok, tw.source AS t_source,
-         coalesce(p.from_snap, FALSE) AS from_snap
+         tw.tokens AS t_tokens, tw.n_tok AS t_n_tok, tw.source AS t_source
   FROM tw FULL OUTER JOIN post p ON tw.doc_id = p.doc_id
 )
 SELECT doc_id,

@@ -154,7 +154,10 @@ def cmd_replay(args) -> dict:
     spark = _spark("cps-replay")
     from .cdc.feed import read_change_feed
 
-    feed = read_change_feed(spark, args.feed, feed_format=args.feed_format)
+    feed = read_change_feed(
+        spark, args.feed, feed_format=args.feed_format,
+        toast_sentinel=args.toast_sentinel,
+    )
     pipe = CdcPipeline(
         spark,
         target_path=args.target,
@@ -276,9 +279,17 @@ def cmd_stream(args) -> dict:
             )
             return before == 0 or dels <= frac * before
 
-    schema = spark.read.parquet(args.feed).schema
+    # schema inference only makes sense for a parquet feed; other formats
+    # read under the canonical change-log schema inside run_stream
+    schema = (
+        spark.read.parquet(args.feed).schema
+        if args.feed_format == "parquet"
+        else None
+    )
     h = run_stream(
         spark, pipe, args.feed, args.checkpoint,
+        feed_format=args.feed_format,
+        toast_sentinel=args.toast_sentinel,
         max_files_per_trigger=args.max_files_per_trigger, schema=schema,
         audit=audit,
     )
@@ -482,7 +493,9 @@ def cmd_lookup(args) -> dict:
     got = read_for_keys(spark, t, args.key, version=args.version)
     if HIDDEN_DELETED in got.columns:
         got = got.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
-        got = got.drop(HIDDEN_LSN, HIDDEN_DELETED)
+        # drop ALL hidden engine columns (partial-mode tables also carry
+        # _colv/_dlsn — internal state must not leak into CLI output rows)
+        got = got.drop(*[c for c in got.columns if c.startswith("_")])
     rows = [r.asDict() for r in got.collect()]
     hits = {str(r[t.manifest().key_cols[0]]) for r in rows}
     return {"requested": len(args.key), "found": len(rows),
@@ -537,7 +550,7 @@ def cmd_scan(args) -> dict:
     df = t.read_where_all(spark, preds, version=m.version)
     if HIDDEN_DELETED in df.columns:
         df = df.filter(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
-        df = df.drop(HIDDEN_LSN, HIDDEN_DELETED)
+        df = df.drop(*[c for c in df.columns if c.startswith("_")])
     rows = [r.asDict() for r in df.limit(args.limit).collect()]
     out["returned"] = len(rows)
     out["rows"] = rows
@@ -657,6 +670,10 @@ def build_parser() -> argparse.ArgumentParser:
                        choices=["replace", "partial"],
                        help="'partial' = column-level CDC: sparse after-"
                             "images fold through per-column LWW registers")
+        g.add_argument("--toast-sentinel", default=None,
+                       help="debezium format only: map this sentinel string "
+                            "(unchanged TOASTed columns) to no-statement "
+                            "NULLs — pair with --update-mode partial")
         g.add_argument("--feed-format", default="parquet",
                        choices=["parquet", "jsonl", "csv", "debezium"])
         if name == "replay":

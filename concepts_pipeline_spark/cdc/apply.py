@@ -328,6 +328,7 @@ class CdcPipeline:
         fence_token: str,
         on_reject: str = "quarantine",
         _update_mode: str | None = None,
+        _merge_max_retries: int = 2,
     ) -> ApplyResult:
         """Validate + LWW + fenced merge + lineage for one change batch.
 
@@ -495,6 +496,7 @@ class CdcPipeline:
             # classification (and thus the outbox) is only available under CoW
             changes_table=self.changes if self.strategy == "cow" else None,
             strategy=self.strategy,
+            max_retries=_merge_max_retries,
         )
 
         if self.lineage is not None and not stats.skipped:
@@ -672,49 +674,93 @@ class CdcPipeline:
         inherently touches every live bucket (it makes a statement about the
         whole key space).
         """
-        key_cols = self.key_cols
-        if lsn is None:
-            if self.target.has_fence_token(fence_token):
-                lsn = 0  # replayed sync: apply_batch short-circuits unread
-            else:
-                from ..lake.mutate import _next_lsn
-
-                lsn = _next_lsn(self.spark, self.target, self.target.manifest())
-        payload_cols = [
-            f.name for f in self.user_schema.fields if f.name not in key_cols
-        ]
-        ups = snapshot.select(
-            *key_cols,
-            *[F.col(c) for c in payload_cols],
-        ).withColumn(self.op_col, F.lit("U")).withColumn(
-            self.lsn_col, F.lit(lsn).cast("long")
-        )
-        live_keys = self.final_state().select(*key_cols)
-        dels = (
-            live_keys.join(
-                snapshot.select(*key_cols).distinct(), on=key_cols, how="left_anti"
-            )
-            .select(
-                *key_cols,
-                *[
-                    F.lit(None).cast(self.user_schema[c].dataType).alias(c)
-                    for c in payload_cols
-                ],
-            )
-            .withColumn(self.op_col, F.lit("D"))
-            .withColumn(self.lsn_col, F.lit(lsn).cast("long"))
-        )
         if null_means not in ("clear", "keep"):
             raise ValueError("null_means must be 'clear' or 'keep'")
+        from ..lake.table import CommitConflict
+
+        key_cols = self.key_cols
         forced = (
             "replace"
             if (null_means == "clear" and self.update_mode == "partial")
             else None
         )
-        return self.apply_batch(
-            ups.unionByName(dels), fence_token, on_reject=on_reject,
-            _update_mode=forced,
-        )
+        snap_cols = set(snapshot.columns)
+        missing_keys = [k for k in key_cols if k not in snap_cols]
+        if missing_keys:
+            raise ValueError(f"snapshot is missing key column(s) {missing_keys}")
+
+        # CommitConflict discipline (same as lake/mutate._apply_dml): the
+        # batch is DERIVED from a snapshot of the table (live keys, max LSN)
+        # — a retry that reused it after a concurrent commit would carry a
+        # duplicate LSN and a stale delete set (keys made live by the winner
+        # would silently survive a dump they are absent from). So the merge's
+        # internal same-batch retry is disabled and the WHOLE statement
+        # (LSN stamp, delete synthesis) recomputes per attempt here.
+        attempt = 0
+        while True:
+            m = self.target.manifest()
+            if lsn is not None:
+                L = lsn
+            elif fence_token in m.fence_tokens:
+                L = 0  # replayed sync: apply_batch short-circuits unread
+            else:
+                from ..lake.mutate import _next_lsn
+
+                L = _next_lsn(self.spark, self.target, m)
+            # payload = the CURRENT visible schema ∪ dump-only columns (the
+            # dump speaks the live schema: construction-time user_schema
+            # would silently drop evolved columns and, under 'clear', null
+            # them on every synced key); dump-only columns evolve the table
+            # through the merge like any batch's would
+            visible = [
+                f.name for f in m.schema.fields
+                if not f.name.startswith("_") and f.name not in key_cols
+            ]
+            payload_cols = visible + [
+                c for c in snapshot.columns
+                if c not in visible and c not in key_cols
+            ]
+            field_type = {f.name: f.dataType for f in m.schema.fields}
+
+            def val(c):
+                if c in snap_cols:
+                    return F.col(c)
+                # visible column absent from a COMPLETE dump = NULL
+                return F.lit(None).cast(field_type[c]).alias(c)
+
+            ups = snapshot.select(
+                *key_cols, *[val(c).alias(c) for c in payload_cols]
+            ).withColumn(self.op_col, F.lit("U")).withColumn(
+                self.lsn_col, F.lit(L).cast("long")
+            )
+            live_keys = self.final_state().select(*key_cols)
+            dels = (
+                live_keys.join(
+                    snapshot.select(*key_cols).distinct(),
+                    on=key_cols, how="left_anti",
+                )
+                .select(
+                    *key_cols,
+                    *[
+                        F.lit(None).cast(
+                            field_type.get(c, snapshot.schema[c].dataType
+                                           if c in snap_cols else None)
+                        ).alias(c)
+                        for c in payload_cols
+                    ],
+                )
+                .withColumn(self.op_col, F.lit("D"))
+                .withColumn(self.lsn_col, F.lit(L).cast("long"))
+            )
+            try:
+                return self.apply_batch(
+                    ups.unionByName(dels), fence_token, on_reject=on_reject,
+                    _update_mode=forced, _merge_max_retries=0,
+                )
+            except CommitConflict:
+                if attempt >= 2:
+                    raise
+                attempt += 1
 
     def redrive_quarantine(
         self,

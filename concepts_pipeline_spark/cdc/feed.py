@@ -39,10 +39,13 @@ def read_change_feed(
     schema: StructType | None = None,
     streaming: bool = False,
     options: dict[str, str] | None = None,
+    toast_sentinel: str | None = None,
 ) -> DataFrame:
     """Read a landed change feed in any supported format, batch or streaming,
     returning rows in the canonical change-log schema. ``options`` pass through
-    to the reader (e.g. ``maxFilesPerTrigger`` for streaming admission)."""
+    to the reader (e.g. ``maxFilesPerTrigger`` for streaming admission).
+    ``toast_sentinel`` applies to the debezium format only (see
+    :func:`parse_debezium` — pair it with a partial-mode pipeline)."""
     schema = schema or CHANGE_LOG_SCHEMA
     reader = spark.readStream if streaming else spark.read
     for k, v in (options or {}).items():
@@ -61,7 +64,7 @@ def read_change_feed(
             if f.name not in ("lsn", "op", "event_ts", "batch_id")
         ])
         raw = reader.text(path)
-        return parse_debezium(raw, row_schema)
+        return parse_debezium(raw, row_schema, toast_sentinel=toast_sentinel)
     if feed_format == "csv":
         surface, array_cols = _csv_surface(schema)
         df = reader.schema(surface).option("header", "true").csv(path)

@@ -168,7 +168,6 @@ def cluster_by(
 
     Returns ``{"files": n, "cells": {col: n_cells}, "version": v}``.
     """
-    from ..operators.lww import lww_latest
     from .merge import HIDDEN_LSN
 
     if not cols:
@@ -190,7 +189,13 @@ def cluster_by(
 
         df = table._read_files(spark, m, m.files)
         if HIDDEN_LSN in df.columns:
-            df = lww_latest(df, m.key_cols, lsn_col=HIDDEN_LSN, op_col=None)
+            # resolve_rows, not raw lww_latest: on a partial-mode table the
+            # per-column register fold must decide (whole-row max-LSN pick
+            # would null out columns held by other register rows and drop
+            # delete barriers — permanent state loss in a maintenance op)
+            from .merge import resolve_rows
+
+            df = resolve_rows(df, m.key_cols)
         # ONE resolved scan feeds every boundary job AND the rewrite — the
         # read + LWW fold is the dominant cost on a big MoR table, and
         # without the persist it would re-execute len(cols)+1 times

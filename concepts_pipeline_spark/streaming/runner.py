@@ -50,6 +50,7 @@ def run_stream(
     on_batch: Callable[[int, DataFrame], None] | None = None,
     schema=None,
     feed_format: str = "parquet",
+    toast_sentinel: str | None = None,
     after_batch: Callable[[int, ApplyResult], None] | None = None,
     audit: Callable[[SparkSession, object, ApplyResult], bool] | None = None,
 ) -> StreamHandle:
@@ -91,6 +92,7 @@ def run_stream(
         spark,
         f"file://{source_path}",
         feed_format=feed_format,
+        toast_sentinel=toast_sentinel,
         schema=schema or CHANGE_LOG_SCHEMA,
         streaming=True,
         options={"maxFilesPerTrigger": str(max_files_per_trigger)},

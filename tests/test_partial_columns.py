@@ -628,3 +628,81 @@ def test_partial_table_replication_and_token_index(spark, tmp_path):
     ix.refresh()
     assert ix.lookup([8]).count() == 0
     assert {r["doc_id"] for r in ix.lookup([7]).collect()} == {"a"}
+
+
+def test_cluster_by_preserves_registers_on_partial_mor(spark, tmp_path):
+    """z-order maintenance on a partial-mode MoR table must resolve via the
+    register fold — a whole-row max-LSN pick would null columns held by other
+    register rows and drop delete barriers (review finding, fixed via
+    resolve_rows dispatch in lake/cluster.py)."""
+    from concepts_pipeline_spark.lake.cluster import cluster_by
+
+    pipe = _mor_pipe(spark, tmp_path, name="clus")
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 10, tokens=[1], n_tok=1),
+                       ev("b", 11, tokens=[2], n_tok=1, source="s0"),
+                       ev("c", 12, tokens=[3], n_tok=1)]), "c1"
+    )
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 20, source="x"), ev("c", 21, "D")]), "c2"
+    )
+    before = _state(pipe)
+    assert before == {"a": ([1], 1, "x"), "b": ([2], 1, "s0")}
+    cluster_by(spark, pipe.target, ["n_tok"], bits=2)
+    assert _state(pipe) == before
+    # barrier survives the rewrite: c's pre-delete assignment stays dead
+    pipe.apply_batch(_batch(spark, [ev("c", 15, source="zombie")]), "c3")
+    assert _state(pipe) == before
+
+
+def test_cli_lookup_and_scan_hide_register_columns(spark, tmp_path, capsys):
+    """CLI lookup/scan on a partial-mode table must not leak _colv/_dlsn
+    (review finding: only _lsn/_deleted were stripped)."""
+    import json
+
+    from concepts_pipeline_spark.__main__ import main
+
+    pipe = _pipe(spark, tmp_path, name="clihide")
+    pipe.apply_batch(_batch(spark, [ev("a", 1, tokens=[1], n_tok=1)]), "h1")
+    assert main(["lookup", "--table", str(tmp_path / "clihide"),
+                 "--key", "a"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] and not any(
+        k.startswith("_") for r in out["rows"] for k in r
+    )
+
+
+def test_cli_debezium_toast_replay_partial(spark, tmp_path, capsys):
+    """--feed-format debezium --toast-sentinel … --update-mode partial: the
+    TOAST path is reachable end-to-end from the CLI (review finding: the
+    sentinel was previously unreachable outside tests)."""
+    import json
+
+    from concepts_pipeline_spark.__main__ import main
+
+    SENT = "__debezium_unavailable_value"
+
+    def env(op, lsn, after):
+        return json.dumps({"payload": {"op": op, "after": after,
+                                       "before": None, "source": {"lsn": lsn}}})
+
+    lines = [
+        env("c", 1, {"doc_id": "a", "tokens": [1, 2], "n_tok": 2,
+                     "source": "s0"}),
+        env("u", 2, {"doc_id": "a", "tokens": [3], "n_tok": 1,
+                     "source": SENT}),
+    ]
+    feed = tmp_path / "dbz"
+    feed.mkdir()
+    (feed / "dump.jsonl").write_text("\n".join(lines) + "\n")
+    target = str(tmp_path / "t")
+    assert main([
+        "replay", "--feed", f"file://{feed}", "--target", target,
+        "--feed-format", "debezium", "--toast-sentinel", SENT,
+        "--update-mode", "partial", "--quarantine", str(tmp_path / "q"),
+    ]) == 0
+    capsys.readouterr()
+    assert main(["lookup", "--table", target, "--key", "a"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"][0]["tokens"] == [3]
+    assert out["rows"][0]["source"] == "s0"  # TOASTed column preserved

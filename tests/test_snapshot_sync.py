@@ -125,3 +125,25 @@ def test_cli_sync_snapshot(spark, tmp_path, capsys):
     ]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["final_rows"] == 1 and out["deleted"] == 1
+
+
+def test_sync_covers_schema_evolved_columns(spark, tmp_path):
+    """The dump speaks the table's CURRENT schema: a column added after
+    construction must flow through the sync (construction-time schema would
+    silently drop it and null it on every key — review finding)."""
+    pipe = _pipe(spark, tmp_path, "evo")
+    wide_ev = EV_DDL + ", lang string"
+    pipe.apply_batch(
+        spark.createDataFrame([("a", 1, "U", [1], 1, "s", "en")], wide_ev),
+        "b1",
+    )
+    snap = spark.createDataFrame(
+        [("a", [9], 1, "snap", "de"), ("b", [5], 1, "snap", "fr")],
+        SNAP_DDL + ", lang string",
+    )
+    pipe.sync_snapshot(snap, "s1")
+    got = {
+        r["doc_id"]: (r["tokens"], r["source"], r["lang"])
+        for r in pipe.final_state().collect()
+    }
+    assert got == {"a": ([9], "snap", "de"), "b": ([5], "snap", "fr")}
