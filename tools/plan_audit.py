@@ -393,6 +393,22 @@ def main() -> None:
     sections.append(("partial-MoR register fold — read-side per-column "
                      "resolution, one aggregation", p))
 
+    # 18. snapshot-sync delete synthesis: live-keys ⟕̸ dump-keys must be a
+    # hash LEFT ANTI join (no cartesian/nested-loop) over a key-pruned scan
+    dump = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id")
+    )
+    live = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id")
+    ).limit(1000)
+    dels = live.join(dump.distinct(), on=["doc_id"], how="left_anti")
+    p = explain_str(dels)
+    results.append(check("sync delete synthesis is hash LEFT ANTI", p,
+                         r"LeftAnti"))
+    results.append(check("sync delete synthesis has NO cartesian/nested-loop", p,
+                         r"CartesianProduct", must_match=False))
+    sections.append(("snapshot-sync delete synthesis — hash LEFT ANTI", p))
+
     with open("PLANS.md", "w") as fh:
         fh.write("# Physical-plan audit (`python tools/plan_audit.py`)\n\n")
         fh.write("Asserted properties (see tool for the exact regexes):\n\n")
