@@ -405,6 +405,17 @@ class LakeTable:
             raise ValueError(f"cannot rename key column {old!r}")
         if old.startswith("_") or new.startswith("_"):
             raise ValueError("cannot rename hidden engine columns")
+        if any(f.name == "_colv" for f in m.schema.fields):
+            # column-level (partial-mode) tables version each column in a
+            # DATA map keyed by column NAME (_colv) — a metadata-only rename
+            # cannot remap those keys, so every register for the renamed
+            # column would silently read as "never set" and its values (and
+            # ordering guarantees) would be lost at the next resolution.
+            raise ValueError(
+                "RENAME COLUMN is not supported on column-level "
+                "(update_mode='partial') tables: the per-column version "
+                "vector keys registers by column name in data"
+            )
         new_schema = StructType(
             [
                 StructField(new, f.dataType, f.nullable)

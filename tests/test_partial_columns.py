@@ -706,3 +706,39 @@ def test_cli_debezium_toast_replay_partial(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"][0]["tokens"] == [3]
     assert out["rows"][0]["source"] == "s0"  # TOASTed column preserved
+
+
+def test_rename_column_refused_on_partial_tables(spark, tmp_path):
+    """_colv keys registers by column NAME in data — a metadata-only rename
+    cannot remap them, so the values would silently read as never-set.
+    Refused loudly; DROP COLUMN stays allowed (stale entries are ignored and
+    the dropped-name tombstone blocks resurrection)."""
+    pipe = _pipe(spark, tmp_path, name="ddl")
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 1, tokens=[1], n_tok=1, source="s")]), "d1"
+    )
+    with pytest.raises(ValueError, match="partial"):
+        pipe.target.rename_column("source", "origin")
+    pipe.target.drop_column("source")
+    got = {r["doc_id"]: r.asDict() for r in pipe.final_state().collect()}
+    assert "source" not in got["a"] and got["a"]["tokens"] == [1]
+    # registers for surviving columns still order correctly post-DDL (the
+    # feed no longer carries the dropped column — re-adding it is refused
+    # by the dropped-name tombstone, which a separate assert pins)
+    narrow = "doc_id string, lsn long, op string, tokens array<int>, n_tok int"
+    pipe.apply_batch(
+        spark.createDataFrame([("a", 5, "U", [2], 1)], narrow), "d2"
+    )
+    pipe.apply_batch(
+        spark.createDataFrame([("a", 3, "U", [9], 1)], narrow), "d3"
+    )
+    got = {r["doc_id"]: r["tokens"] for r in pipe.final_state().collect()}
+    assert got == {"a": [2]}
+    # resurrection of the dropped name stays refused on the partial path too
+    from concepts_pipeline_spark.lake.schema import SchemaEvolutionError
+
+    with pytest.raises(SchemaEvolutionError, match="previously dropped"):
+        pipe.apply_batch(
+            _batch(spark, [ev("a", 7, tokens=[1], n_tok=1, source="zomb")]),
+            "d4",
+        )
