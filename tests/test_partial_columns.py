@@ -742,3 +742,34 @@ def test_rename_column_refused_on_partial_tables(spark, tmp_path):
             _batch(spark, [ev("a", 7, tokens=[1], n_tok=1, source="zomb")]),
             "d4",
         )
+
+
+def test_partial_expiry_and_rollback_composition(spark, tmp_path):
+    """Lifecycle ops over a partial table: expire_snapshots keeps the state
+    byte-identical (registers live in data files like any column), and
+    rollback() rewinds fences so the rolled-back batch replays to the same
+    per-column resolution."""
+    pipe = _mor_pipe(spark, tmp_path, name="life")
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 1, tokens=[1], n_tok=1, source="s0"),
+                       ev("b", 2, tokens=[2], n_tok=1)]), "l1"
+    )
+    from concepts_pipeline_spark.lake.merge import compact_tiered
+    compact_tiered(spark, pipe.target, fanout=1)
+    pipe.apply_batch(
+        _batch(spark, [ev("a", 5, source="s1"), ev("b", 6, "D")]), "l2"
+    )
+    v_after_l2 = pipe.target.current_version()
+    want = _state(pipe)
+    assert want == {"a": ([1], 1, "s1")}
+
+    pipe.target.expire_snapshots(keep_last=1)
+    assert _state(pipe) == want
+
+    # roll back past l2, replay it: fences rewound, same resolution
+    pipe.apply_batch(_batch(spark, [ev("a", 9, tokens=[7], n_tok=1)]), "l3")
+    pipe.target.rollback(v_after_l2)
+    assert _state(pipe) == want
+    assert not pipe.target.has_fence_token("l3")
+    pipe.apply_batch(_batch(spark, [ev("a", 9, tokens=[7], n_tok=1)]), "l3")
+    assert _state(pipe) == {"a": ([7], 1, "s1")}
