@@ -554,6 +554,8 @@ class CdcPipeline:
         audit,
         on_reject: str = "quarantine",
         max_retries: int = 2,
+        _update_mode: str | None = None,
+        _merge_max_retries: int = 2,
     ) -> ApplyResult:
         """Write-audit-publish: stage the batch on a branch, audit the staged
         state, then fast-forward main — the Iceberg WAP pattern for CDC
@@ -597,7 +599,10 @@ class CdcPipeline:
                 self.target.drop_branch(f"wap-{fence_token}")
             except FileNotFoundError:
                 pass
-            return self.apply_batch(batch, fence_token, on_reject=on_reject)
+            return self.apply_batch(
+                batch, fence_token, on_reject=on_reject,
+                _update_mode=_update_mode,
+            )
         if self.target.branch_name is not None:
             raise ValueError("apply_batch_wap targets the main table view")
         name = f"wap-{fence_token}"
@@ -614,7 +619,11 @@ class CdcPipeline:
             branch = main.create_branch(name)
             self.target = branch
             try:
-                result = self.apply_batch(batch, fence_token, on_reject=on_reject)
+                result = self.apply_batch(
+                    batch, fence_token, on_reject=on_reject,
+                    _update_mode=_update_mode,
+                    _merge_max_retries=_merge_max_retries,
+                )
             finally:
                 self.target = main
             if not audit(self.spark, branch, result):
@@ -638,6 +647,7 @@ class CdcPipeline:
         lsn: int | None = None,
         on_reject: str = "quarantine",
         null_means: str = "clear",
+        audit=None,
     ) -> ApplyResult:
         """Full-snapshot synchronization: make the table equal a complete
         source dump, as ONE fenced change batch on the normal apply path.
@@ -659,6 +669,13 @@ class CdcPipeline:
         tombstones, whose LSN memory must keep suppressing their own stale
         redeliveries. Works under every table mode (replace / partial ×
         cow / mor): the synthesized batch is ordinary events.
+
+        ``audit`` gates the reconciliation through write-audit-publish
+        (:meth:`apply_batch_wap`): the dump's full effect — including the
+        synthesized deletes — is staged on a branch and audited BEFORE main
+        moves. This is the guard for the classic catastrophe (an empty or
+        truncated dump would tombstone the whole table): e.g.
+        ``audit=lambda s, br, r: branch_live_count_within_tolerance``.
 
         ``null_means`` matters only on PARTIAL-mode tables, where the apply
         path normally reads NULL as "no statement": a COMPLETE dump's NULL
@@ -753,8 +770,17 @@ class CdcPipeline:
                 .withColumn(self.lsn_col, F.lit(L).cast("long"))
             )
             try:
+                batch = ups.unionByName(dels)
+                if audit is not None:
+                    # WAP's own conflict retry must NOT re-stage the stale
+                    # derived batch either — recompute out here instead
+                    return self.apply_batch_wap(
+                        batch, fence_token, audit=audit, on_reject=on_reject,
+                        max_retries=0, _update_mode=forced,
+                        _merge_max_retries=0,
+                    )
                 return self.apply_batch(
-                    ups.unionByName(dels), fence_token, on_reject=on_reject,
+                    batch, fence_token, on_reject=on_reject,
                     _update_mode=forced, _merge_max_retries=0,
                 )
             except CommitConflict:

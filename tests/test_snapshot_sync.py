@@ -147,3 +147,37 @@ def test_sync_covers_schema_evolved_columns(spark, tmp_path):
         for r in pipe.final_state().collect()
     }
     assert got == {"a": ([9], "snap", "de"), "b": ([5], "snap", "fr")}
+
+
+def test_sync_snapshot_wap_gate_blocks_catastrophic_dump(spark, tmp_path):
+    """Gated reconciliation: an empty/truncated dump would tombstone the
+    whole table — with audit set, the sync stages on a branch, the audit sees
+    the FULL candidate effect (deletes included), and a rejection leaves main
+    and the fence untouched for a corrected dump."""
+    from concepts_pipeline_spark.cdc.apply import BatchAuditError
+    from concepts_pipeline_spark.lake.merge import HIDDEN_DELETED
+
+    pipe = _pipe(spark, tmp_path, "wapres")
+    pipe.apply_batch(spark.createDataFrame(
+        [("a", 1, "U", [1], 1, "s"), ("b", 2, "U", [2], 1, "s"),
+         ("c", 3, "U", [3], 1, "s")], EV_DDL), "b1")
+
+    def keeps_half(s, branch, result):
+        live = branch.read(s).filter(
+            ~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False))
+        ).count()
+        return live >= 2
+
+    truncated = spark.createDataFrame([("a", [1], 1, "s")], SNAP_DDL)
+    v = pipe.target.current_version()
+    with pytest.raises(BatchAuditError):
+        pipe.sync_snapshot(truncated, "r1", audit=keeps_half)
+    assert pipe.target.current_version() == v
+    assert not pipe.target.has_fence_token("r1")
+    assert len(_state(pipe)) == 3
+
+    good = spark.createDataFrame(
+        [("a", [9], 1, "snap"), ("b", [2], 1, "s")], SNAP_DDL
+    )
+    pipe.sync_snapshot(good, "r1", audit=keeps_half)  # same fence, corrected
+    assert _state(pipe) == {"a": ([9], 1, "snap"), "b": ([2], 1, "s")}
