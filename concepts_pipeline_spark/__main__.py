@@ -215,8 +215,38 @@ def cmd_sync_snapshot(args) -> dict:
         update_mode=args.update_mode,
     )
     snap = spark.read.parquet(args.snapshot)
+    audit = None
+    if args.wap_max_delete_frac is not None:
+        # gated reconciliation: reject the sync when its staged deletes
+        # (dump-absence tombstones included) exceed the fraction of the
+        # pre-sync live count — the empty/truncated-dump guard
+        from pyspark.sql import functions as SF
+
+        from .cdc.apply import staged_changes
+        from .lake.merge import HIDDEN_DELETED, read_merged
+
+        frac = args.wap_max_delete_frac
+
+        def audit(s, branch, result):
+            fork = branch.fork_version()
+            before = branch.count_live(fork)
+            if before is None:
+                df = read_merged(s, branch, fork)
+                if HIDDEN_DELETED in df.columns:
+                    df = df.filter(
+                        ~SF.coalesce(SF.col(HIDDEN_DELETED), SF.lit(False))
+                    )
+                before = df.count()
+            dels = (
+                staged_changes(s, branch)
+                .filter(SF.col("change_type") == "delete")
+                .count()
+            )
+            return before == 0 or dels <= frac * before
+
     r = pipe.sync_snapshot(
-        snap, fence_token=args.fence, null_means=args.null_means
+        snap, fence_token=args.fence, null_means=args.null_means,
+        audit=audit,
     )
     return {
         "skipped": r.stats.skipped,
@@ -704,6 +734,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--update-mode", default="replace",
                    choices=["replace", "partial"])
     g.add_argument("--null-means", default="clear", choices=["clear", "keep"])
+    g.add_argument("--wap-max-delete-frac", type=float, default=None,
+                   help="stage-audit-publish the sync and reject it when "
+                        "staged deletes exceed this fraction of the pre-sync "
+                        "live count (empty/truncated-dump guard)")
     g.add_argument("--fence", required=True)
     g.set_defaults(fn=cmd_sync_snapshot)
 

@@ -181,3 +181,37 @@ def test_sync_snapshot_wap_gate_blocks_catastrophic_dump(spark, tmp_path):
     )
     pipe.sync_snapshot(good, "r1", audit=keeps_half)  # same fence, corrected
     assert _state(pipe) == {"a": ([9], 1, "snap"), "b": ([2], 1, "s")}
+
+
+def test_cli_sync_snapshot_delete_gate(spark, tmp_path, capsys):
+    """sync-snapshot --wap-max-delete-frac: a truncated dump is audit-rejected
+    with the table untouched; a sane dump under the same fence publishes."""
+    import json
+
+    from concepts_pipeline_spark.cdc.apply import BatchAuditError
+    from concepts_pipeline_spark.__main__ import main
+
+    spark.createDataFrame(
+        [("a", 1, "U", [1], 1, "s"), ("b", 2, "U", [2], 1, "s"),
+         ("c", 3, "U", [3], 1, "s")], EV_DDL
+    ).write.parquet(f"file://{tmp_path}/feed")
+    target = str(tmp_path / "t")
+    assert main(["replay", "--feed", f"file://{tmp_path}/feed",
+                 "--target", target]) == 0
+    capsys.readouterr()
+    spark.createDataFrame([("a", [1], 1, "s")], SNAP_DDL).write.parquet(
+        f"file://{tmp_path}/bad"
+    )
+    with pytest.raises(BatchAuditError):
+        main(["sync-snapshot", "--snapshot", f"file://{tmp_path}/bad",
+              "--target", target, "--fence", "s1",
+              "--wap-max-delete-frac", "0.5"])
+    capsys.readouterr()
+    spark.createDataFrame(
+        [("a", [1], 1, "s"), ("b", [9], 1, "snap")], SNAP_DDL
+    ).write.parquet(f"file://{tmp_path}/good")
+    assert main(["sync-snapshot", "--snapshot", f"file://{tmp_path}/good",
+                 "--target", target, "--fence", "s1",
+                 "--wap-max-delete-frac", "0.5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["final_rows"] == 2 and out["deleted"] == 1
