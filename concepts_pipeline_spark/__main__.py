@@ -6,6 +6,7 @@ mains (ingestor/aggregator/recorder Main.scala) plus the CDC/lake lifecycle:
   python -m concepts_pipeline_spark record    --catalogue <dir> --authoritative <dir> --out <dir>
   python -m concepts_pipeline_spark replay    --feed <parquet-dir> --target <dir> [--strategy cow|mor] [--update-mode replace|partial] [--batch-col batch_id]
   python -m concepts_pipeline_spark stream    --feed <dir> --target <dir> --checkpoint <dir>
+  python -m concepts_pipeline_spark sync-snapshot --snapshot <parquet-dir> --target <dir> --fence <token> [--wap-max-delete-frac 0.5]
   python -m concepts_pipeline_spark compact   --table <dir> [--max-delta-files 4]
   python -m concepts_pipeline_spark expire    --table <dir> [--keep-last 2]
 
